@@ -1,0 +1,97 @@
+"""Pipeline configuration.
+
+Generalizes the reference's ``CliConfig`` (/root/reference/src/cli.rs:7-12):
+where camden exposes root/target/threading/extensions, the dedup engine pins
+every semantic knob — hash seeds, shingle/signature geometry, thresholds —
+so that runs are bit-reproducible (the reference is nondeterministic under
+its parallel mode, /root/reference/src/scanner.rs:29,62; we strengthen that
+to full determinism, see SURVEY.md §4.1 "Ordering / determinism").
+
+All defaults match the fixture ground-truth config in FIXTURES.md §A:
+Jaccard τ=0.8, k=5 word shingles, 128 permutations, 16 bands × 8 rows.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- global determinism ---
+    seed: int = 42
+
+    # --- filtering (analogue of camden's extension allow-list,
+    #     /root/reference/src/scanner.rs:71-79; empty tuple = keep all) ---
+    langs: tuple[str, ...] = ()
+    min_text_chars: int = 1
+
+    # --- MinHash / LSH (Broder 1997) ---
+    shingle_k: int = 5            # word k-grams
+    num_perms: int = 128          # signature length
+    num_bands: int = 16           # b
+    rows_per_band: int = 8        # r;  b * r == num_perms
+    jaccard_threshold: float = 0.8  # τ — verify candidates at this level
+
+    # --- skew control (north_rule: salted repartitioning of hot buckets) ---
+    bucket_cap: int = 64          # LSH bucket size above which we salt-split
+    num_salts: int = 16           # sub-buckets per hot bucket
+
+    # --- candidate verification (signature-estimated Jaccard) ---
+    verify_perms: int = 64        # signature components carried on band rows
+    verify_margin: float = 0.10   # accept est >= τ - margin (2σ sampling noise)
+
+    # --- SimHash (Charikar 2002; Manku et al. WWW'07 pigeonhole blocks) ---
+    simhash_bits: int = 64
+    simhash_blocks: int = 4       # pigeonhole: radius ≤ blocks - 1
+    hamming_radius: int = 3
+    simhash_group_cap: int = 4096  # max pairwise-compared members per bucket
+
+    # --- substring / winnowed L-gram dedup (Lee et al. 2021) ---
+    lgram_tokens: int = 50        # minimum duplicated span, in tokens
+    lgram_mod: int = 8            # winnowing window w: shared spans >=
+                                  # lgram_tokens + w - 1 are guaranteed detected
+    lgram_group_cap: int = 1024   # max members star-linked per shared-gram bucket
+
+    # --- execution ---
+    batch_size: int = 1024        # rows per map_batches call (html is wide)
+    extract_concurrency: tuple[int, int] = (1, 8)  # actor-pool autoscale bounds
+    shuffle_partitions: int = 0   # 0 = let Ray Data choose
+
+    # --- clustering ---
+    driver_unionfind_max_edges: int = 5_000_000  # above this, distributed hash-to-min
+    methods: tuple[str, ...] = ("exact", "minhash", "simhash", "substring")
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"num_bands*rows_per_band must equal num_perms "
+                f"({self.num_bands}*{self.rows_per_band} != {self.num_perms})"
+            )
+        if self.simhash_bits % self.simhash_blocks != 0:
+            raise ValueError("simhash_bits must divide evenly into simhash_blocks")
+        if self.hamming_radius >= self.simhash_blocks * (
+            self.simhash_bits // self.simhash_blocks
+        ):
+            raise ValueError("hamming_radius too large")
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DedupConfig":
+        d = json.loads(s)
+        for key in ("langs", "extract_concurrency", "methods"):
+            if key in d and isinstance(d[key], list):
+                d[key] = tuple(d[key])
+        return cls(**d)
+
+    def fingerprint(self) -> str:
+        """Stable digest of the full config — stamped into checkpoint manifests."""
+        import hashlib
+
+        return hashlib.blake2b(self.to_json().encode(), digest_size=16).hexdigest()
+
+
+DEFAULT_CONFIG = DedupConfig()

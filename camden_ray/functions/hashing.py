@@ -1,0 +1,180 @@
+"""Deterministic hash kernels (stdlib + numpy only — sandbox has no xxhash/blake3).
+
+Role in the engine: the generalization of camden's streaming xxHash64 content
+checksum (/root/reference/src/scanner.rs:81-95) to row granularity, plus the
+seeded universal hashing the reference never needed (MinHash permutations,
+shingle hashes, rolling polynomial hashes for L-gram substring dedup).
+
+Every function here is pure and seeded — same input ⇒ same output across
+processes, workers and parallelism levels (the determinism contract of
+SURVEY.md §4.1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+# Odd multiplier for polynomial rolling hashes (mod 2^64 via uint64 wraparound).
+POLY_P = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+# Modular inverse of POLY_P mod 2^64 (exists because POLY_P is odd).
+POLY_P_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def blake2b_u64(data: bytes, *, seed: int = 0) -> int:
+    """64-bit content digest of raw bytes (camden M1 analogue, BLAKE2-class)."""
+    h = hashlib.blake2b(data, digest_size=8, salt=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+def blake2b_hex(data: bytes) -> str:
+    """Full-width content digest (hex) for manifests / fingerprints."""
+    return hashlib.blake2b(data, digest_size=16).hexdigest()
+
+
+def digest_column_u64(values: list[bytes | str | None], seed: int = 0) -> np.ndarray:
+    """Per-row 64-bit digests of a binary/string column. Null ⇒ digest 0."""
+    salt = seed.to_bytes(8, "little")
+    out = np.zeros(len(values), dtype=U64)
+    for i, v in enumerate(values):
+        if v is None:
+            continue
+        if isinstance(v, str):
+            v = v.encode("utf-8", "surrogatepass")
+        out[i] = int.from_bytes(
+            hashlib.blake2b(v, digest_size=8, salt=salt).digest(), "little"
+        )
+    return out
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — scrambles structured integers into uniform u64."""
+    x = x.astype(U64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def minhash_params(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) parameter vectors for num_perms multiply-shift hashes."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+class TokenHasher:
+    """Token → u64 via blake2b, memoized (compile-once actor state).
+
+    The cache makes shingle hashing amortized-vectorizable: unique tokens are
+    hashed once per actor lifetime; per-batch work is numpy only.
+    """
+
+    def __init__(self, seed: int = 42, max_cache: int = 4_000_000):
+        self._seed = seed
+        self._salt = seed.to_bytes(8, "little")
+        self._cache: dict[str, int] = {}
+        self._max_cache = max_cache
+
+    def hash_tokens(self, tokens: list[str]) -> np.ndarray:
+        cache, salt = self._cache, self._salt
+        out = np.empty(len(tokens), dtype=U64)
+        for i, t in enumerate(tokens):
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.blake2b(
+                        t.encode("utf-8", "surrogatepass"), digest_size=8, salt=salt
+                    ).digest(),
+                    "little",
+                )
+                if len(cache) < self._max_cache:
+                    cache[t] = v
+            out[i] = v
+        return out
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Hashes of all k-token shingles: polynomial combine, mod 2^64.
+
+    Returns an array of length max(0, n-k+1). Fully vectorized (k numpy passes).
+    """
+    n = len(token_hashes)
+    if n < k:
+        return np.empty(0, dtype=U64)
+    m = n - k + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(m, dtype=U64)
+        for j in range(k):
+            acc = acc * POLY_P + token_hashes[j : j + m]
+    return mix64(acc)
+
+
+def rolling_lgram_hashes(token_hashes: np.ndarray, L: int) -> np.ndarray:
+    """Hashes of ALL L-token grams in O(n) via invertible prefix polynomials.
+
+    gram(i) = Σ_{j=0..L-1} th[i+j] · P^(L-1-j)  (mod 2^64), computed as
+    P^(L-1+i) · (A[i+L] − A[i]) where A[i] = Σ_{j<i} th[j] · P^(−j).
+    P is odd so P^(−1) exists mod 2^64; uint64 wraparound IS the modulus.
+    """
+    n = len(token_hashes)
+    if n < L:
+        return np.empty(0, dtype=U64)
+    m = n - L + 1
+    with np.errstate(over="ignore"):
+        # pinv_pows[j] = P^(-j); p_pows[i] = P^(L-1+i)
+        pinv_pows = np.empty(n + 1, dtype=U64)
+        pinv_pows[0] = np.uint64(1)
+        np.multiply.accumulate(
+            np.full(n, POLY_P_INV, dtype=U64), out=pinv_pows[1:]
+        )
+        prefix = np.zeros(n + 1, dtype=U64)
+        np.cumsum(token_hashes * pinv_pows[:n], out=prefix[1:], dtype=U64)
+        p_pows = np.empty(m, dtype=U64)
+        p_pows[0] = np.uint64(pow(int(POLY_P), L - 1, 1 << 64))
+        np.multiply.accumulate(np.full(m - 1, POLY_P, dtype=U64), out=p_pows[1:])
+        p_pows[1:] *= p_pows[0]
+        grams = p_pows * (prefix[L : L + m] - prefix[:m])
+    return mix64(grams)
+
+
+def winnow(gram_hashes: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03).
+
+    Select every gram that is the minimum of SOME window of w consecutive
+    grams. Guarantee: any run of >= w consecutive shared grams contributes at
+    least one shared selection, and selections are content-defined (identical
+    shared runs select identical grams in both documents). Expected density
+    ~ 2/(w+1) — vs mod-sampling's 1/w with NO guarantee (a 60-token span at
+    w=8 would be missed with prob (7/8)^11 ≈ 0.23).
+    """
+    m = len(gram_hashes)
+    if m == 0:
+        return gram_hashes
+    if m <= w:
+        return np.array([gram_hashes.min()], dtype=U64)
+    windows = np.lib.stride_tricks.sliding_window_view(gram_hashes, w)
+    return np.unique(windows.min(axis=1))
+
+
+def band_hashes(signatures: np.ndarray, num_bands: int) -> np.ndarray:
+    """LSH band keys: (n_docs, num_perms) signatures → (n_docs, num_bands) u64.
+
+    Each band's r signature components are combined with the same polynomial
+    scheme as shingles, so a band hash collides iff (w.h.p.) all r rows match.
+    """
+    n, p = signatures.shape
+    r = p // num_bands
+    bands = signatures.reshape(n, num_bands, r)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, num_bands), dtype=U64)
+        for j in range(r):
+            acc = acc * POLY_P + bands[:, :, j]
+    return mix64(acc.reshape(-1)).reshape(n, num_bands)

@@ -1,0 +1,190 @@
+"""The flagship pipeline: webtext → extract → signatures → candidate shuffles
+→ union-find → cluster assignments → kept/removed outputs.
+
+Row-granular generalization of camden's whole program
+(/root/reference/src/main.rs:16-55): scan → checksum → group → report/move,
+widened to four dup methods and made deterministic, distributed, resumable.
+
+Dataflow (SURVEY.md §3.4)::
+
+    read_parquet(webtext)                         # S1
+      → map_batches(HtmlExtractorActor)           # actor pool (M1 invariant)
+      → map_batches(SignatureActor)               # digest+minhash+simhash+lgrams
+      → [checkpoint: signatures]                  # compact; html/text dropped
+      ├→ exact     : salted_star_edges on digest          # shuffle 1 (G1)
+      ├→ minhash   : band expand → salted_star_edges      # shuffle 2
+      ├→ simhash   : pigeonhole rows → groupby pairwise   # shuffle 3
+      ├→ substring : lgram rows → salted_star_edges       # shuffle 4
+      → union(edges) → [checkpoint: edges]
+      → union-find (driver; distributed hash-to-min above threshold)
+      → assignments broadcast → clusters / kept / removed parquet   # W2/W3
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from camden_ray.config import DedupConfig
+from camden_ray.sources.webtext import read_webtext
+from camden_ray.stages.candidates import (
+    exact_rows,
+    make_band_expander,
+    make_lgram_expander,
+    salted_star_edges,
+    simhash_edges,
+)
+from camden_ray.stages.cluster import (
+    make_assigner,
+    unionfind_assignments,
+)
+from camden_ray.stages.extract import HtmlExtractorActor
+from camden_ray.stages.signatures import SignatureActor
+from camden_ray.state.checkpoint import Checkpointer, input_fingerprint
+
+
+def signature_table(
+    ds: "ray.data.Dataset", cfg: DedupConfig, extract: bool = True
+) -> "ray.data.Dataset":
+    """text/html rows → compact signature table (url, digest, sig, simhash, lgrams)."""
+    if extract:
+        ds = ds.map_batches(
+            HtmlExtractorActor,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.extract_concurrency,
+            num_cpus=1,
+        )
+    return ds.map_batches(
+        SignatureActor,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.extract_concurrency,
+        num_cpus=1,
+    )
+
+
+def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
+    """Union of verified candidate edges from every enabled method."""
+    branches = []
+    if "exact" in cfg.methods:
+        branches.append(
+            salted_star_edges(exact_rows(sig_ds), cfg, method="exact", verified=False)
+        )
+    if "minhash" in cfg.methods:
+        band_rows = sig_ds.map_batches(make_band_expander(cfg), batch_format="pyarrow")
+        branches.append(
+            salted_star_edges(band_rows, cfg, method="minhash", verified=True)
+        )
+    if "simhash" in cfg.methods:
+        branches.append(simhash_edges(sig_ds, cfg))
+    if "substring" in cfg.methods:
+        lgram_rows = sig_ds.map_batches(make_lgram_expander(cfg), batch_format="pyarrow")
+        branches.append(
+            salted_star_edges(lgram_rows, cfg, method="substring", verified=False)
+        )
+    if not branches:
+        raise ValueError("no methods enabled")
+    edges = branches[0]
+    for b in branches[1:]:
+        edges = edges.union(b)
+    return edges
+
+
+def run_dedup(
+    input_path: str | list[str],
+    cfg: DedupConfig | None = None,
+    out_dir: str | None = None,
+    extract: bool = True,
+    input_ds: "ray.data.Dataset | None" = None,
+) -> dict[str, Any]:
+    """Run the full dedup pipeline.
+
+    Returns dict with Datasets: ``clusters`` (url, cluster_id,
+    is_representative), ``edges``, ``kept``, ``removed`` and driver-side
+    ``stats`` (the MoveStats analogue, /root/reference/src/operations.rs:9-11).
+
+    With ``out_dir`` set, every stage checkpoints (resume = rerun with the
+    same out_dir; finished stages are skipped via manifest fingerprints).
+    """
+    cfg = cfg or DedupConfig()
+    columns = ["url", "html"] if extract else ["url", "text"]
+    if input_ds is not None:
+        ds = input_ds
+    else:
+        ds = read_webtext(
+            input_path, columns=columns, langs=cfg.langs,
+            min_text_chars=0 if extract else cfg.min_text_chars,
+        )
+
+    ckpt = Checkpointer(out_dir, cfg) if out_dir else None
+    in_fp = input_fingerprint(input_path) if isinstance(input_path, (str, list)) and input_path else "adhoc"
+
+    if ckpt:
+        sig_ds, sig_fp = ckpt.run_stage(
+            "signatures", in_fp, lambda: signature_table(ds, cfg, extract=extract)
+        )
+        edges, edge_fp = ckpt.run_stage(
+            "edges", sig_fp, lambda: build_edges(sig_ds, cfg)
+        )
+    else:
+        # no checkpoint dir: materialize the compact signature table once so
+        # the four candidate branches don't re-execute extraction per branch
+        sig_ds = signature_table(ds, cfg, extract=extract).materialize()
+        edges = build_edges(sig_ds, cfg).materialize()
+        edge_fp = "adhoc"
+
+    n_edges = edges.count()
+    if n_edges <= cfg.driver_unionfind_max_edges:
+        assignments = unionfind_assignments(edges)
+    else:  # scale path: distributed components, then stream the (small) map
+        from camden_ray.stages.cluster import hash_to_min_components
+
+        comp = hash_to_min_components(edges)
+        assignments = {
+            u: c
+            for b in comp.iter_batches(batch_format="pyarrow")
+            for u, c in zip(b["url"].to_pylist(), b["cluster_id"].to_pylist())
+        }
+
+    assign_ref = ray.put(assignments)
+    urls = sig_ds.select_columns(["url"])
+    clusters = urls.map_batches(make_assigner(assign_ref), batch_format="pyarrow")
+
+    if ckpt:
+        clusters, _ = ckpt.run_stage(
+            "clusters", edge_fp, lambda: clusters, params=str(len(assignments))
+        )
+
+    kept = clusters.filter(expr="is_representative == True")
+    removed = clusters.filter(expr="is_representative == False")
+
+    if out_dir:
+        kept.write_parquet(os.path.join(out_dir, "kept"))
+        removed.write_parquet(os.path.join(out_dir, "removed"))
+        ckpt.write_metrics()
+
+    n_total = clusters.count()
+    n_removed = sum(1 for v in assignments.values())  # members of non-trivial comps
+    n_reps_in_comps = len({c for c in assignments.values()})
+    stats = {
+        "rows": n_total,
+        "edges": n_edges,
+        "clustered_urls": len(assignments),
+        "clusters_nontrivial": n_reps_in_comps,
+        "duplicates_removed": len(assignments) - n_reps_in_comps,
+    }
+    return {
+        "clusters": clusters,
+        "edges": edges,
+        "kept": kept,
+        "removed": removed,
+        "stats": stats,
+        "config": cfg,
+    }

@@ -1,0 +1,132 @@
+"""Signature stage: one vectorized pass producing every dedup signal per row.
+
+Generalizes camden's single per-file checksum (/root/reference/src/scanner.rs:81-95)
+into four row-granular signals computed together over shared token hashes
+(one tokenization, one shingle pass per document):
+
+  digest   : int64   — exact content digest (blake2b-8 of text bytes)
+  sig      : binary  — MinHash signature, num_perms × u64 little-endian
+  simhash  : int64   — 64-bit SimHash of the shingle set
+  lgrams   : list<int64> — content-defined sample of L-token rolling-gram
+                           hashes (winnowed substring-dedup seeds)
+
+Stateful actor pool: the token-hash memo cache and the seeded MinHash
+permutation parameters are built once per actor (``__init__``), then every
+batch is numpy-vectorized (``np.minimum.reduceat`` / ``np.add.reduceat``
+over the concatenated shingle arrays — no per-permutation Python loops over
+documents).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from camden_ray.config import DedupConfig
+from camden_ray.functions.hashing import (
+    TokenHasher,
+    digest_column_u64,
+    minhash_params,
+    rolling_lgram_hashes,
+    shingle_hashes,
+    winnow,
+)
+from camden_ray.functions.text import tokenize
+
+SIG_COLUMNS = ["url", "digest", "sig", "simhash", "lgrams"]
+
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+class SignatureActor:
+    """``map_batches`` callable class: text rows → signature rows.
+
+    Usage::
+
+        ds.map_batches(SignatureActor, fn_constructor_kwargs={"cfg": cfg},
+                       batch_format="pyarrow", batch_size=cfg.batch_size,
+                       concurrency=..., num_cpus=1)
+    """
+
+    def __init__(self, cfg: DedupConfig | None = None) -> None:
+        self.cfg = cfg or DedupConfig()
+        self.hasher = TokenHasher(seed=self.cfg.seed)
+        self.perm_a, self.perm_b = minhash_params(self.cfg.num_perms, self.cfg.seed)
+        self._shifts = np.arange(64, dtype=np.uint64)
+        self._bit_vals = np.uint64(1) << self._shifts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+
+        digests = digest_column_u64(texts, seed=cfg.seed)
+
+        shingle_chunks: list[np.ndarray] = []
+        offsets = np.zeros(n, dtype=np.int64)
+        lgram_values: list[np.ndarray] = []
+        pos = 0
+        for i, text in enumerate(texts):
+            toks = tokenize(text) if text else []
+            th = self.hasher.hash_tokens(toks)
+            sh = shingle_hashes(th, cfg.shingle_k)
+            if len(sh) == 0:
+                # short doc fallback: unigram "shingles" keep segments non-empty
+                sh = th if len(th) else np.array([digests[i]], dtype=np.uint64)
+            sh = np.unique(sh)  # set semantics for Jaccard
+            offsets[i] = pos
+            pos += len(sh)
+            shingle_chunks.append(sh)
+
+            grams = rolling_lgram_hashes(th, cfg.lgram_tokens)
+            if len(grams):
+                # winnowed selection: any shared span >= lgram_tokens +
+                # lgram_mod - 1 tokens is GUARANTEED a shared fingerprint
+                grams = winnow(grams, cfg.lgram_mod)
+            lgram_values.append(grams.view(np.int64))
+
+        S = (
+            np.concatenate(shingle_chunks)
+            if shingle_chunks
+            else np.empty(0, dtype=np.uint64)
+        )
+
+        # --- MinHash: perm p → min over each doc's shingle segment ---
+        sigs = np.empty((cfg.num_perms, n), dtype=np.uint64)
+        if n:
+            with np.errstate(over="ignore"):
+                for p in range(cfg.num_perms):
+                    hv = self.perm_a[p] * S + self.perm_b[p]
+                    sigs[p] = np.minimum.reduceat(hv, offsets)
+        sigs = np.ascontiguousarray(sigs.T)  # (n, num_perms)
+
+        # --- SimHash: sign of per-bit vote over the shingle set ---
+        if n:
+            bits = ((S[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(
+                np.int32
+            )
+            votes = np.add.reduceat(bits, offsets, axis=0)  # (n, 64) ones-count
+            seg_sizes = np.diff(np.append(offsets, len(S)))[:, None]
+            simhash_bits = (votes * 2 > seg_sizes).astype(np.uint64)
+            simhash = np.bitwise_or.reduce(simhash_bits * self._bit_vals[None, :], axis=1)
+        else:
+            simhash = np.empty(0, dtype=np.uint64)
+
+        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "digest": pa.array(digests.view(np.int64), type=pa.int64()),
+                "sig": pa.array(sig_bytes, type=pa.binary()),
+                "simhash": pa.array(simhash.view(np.int64), type=pa.int64()),
+                "lgrams": pa.array(list(lgram_values), type=pa.list_(pa.int64())),
+            }
+        )
+
+
+def unpack_sigs(sig_column: list[bytes], num_perms: int) -> np.ndarray:
+    """binary signature column → (n, num_perms) uint64 matrix (zero-copy-ish)."""
+    if not sig_column:
+        return np.empty((0, num_perms), dtype=np.uint64)
+    buf = b"".join(sig_column)
+    return np.frombuffer(buf, dtype=np.uint64).reshape(len(sig_column), num_perms)

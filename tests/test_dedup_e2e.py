@@ -1,0 +1,100 @@
+"""End-to-end dedup: recall gate, precision, exact-branch coverage,
+parallel ≡ sequential equivalence (mirror of /root/reference/src/scanner.rs:135-143).
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from camden_ray.config import DedupConfig
+from camden_ray.pipelines.dedup import run_dedup
+
+
+@pytest.fixture(scope="module")
+def truth(fixture_dir):
+    pairs = pq.read_table(os.path.join(fixture_dir, "truth_pairs.parquet")).to_pandas()
+    clus = pq.read_table(os.path.join(fixture_dir, "truth_clusters.parquet")).to_pandas()
+    return pairs, clus.set_index("url")["cluster_id"]
+
+
+def test_dup_pair_recall(dedup_result, truth):
+    """north_rule gate: dup-pair recall >= 0.99 vs reference assignments."""
+    pairs, _ = truth
+    dup = pairs[pairs.is_dup]
+    cl = dedup_result["clusters"].to_pandas().set_index("url")["cluster_id"]
+    hits = int((cl[dup.url_a].to_numpy() == cl[dup.url_b].to_numpy()).sum())
+    recall = hits / len(dup)
+    assert recall >= 0.99, f"recall {recall:.4f} < 0.99 ({hits}/{len(dup)})"
+
+
+def test_precision_distinct_stay_apart(dedup_result, truth):
+    """Truly-distinct docs (incl. hot-bucket boilerplate rows) stay unmerged.
+
+    Borderline near-pairs (true Jaccard within verify_margin of τ) are the
+    only tolerated extra merges.
+    """
+    pairs, tcid = truth
+    borderline = set()
+    for p in pairs.itertuples():
+        if not p.is_dup and p.jaccard >= 0.65:
+            borderline.add((p.url_a, p.url_b))
+    cl = dedup_result["clusters"].to_pandas().set_index("url")["cluster_id"]
+    import itertools
+
+    bad = []
+    for _, members in cl.groupby(cl).groups.items():
+        if len(members) < 2:
+            continue
+        for a, b in itertools.combinations(sorted(members), 2):
+            if tcid[a] != tcid[b] and (a, b) not in borderline:
+                bad.append((a, b))
+    assert not bad, f"false merges of truly distinct docs: {bad[:5]}"
+
+
+def test_exact_branch_catches_verbatim_copies(dedup_result, truth):
+    pairs, _ = truth
+    n_exact_pairs = (pairs.kind == "exact").sum()
+    ed = dedup_result["edges"].to_pandas()
+    assert (ed.method == "exact").sum() >= n_exact_pairs
+
+
+def test_every_method_contributes(dedup_result):
+    ed = dedup_result["edges"].to_pandas()
+    assert {"exact", "minhash", "substring"} <= set(ed.method.unique())
+
+
+def test_stats_shape(dedup_result):
+    s = dedup_result["stats"]
+    assert s["rows"] == 300
+    assert s["duplicates_removed"] == s["clustered_urls"] - s["clusters_nontrivial"]
+    assert s["duplicates_removed"] > 0
+
+
+def test_kept_removed_partition(dedup_result):
+    kept = dedup_result["kept"].to_pandas()
+    removed = dedup_result["removed"].to_pandas()
+    assert len(kept) + len(removed) == 300
+    assert kept.is_representative.all()
+    assert (~removed.is_representative).all()
+    # representatives are the min url of their cluster (determinism contract,
+    # vs the reference's arrival-order keep-first, operations.rs:50)
+    assert (kept.cluster_id == kept.url).all()
+
+
+def test_parallel_equals_sequential(webtext_path, dedup_result):
+    """Same input, 1 block vs many blocks ⇒ identical sorted clusters."""
+    import ray.data
+
+    seq_input = ray.data.read_parquet(
+        webtext_path, columns=["url", "html"], override_num_blocks=1
+    )
+    res_seq = run_dedup(
+        webtext_path, DedupConfig(), extract=True, input_ds=seq_input
+    )
+    a = (
+        dedup_result["clusters"].to_pandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    b = res_seq["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)

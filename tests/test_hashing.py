@@ -1,0 +1,74 @@
+"""Hash-kernel units: determinism and correctness of the vectorized paths."""
+
+import numpy as np
+
+from camden_ray.functions.hashing import (
+    POLY_P,
+    TokenHasher,
+    band_hashes,
+    digest_column_u64,
+    minhash_params,
+    mix64,
+    rolling_lgram_hashes,
+    shingle_hashes,
+)
+
+
+def test_rolling_lgram_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    th = rng.integers(0, 1 << 63, size=311, dtype=np.uint64)
+    L = 13
+    fast = rolling_lgram_hashes(th, L)
+    slow = np.zeros(len(th) - L + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(len(slow)):
+            acc = np.uint64(0)
+            for j in range(L):
+                acc = acc * POLY_P + th[i + j]
+            slow[i] = acc
+    assert np.array_equal(fast, mix64(slow))
+
+
+def test_shingle_hashes_window_identity():
+    th = np.arange(20, dtype=np.uint64)
+    k = 5
+    sh = shingle_hashes(th, k)
+    assert len(sh) == 16
+    # identical windows hash identically regardless of position
+    th2 = np.concatenate([th[5:10], th[5:10]])
+    sh2 = shingle_hashes(th2, k)
+    assert sh2[0] == sh2[5] == sh[5]
+
+
+def test_digest_matches_across_str_and_bytes():
+    d = digest_column_u64(["abc", b"abc", None, ""])
+    assert d[0] == d[1]
+    assert d[2] == 0
+    assert d[3] != 0  # empty string still digests
+
+
+def test_token_hasher_deterministic_across_instances():
+    a = TokenHasher(seed=42).hash_tokens(["foo", "bar", "foo"])
+    b = TokenHasher(seed=42).hash_tokens(["foo", "bar", "foo"])
+    c = TokenHasher(seed=43).hash_tokens(["foo", "bar", "foo"])
+    assert np.array_equal(a, b)
+    assert a[0] == a[2]
+    assert not np.array_equal(a, c)
+
+
+def test_minhash_params_seeded():
+    a1, b1 = minhash_params(128, 42)
+    a2, b2 = minhash_params(128, 42)
+    assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
+    assert np.all(a1 % 2 == 1)  # odd multipliers
+
+
+def test_band_hashes_collide_iff_rows_match():
+    rng = np.random.default_rng(3)
+    sig = rng.integers(0, 1 << 63, size=(2, 128), dtype=np.uint64)
+    sig[1] = sig[0]
+    sig[1, 8] += 1  # corrupt one component in band 1 (r=8)
+    bh = band_hashes(sig, 16)
+    assert bh[0, 0] == bh[1, 0]
+    assert bh[0, 1] != bh[1, 1]
+    assert np.array_equal(bh[0, 2:], bh[1, 2:])
