@@ -1,0 +1,501 @@
+"""Driver-contract query library: one callable per operator (SURVEY.md §2),
+each over the driver tables in ``sf_dir``, paired (where SQL-expressible)
+with a DuckDB oracle in ``ORACLE_SQL``.
+
+Naming contract: every computed column is named identically in the Ray code
+and the oracle SQL (the driver sorts columns by name and hashes values).
+Float aggregates are emitted as bigint fixed-point (``round(x * 100)``) on
+BOTH sides so value-hashes can match exactly.
+
+None of these call ray.init() — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from camden_ray.config import DedupConfig
+from camden_ray.functions.text import detect_lang, quality_features, fingerprint
+from camden_ray.functions.hashing import TokenHasher
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+
+
+def _cents(arr, scale: int = 100):
+    """double → fixed-point bigint, DuckDB-compatible rounding (half away
+    from zero, vs pyarrow's default half-to-even)."""
+    return pc.cast(
+        pc.round(pc.multiply(arr, scale), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+def _md5_col(t: pa.Table, col: str, out: str = "digest") -> pa.Table:
+    vals = t[col].to_pylist()
+    digs = [hashlib.md5((v or "").encode()).hexdigest() for v in vals]
+    return t.append_column(out, pa.array(digs, type=pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# camden-invariant queries (digest → group → having/aggregate) over documents
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(sf_dir: str):
+    """Digest groups with >= 2 members (G1+G2: scanner.rs:17-49, reporting.rs:33)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(lambda t: _md5_col(t, "text"), batch_format="pyarrow")
+    agg = ds.groupby("digest").aggregate(
+        Count(alias_name="cnt"), Min("doc_id", alias_name="rep")
+    )
+    out = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    if out.empty:  # keep the schema even when no duplicates exist
+        out = pd.DataFrame(
+            {"digest": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64"),
+             "rep": pd.Series(dtype="int64")}
+        )
+    return out
+
+
+def digest_group_sizes(sf_dir: str):
+    """Full digest histogram incl. singletons (camden keeps them in the map)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(lambda t: _md5_col(t, "text"), batch_format="pyarrow")
+    return ds.groupby("digest").aggregate(Count(alias_name="cnt"))
+
+
+def dup_count(sf_dir: str):
+    """Σ(group_size − 1): the MoveStats analogue (operations.rs:66-72)."""
+    sizes = digest_group_sizes(sf_dir)
+    out = sizes.map_batches(
+        lambda t: pa.table(
+            {"excess": pc.subtract(t["cnt"], 1)}
+        ),
+        batch_format="pyarrow",
+    ).sum("excess")
+    return pd.DataFrame({"dup_count": [int(out or 0)]})
+
+
+def lang_filter_count(sf_dir: str):
+    """Allow-list predicate analogue of the extension filter (scanner.rs:71-79)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["lang"], value_set=pa.array(["en", "de"]))),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("lang").aggregate(Count(alias_name="cnt"))
+
+
+def source_counts(sf_dir: str):
+    return _read(sf_dir, "documents", columns=["source"]).groupby("source").aggregate(
+        Count(alias_name="cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def doc_token_counts(sf_dir: str):
+    """Whitespace token counts, vectorized per batch."""
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n = [len((x or "").split()) for x in texts]
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_ws_tokens": pa.array(n, type=pa.int64())}
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def top_docs_by_chars(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+def doc_quality(sf_dir: str):
+    """Quality features per document (heuristic scoring; rows-only check)."""
+
+    class Scorer:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            feats = [quality_features(x or "") for x in t["text"].to_pylist()]
+            cols = {"doc_id": t["doc_id"]}
+            for k in feats[0] if feats else []:
+                cols[k] = pa.array([f[k] for f in feats], type=pa.float64())
+            return pa.table(cols)
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=2
+    )
+
+
+def doc_lang_id(sf_dir: str):
+    """Heuristic language ID vs the labeled lang column (rows-only check)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        det = [detect_lang(x or "") for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"],
+             "detected": pa.array(det, type=pa.string())}
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def doc_fingerprints(sf_dir: str):
+    """Order-sensitive rolling-hash fingerprints (rows-only: deterministic)."""
+
+    class FP:
+        def __init__(self):
+            self.h = TokenHasher(seed=42)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            fps = [fingerprint(x or "", self.h) for x in t["text"].to_pylist()]
+            return pa.table(
+                {"doc_id": t["doc_id"],
+                 "fp": pa.array(np.array(fps, dtype=np.uint64).view(np.int64),
+                                 type=pa.int64())}
+            )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        FP, batch_format="pyarrow", concurrency=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregate (streaming-shaped, batch semantics)
+# ---------------------------------------------------------------------------
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per user: count + fixed-point value sum."""
+
+    def add_win(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        cents = _cents(t["value"])
+        return pa.table(
+            {"user_id": t["user_id"], "hour": hour, "value_cents": cents}
+        )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"]).map_batches(
+        add_win, batch_format="pyarrow"
+    )
+    return ds.groupby(["user_id", "hour"]).aggregate(
+        Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_cents")
+    )
+
+
+def events_type_stats(sf_dir: str):
+    def prep(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        return pa.table({"event_type": t["event_type"], "value_cents": cents})
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value_cents", alias_name="sum_cents"),
+        Min("value_cents", alias_name="min_cents"),
+        Max("value_cents", alias_name="max_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem: pre-aggregated pricing summary (the partial-aggregate pattern)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped: per-batch partial aggregation BEFORE the groupby
+    shuffle (SURVEY.md §4.1 'pre-aggregate inside map_batches')."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty_c = _cents(t["l_quantity"])
+        price_c = _cents(t["l_extendedprice"])
+        tmp = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": qty_c,
+                "price_c": price_c,
+            }
+        )
+        df = tmp.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty_cents=("qty_c", "sum"),
+                 sum_price_cents=("price_c", "sum"),
+                 count_order=("qty_c", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def knn_brute_force(sf_dir: str):
+    """Exact cosine top-10 vs the vec_id=0 query vector.
+
+    The query vector is broadcast once (ray.put); each batch does one numpy
+    matmul. Per-batch top-k then a global top-k — never a full sort.
+    """
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
+    q = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
+    q /= np.linalg.norm(q)
+    q_ref = ray.put(q)
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (emb @ qv) / norms
+        cos_fp = np.round(cos * 100_000).astype(np.int64)
+        out = pa.table(
+            {"vec_id": t["vec_id"], "cos_fp": pa.array(cos_fp, type=pa.int64())}
+        )
+        # per-batch top-k prune before the global sort
+        idx = np.argsort(-cos_fp, kind="stable")[:10]
+        return out.take(idx)
+
+    ds = _read(sf_dir, "embeddings").map_batches(score, batch_format="pyarrow")
+    return ds.sort(["cos_fp", "vec_id"], descending=[True, False]).limit(10)
+
+
+def knn_lsh(sf_dir: str):
+    """Random-hyperplane-LSH-bucketed ANN (the scale path; rows-only check).
+
+    Buckets by 12-bit sign signature; candidates = query's bucket plus
+    Hamming-1 probe buckets; exact cosine re-rank inside candidates.
+    """
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    dim = len(tbl["embedding"][0])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((dim, 12))
+    q = np.array(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"][0].as_py())
+    q = q / np.linalg.norm(q)
+    qsig = int(((q @ planes) > 0) @ (1 << np.arange(12)))
+    probe = {qsig} | {qsig ^ (1 << b) for b in range(12)}
+    state = ray.put((planes, q, probe))
+
+    def bucket_and_rank(t: pa.Table) -> pa.Table:
+        pl, qv, pr = ray.get(state)
+        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        sigs = ((emb @ pl) > 0) @ (1 << np.arange(12))
+        mask = np.isin(sigs, list(pr))
+        emb, ids = emb[mask], t["vec_id"].to_numpy(zero_copy_only=False)[mask]
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cos_fp": pa.array([], type=pa.int64())})
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        cos_fp = np.round((emb @ qv) / norms * 100_000).astype(np.int64)
+        idx = np.argsort(-cos_fp, kind="stable")[:10]
+        return pa.table({"vec_id": pa.array(ids[idx], type=pa.int64()),
+                         "cos_fp": pa.array(cos_fp[idx], type=pa.int64())})
+
+    ds = _read(sf_dir, "embeddings").map_batches(bucket_and_rank, batch_format="pyarrow")
+    return ds.sort(["cos_fp", "vec_id"], descending=[True, False]).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# dedup over the documents table (rows-only: non-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def _documents_as_webtext(sf_dir: str) -> "ray.data.Dataset":
+    def conv(t: pa.Table) -> pa.Table:
+        urls = [f"doc://{i}" for i in t["doc_id"].to_pylist()]
+        return pa.table({"url": pa.array(urls, type=pa.string()), "text": t["text"]})
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        conv, batch_format="pyarrow"
+    )
+
+
+def doc_dedup_clusters(sf_dir: str):
+    """Flagship dedup (all four methods) over the documents table."""
+    from camden_ray.pipelines.dedup import run_dedup
+
+    cfg = DedupConfig(jaccard_threshold=0.5)  # docs table has light overlap
+    res = run_dedup(None, cfg, extract=False, input_ds=_documents_as_webtext(sf_dir))
+    return res["clusters"]
+
+
+def doc_minhash_pairs(sf_dir: str):
+    """MinHash+LSH candidate pairs over documents (rows-only check)."""
+    from camden_ray.pipelines.dedup import build_edges, signature_table
+
+    cfg = DedupConfig(jaccard_threshold=0.5, methods=("minhash",))
+    sig = signature_table(_documents_as_webtext(sf_dir), cfg, extract=False).materialize()
+    return build_edges(sig, cfg)
+
+
+def doc_ngram_jaccard_pairs(sf_dir: str):
+    """Brute-force-verified n-gram Jaccard pairs at τ=0.5 — the oracle-grade
+    exact method, distributed: LSH prefilter at a low threshold, then exact
+    shingle-set verification per candidate pair inside map_batches."""
+    from camden_ray.pipelines.dedup import build_edges, signature_table
+    from camden_ray.functions.text import tokenize
+
+    cfg = DedupConfig(jaccard_threshold=0.30, verify_margin=0.15, methods=("minhash",))
+    docs = _documents_as_webtext(sf_dir).materialize()
+    sig = signature_table(docs, cfg, extract=False).materialize()
+    cand = build_edges(sig, cfg).materialize()
+
+    texts = {
+        u: t
+        for b in docs.iter_batches(batch_format="pyarrow")
+        for u, t in zip(b["url"].to_pylist(), b["text"].to_pylist())
+    }
+    text_ref = ray.put(texts)
+    k = cfg.shingle_k
+
+    def verify(t: pa.Table) -> pa.Table:
+        tx = ray.get(text_ref)
+        keep_a, keep_b, jac = [], [], []
+        seen = set()
+        for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            ta, tb = tokenize(tx[a]), tokenize(tx[b])
+            sa = {tuple(ta[i : i + k]) for i in range(max(0, len(ta) - k + 1))}
+            sb = {tuple(tb[i : i + k]) for i in range(max(0, len(tb) - k + 1))}
+            j = len(sa & sb) / max(1, len(sa | sb))
+            if j >= 0.5:
+                keep_a.append(a)
+                keep_b.append(b)
+                jac.append(int(round(j * 100_000)))
+        return pa.table(
+            {"a": pa.array(keep_a, type=pa.string()),
+             "b": pa.array(keep_b, type=pa.string()),
+             "jaccard_fp": pa.array(jac, type=pa.int64())}
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "exact_dup_groups": exact_dup_groups,
+    "digest_group_sizes": digest_group_sizes,
+    "dup_count": dup_count,
+    "lang_filter_count": lang_filter_count,
+    "source_counts": source_counts,
+    "doc_token_counts": doc_token_counts,
+    "top_docs_by_chars": top_docs_by_chars,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprints": doc_fingerprints,
+    "events_hourly": events_hourly,
+    "events_type_stats": events_type_stats,
+    "lineitem_pricing": lineitem_pricing,
+    "knn_brute_force": knn_brute_force,
+    "knn_lsh": knn_lsh,
+    "doc_dedup_clusters": doc_dedup_clusters,
+    "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+}
+
+ORACLE_SQL = {
+    "exact_dup_groups": """
+        SELECT md5(text) AS digest, count(*) AS cnt, min(doc_id) AS rep
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+    "digest_group_sizes": """
+        SELECT md5(text) AS digest, count(*) AS cnt FROM documents GROUP BY 1
+    """,
+    "dup_count": """
+        SELECT COALESCE(SUM(cnt - 1), 0)::BIGINT AS dup_count FROM (
+            SELECT count(*) AS cnt FROM documents GROUP BY md5(text)
+        )
+    """,
+    "lang_filter_count": """
+        SELECT lang, count(*) AS cnt FROM documents
+        WHERE lang IN ('en', 'de') GROUP BY lang
+    """,
+    "source_counts": "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+    "doc_token_counts": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(string_split_regex(trim(text), '\\s+')) END::BIGINT
+                   AS n_ws_tokens
+        FROM documents
+    """,
+    "top_docs_by_chars": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """,
+    "events_hourly": """
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+               count(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1, 2
+    """,
+    "events_type_stats": """
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+               MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+               MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
+        FROM events GROUP BY event_type
+    """,
+    "lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "knn_brute_force": """
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               CAST(round(list_cosine_similarity(embedding, (SELECT qe FROM q))
+                          * 100000) AS BIGINT) AS cos_fp
+        FROM embeddings
+        ORDER BY cos_fp DESC, vec_id ASC LIMIT 10
+    """,
+}
