@@ -1,0 +1,245 @@
+"""Benchmark harness (driver-run; BENCH_r{N}.json comes from this output).
+
+Default mode: one fresh Ray session (``num_cpus`` from $RAY_GRAFT_CPUS,
+default 32) that times
+
+  1. the headline pipeline — the full four-method dedup (html extraction →
+     signatures → candidate shuffles → union-find → clusters) over a
+     deterministic pre-generated webtext fixture (generation happens BEFORE
+     the timed region; see camden_ray/fixture.py), reporting wall seconds,
+     docs/sec and dup-pair recall vs the fixture ground truth; and
+  2. the representative driver-table queries over $GRAFT_SF_DIR
+     (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "docs": N, "docs_per_sec": ..., "recall": ...}
+
+``--scaling``: runs the identical headline job in TWO FRESH PROCESSES at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox substitute for the
+north_rule's N vs 4N node criterion — see BASELINE.md "Measurement protocol")
+and reports throughput at both plus efficiency = (thr_32 / thr_8) / 4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# Queries timed against the driver tables (a representative slice of the
+# registry: digest-group dedup core, shuffle-heavy aggregates, sort/top-k,
+# ANN, text analysis).
+BENCH_QUERIES = [
+    "exact_dup_groups",
+    "dup_count",
+    "lineitem_pricing",
+    "events_hourly",
+    "top_docs_by_chars",
+    "knn_brute_force",
+    "doc_token_counts",
+    "doc_dedup_clusters",
+]
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    """Fully execute a query result; return its row count."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return 0
+
+
+def bench_fixture_dir(n_docs: int, seed: int = 42) -> str:
+    """Pre-generate (cached) the webtext bench fixture, sharded so the read
+    yields >= 4x max-parallelism blocks (BASELINE.md honesty requirements)."""
+    from camden_ray.fixture import FIXTURE_VERSION, generate
+
+    shard = max(128, n_docs // 160)  # 20k docs -> 157 shards of 128 rows
+    out_dir = os.path.join(
+        "/tmp/camden_ray_fixtures", f"bench_n{n_docs}_s{seed}_v{FIXTURE_VERSION}"
+    )
+    if not os.path.exists(os.path.join(out_dir, "meta.json")):
+        generate(out_dir, n_docs, seed, rows_per_shard=shard)
+    return out_dir
+
+
+def run_headline(fixture_dir: str, num_cpus: int) -> dict:
+    """The timed headline job: full dedup over the webtext fixture."""
+    import pyarrow.parquet as pq
+
+    from camden_ray.config import DedupConfig
+    from camden_ray.pipelines.dedup import run_dedup
+
+    data_dir = os.path.join(fixture_dir, "webtext")
+    cfg = DedupConfig(extract_concurrency=(1, num_cpus))
+    with open(os.path.join(fixture_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_docs = meta["n"]
+
+    t0 = time.monotonic()
+    res = run_dedup(data_dir, cfg, extract=True)
+    clusters = res["clusters"].to_pandas()  # small: (url, cluster_id, is_rep)
+    wall = time.monotonic() - t0
+
+    # dup-pair recall vs ground truth (outside the throughput story but
+    # reported alongside: a fast-but-wrong dedup is not a result)
+    truth = pq.read_table(os.path.join(fixture_dir, "truth_pairs.parquet"))
+    tdf = truth.to_pandas()
+    tdf = tdf[tdf["is_dup"]]
+    assign = dict(zip(clusters["url"], clusters["cluster_id"]))
+    hits = sum(
+        1
+        for a, b in zip(tdf["url_a"], tdf["url_b"])
+        if assign.get(a) is not None and assign.get(a) == assign.get(b)
+    )
+    recall = hits / max(1, len(tdf))
+    return {
+        "wall_s": round(wall, 3),
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "recall": round(recall, 4),
+        "edges": res["stats"]["edges"],
+        "clusters_nontrivial": res["stats"]["clusters_nontrivial"],
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        _consume(qs[name](sf_dir))
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--fixture-n", type=int, default=20_000)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--headline-only",
+        action="store_true",
+        help="internal: run only the timed headline job (used by --scaling "
+        "to get each parallelism level into a fresh process)",
+    )
+    args = ap.parse_args()
+
+    if args.scaling:
+        return scaling_main(args)
+
+    fixture_dir = bench_fixture_dir(args.fixture_n)
+    _init_ray(args.num_cpus)
+    head = run_headline(fixture_dir, args.num_cpus)
+    queries = {} if args.headline_only else run_queries(args.sf_dir)
+
+    out = {
+        "metric": "e2e_dedup_wall_s",
+        "value": head["wall_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": args.sf_dir,
+        "num_cpus": args.num_cpus,
+        "docs": head["docs"],
+        "docs_per_sec": head["docs_per_sec"],
+        "recall": head["recall"],
+        "edges": head["edges"],
+        "clusters_nontrivial": head["clusters_nontrivial"],
+    }
+    print(json.dumps(out))
+
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def scaling_main(args) -> int:
+    """North_rule scaling evidence: same job, fresh processes, 8 vs 32 CPUs."""
+    lo_cpus, hi_cpus = 8, 32
+    fixture_dir = bench_fixture_dir(args.fixture_n)  # pre-generate ONCE
+
+    def run_level(cpus: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        p = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(REPO, "bench.py"),
+                "--headline-only",
+                "--num-cpus",
+                str(cpus),
+                "--fixture-n",
+                str(args.fixture_n),
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        if p.returncode != 0:
+            print(p.stdout, file=sys.stderr)
+            print(p.stderr, file=sys.stderr)
+            raise RuntimeError(f"bench subprocess (cpus={cpus}) failed")
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    lo = run_level(lo_cpus)
+    hi = run_level(hi_cpus)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cpus / lo_cpus)
+    out = {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": fixture_dir,
+        "num_cpus": hi_cpus,
+        "docs": hi["docs"],
+        "levels": {
+            str(lo_cpus): {"wall_s": lo["value"], "docs_per_sec": lo["docs_per_sec"]},
+            str(hi_cpus): {"wall_s": hi["value"], "docs_per_sec": hi["docs_per_sec"]},
+        },
+        "recall": hi["recall"],
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

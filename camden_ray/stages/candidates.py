@@ -5,16 +5,23 @@ Generalizes camden's single mutex-guarded hash-grouping
 explicit skew handling (north_rule: "explicit groupby-aggregate shuffles keyed
 on LSH band buckets with salted repartitioning for skewed hot buckets").
 
-The shared primitive is :func:`salted_star_edges`: group rows by an int64
-key, but first count bucket sizes, salt-split buckets above ``bucket_cap``
-into ``num_salts`` sub-buckets (so no reduce task receives a pathological
-group), emit star edges to the per-(sub-)bucket hub (min url — the
-deterministic replacement of camden's nondeterministic keep-first,
-/root/reference/src/operations.rs:50), and link sub-bucket hubs with a second
-tiny groupby over one representative row per sub-bucket.
+Physical plan: bucket keys are NOT grouped one-group-per-call (millions of
+tiny buckets ⇒ per-group Python overhead dominates). Instead rows are hash-
+partitioned into ``num_partitions`` coarse partitions (``pkey = mix(gkey) %
+P``) and each partition is processed by ONE vectorized numpy pass
+(:func:`make_partition_grouper`): lexsort by (gkey, url), group boundaries by
+run-length, star edges emitted via ``np.repeat`` — a Python loop touches only
+multi-member *candidate* buckets needing all-pairs verification.
+
+Skew handling is a separate explicit mechanism (not the partitioner): a
+partial-aggregated count pass finds buckets above ``bucket_cap``; their rows
+are salt-split into ``num_salts`` sub-buckets (salt = deterministic url hash)
+BEFORE partitioning, so no single reduce task owns a pathological bucket;
+sub-bucket hubs are then linked by a second (tiny) grouping pass keyed on the
+original bucket key.
 
 Cost model: star emission is O(|bucket|) rows per bucket (never O(n²));
-all-pairs verification is only used for groups ≤ ``allpairs_cap``.
+all-pairs verification only for buckets ≤ ``allpairs_cap`` members.
 
 Edges schema (unified across methods):
     a: string, b: string  (a < b), est: float64, method: string
@@ -22,7 +29,7 @@ Edges schema (unified across methods):
 
 from __future__ import annotations
 
-from typing import Callable
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -30,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count
+from ray.data.aggregate import Sum
 
 from camden_ray.config import DedupConfig
 from camden_ray.functions.hashing import mix64
@@ -40,115 +47,225 @@ EDGE_SCHEMA = pa.schema(
 )
 
 _SALT_MIX = np.uint64(0xD6E8FEB86659FD93)
+_PKEY_MIX = np.uint64(0xA24BAED4963EE407)
+
+ALLPAIRS_CAP = 16
 
 
-def _empty_group_out() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "key": pd.Series([], dtype="int64"),
-            "kind": pd.Series([], dtype="object"),
-            "a": pd.Series([], dtype="object"),
-            "b": pd.Series([], dtype="object"),
-            "est": pd.Series([], dtype="float64"),
-            "vsig": pd.Series([], dtype="object"),
-        }
+def default_partitions(cfg: DedupConfig) -> int:
+    """Coarse reduce-partition count: explicit config wins; else 2× cluster CPUs."""
+    if cfg.shuffle_partitions:
+        return cfg.shuffle_partitions
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus * 2)
+
+
+def _url_salts(urls: np.ndarray, num_salts: int) -> np.ndarray:
+    """Deterministic per-url salt (process-independent — never builtin hash)."""
+    return np.fromiter(
+        (zlib.crc32(u.encode()) % num_salts for u in urls),
+        count=len(urls),
+        dtype=np.int64,
     )
 
 
-def _group_out(
-    key: int, kinds: list[str], aa: list[str], bb: list[str], ests: list[float], vsigs: list[bytes]
-) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "key": pd.Series([key] * len(aa), dtype="int64"),
-            "kind": pd.Series(kinds, dtype="object"),
-            "a": pd.Series(aa, dtype="object"),
-            "b": pd.Series(bb, dtype="object"),
-            "est": pd.Series(ests, dtype="float64"),
-            "vsig": pd.Series(vsigs, dtype="object"),
-        }
-    )
+def _empty_group_out(verified: bool) -> pd.DataFrame:
+    cols = {
+        "key": pd.Series([], dtype="int64"),
+        "kind": pd.Series([], dtype="object"),
+        "a": pd.Series([], dtype="object"),
+        "b": pd.Series([], dtype="object"),
+        "est": pd.Series([], dtype="float64"),
+    }
+    if verified:
+        cols["vsig"] = pd.Series([], dtype="object")
+    return pd.DataFrame(cols)
 
 
-def estimate_jaccard(vsigs: np.ndarray, hub_idx: int) -> np.ndarray:
-    """Fraction of agreeing signature components vs the hub row."""
-    return (vsigs == vsigs[hub_idx][None, :]).mean(axis=1)
+def make_partition_grouper(cfg: DedupConfig, verified: bool, emit_reps: bool):
+    """One-call-per-partition grouper: vectorized star edges over ALL buckets
+    in the partition.
 
-
-def _pairwise_est(vsigs: np.ndarray) -> np.ndarray:
-    """(n,n) matrix of pairwise signature-agreement fractions."""
-    return (vsigs[:, None, :] == vsigs[None, :, :]).mean(axis=2)
-
-
-def make_bucket_grouper(cfg: DedupConfig, verified: bool, emit_reps: bool):
-    """Build the map_groups fn for one (possibly salted) bucket.
-
-    verified=True  → rows carry a ``vsig`` binary column; edges kept when the
-                     signature-estimated Jaccard ≥ τ − margin.
+    verified=True  → rows carry a ``vsig`` binary column; an edge is kept when
+                     the signature-estimated Jaccard ≥ τ − margin. Buckets of
+                     ≤ ALLPAIRS_CAP members get exact all-pairs; larger
+                     (salt-capped) buckets get hub-star comparisons.
     verified=False → bucket membership IS the dup criterion (exact digests,
-                     shared L-grams): est = 1.0.
-    emit_reps      → hot (salted) sub-buckets additionally emit one ``rep``
-                     row (the hub + its vsig) for the cross-salt linking pass.
+                     shared winnowed L-grams): est = 1.0, pure vectorized.
+    emit_reps      → salted sub-buckets additionally emit one ``rep`` row
+                     (hub url + its vsig) for the cross-salt linking pass.
     """
     tau = cfg.jaccard_threshold - cfg.verify_margin
-    allpairs_cap = 16
     vp = cfg.verify_perms
 
     def grouper(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
-        is_salted = bool(n) and int(df["salt"].iloc[0]) >= 0
-        if n < 2 and not (is_salted and emit_reps and n == 1):
-            return _empty_group_out()
-        order = np.argsort(df["url"].to_numpy())
-        urls = df["url"].to_numpy()[order]
-        key = int(df["key"].iloc[0])
-        kinds: list[str] = []
-        aa: list[str] = []
-        bb: list[str] = []
-        ests: list[float] = []
-        vsigs_out: list[bytes] = []
+        if n == 0:
+            return _empty_group_out(verified)
+        gkeys = df["gkey"].to_numpy()
+        urls = df["url"].to_numpy()
+        order = np.lexsort((urls, gkeys))
+        gkeys = gkeys[order]
+        urls = urls[order]
+        keys = df["key"].to_numpy()[order]
+        salts = df["salt"].to_numpy()[order]
+
+        starts = np.flatnonzero(np.r_[True, gkeys[1:] != gkeys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        hub_per_row = np.repeat(starts, sizes)  # index of each row's bucket hub
+
+        frames: list[pd.DataFrame] = []
 
         if verified:
             raw = df["vsig"].to_numpy()[order]
             vs = np.frombuffer(b"".join(raw), dtype=np.uint64).reshape(n, vp)
-            if n <= allpairs_cap:
-                est = _pairwise_est(vs)
-                for i in range(n):
-                    for j in range(i + 1, n):
-                        if est[i, j] >= tau:
-                            kinds.append("edge")
-                            aa.append(urls[i])
-                            bb.append(urls[j])
-                            ests.append(float(est[i, j]))
-                            vsigs_out.append(b"")
-            else:
-                est = estimate_jaccard(vs, 0)
-                for j in range(1, n):
-                    if est[j] >= tau:
-                        kinds.append("edge")
-                        aa.append(urls[0])
-                        bb.append(urls[j])
-                        ests.append(float(est[j]))
-                        vsigs_out.append(b"")
-            hub_sig = raw[0]
+            # hub-star estimates for every non-hub row, one vectorized pass
+            member = np.flatnonzero(np.arange(n) != hub_per_row)
+            hubs = hub_per_row[member]
+            est = (vs[member] == vs[hubs]).mean(axis=1)
+            ok = est >= tau
+            # small buckets: exact all-pairs (covers pairs that disagree with
+            # the hub but agree with each other). Python loop touches ONLY
+            # multi-member buckets — these are actual candidate collisions,
+            # rare relative to rows.
+            aa2: list[str] = []
+            bb2: list[str] = []
+            ee2: list[float] = []
+            small = np.flatnonzero((sizes >= 3) & (sizes <= ALLPAIRS_CAP))
+            for gi in small:
+                lo = starts[gi]
+                hi = lo + sizes[gi]
+                gvs = vs[lo:hi]
+                pe = (gvs[:, None, :] == gvs[None, :, :]).mean(axis=2)
+                ii, jj = np.nonzero(np.triu(pe >= tau, k=1))
+                for i, j in zip(ii.tolist(), jj.tolist()):
+                    if i == 0:
+                        continue  # hub pairs already covered vectorized
+                    aa2.append(urls[lo + i])
+                    bb2.append(urls[lo + j])
+                    ee2.append(float(pe[i, j]))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": np.r_[keys[member][ok], np.zeros(len(aa2), dtype=np.int64)],
+                        "kind": "edge",
+                        "a": np.r_[urls[hubs][ok], np.asarray(aa2, dtype=object)],
+                        "b": np.r_[urls[member][ok], np.asarray(bb2, dtype=object)],
+                        "est": np.r_[est[ok], np.asarray(ee2, dtype=np.float64)],
+                    }
+                )
+            )
         else:
-            for j in range(1, n):
-                kinds.append("edge")
-                aa.append(urls[0])
-                bb.append(urls[j])
-                ests.append(1.0)
-                vsigs_out.append(b"")
-            hub_sig = b""
+            member = np.flatnonzero(np.arange(n) != hub_per_row)
+            hubs = hub_per_row[member]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": keys[member],
+                        "kind": "edge",
+                        "a": urls[hubs],
+                        "b": urls[member],
+                        "est": 1.0,
+                    }
+                )
+            )
 
-        if emit_reps and is_salted:
-            kinds.append("rep")
-            aa.append(urls[0])
-            bb.append("")
-            ests.append(0.0)
-            vsigs_out.append(hub_sig)
-        return _group_out(key, kinds, aa, bb, ests, vsigs_out)
+        if emit_reps:
+            rep_idx = starts[salts[starts] >= 0]  # hubs of salted sub-buckets
+            if len(rep_idx):
+                rep = pd.DataFrame(
+                    {
+                        "key": keys[rep_idx],
+                        "kind": "rep",
+                        "a": urls[rep_idx],
+                        "b": "",
+                        "est": 0.0,
+                    }
+                )
+                if verified:
+                    rep["vsig"] = [bytes(raw[i]) for i in rep_idx]
+                frames.append(rep)
+
+        out = pd.concat(frames, ignore_index=True) if frames else None
+        if out is None or out.empty:
+            return _empty_group_out(verified)
+        if verified and "vsig" not in out.columns:
+            out["vsig"] = b""
+        elif verified:
+            out["vsig"] = out["vsig"].fillna(b"")
+        return out
 
     return grouper
+
+
+def hot_bucket_keys(rows: "ray.data.Dataset", cfg: DedupConfig) -> frozenset[int]:
+    """Skew-detection pass: bucket keys with > bucket_cap members.
+
+    Counts are pre-aggregated per batch (value_counts → (key, cnt) rows)
+    BEFORE the groupby shuffle, so the shuffle moves ~unique keys per batch,
+    not raw rows — the partial/combiner pattern of SURVEY.md §4.1.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, type=pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    sizes = (
+        rows.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    hot = sizes.map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], cfg.bucket_cap)).select(["key"]),
+        batch_format="pyarrow",
+    )
+    return frozenset(
+        int(k)
+        for batch in hot.iter_batches(batch_format="pyarrow")
+        for k in batch["key"].to_pylist()
+    )
+
+
+def make_salter(hot_ref: "ray.ObjectRef", cfg: DedupConfig, num_partitions: int):
+    """map_batches fn: add (salt, gkey, pkey) columns.
+
+    salt  = deterministic url-hash sub-bucket for rows of hot keys (−1 else);
+    gkey  = key, or mix(key, salt) for hot rows — the logical bucket id;
+    pkey  = mix(gkey) % P — the coarse reduce partition.
+    """
+    num_salts = np.uint64(cfg.num_salts)
+    P = np.uint64(num_partitions)
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        keys = t["key"].to_numpy(zero_copy_only=False)
+        salts = np.full(len(t), -1, dtype=np.int64)
+        if hk:
+            mask = np.fromiter((int(k) in hk for k in keys), count=len(t), dtype=bool)
+            if mask.any():
+                urls = np.asarray(t["url"].to_pylist(), dtype=object)
+                salts[mask] = _url_salts(urls[mask], int(num_salts))
+        gkey = keys.view(np.uint64).copy()
+        m = salts >= 0
+        if m.any():
+            gkey[m] = mix64(
+                gkey[m] ^ ((salts[m].view(np.uint64) + np.uint64(1)) * _SALT_MIX)
+            )
+        pkey = (mix64(gkey ^ _PKEY_MIX) % P).view(np.int64)
+        out = t.append_column("salt", pa.array(salts, type=pa.int64()))
+        out = out.append_column("gkey", pa.array(gkey.view(np.int64), type=pa.int64()))
+        return out.append_column("pkey", pa.array(pkey, type=pa.int64()))
+
+    return add_salt
 
 
 def salted_star_edges(
@@ -160,69 +277,49 @@ def salted_star_edges(
     """rows(key:int64, url:string[, vsig:binary]) → edges(a,b,est,method).
 
     Three-phase skew-aware grouping:
-      1. bucket-size aggregate (cheap count shuffle) → broadcast hot-key set;
-      2. salt hot rows (salt = mix(url-hash) % num_salts), group on
-         gkey = key ⊕ mixed salt, star-link within (sub-)buckets;
-      3. tiny second groupby over hot-bucket representatives links sub-hubs.
+      1. partial-aggregated bucket-size pass → broadcast hot-key set;
+      2. salt hot rows, hash-partition on pkey, ONE vectorized grouping call
+         per partition (star-link within buckets, all-pairs verify for small
+         verified buckets), hot sub-buckets emit their hub as a ``rep`` row;
+      3. tiny second grouping over hot-bucket reps links sub-hubs (≤ num_salts
+         rows per hot key).
     """
-    sizes = rows.groupby("key").aggregate(Count(alias_name="cnt"))
-    hot = sizes.map_batches(
-        lambda t: t.filter(pc.greater(t["cnt"], cfg.bucket_cap)),
-        batch_format="pyarrow",
-    )
-    hot_keys = frozenset(
-        int(k) for batch in hot.iter_batches(batch_format="pyarrow") for k in batch["key"].to_pylist()
-    )
-    hot_ref = ray.put(hot_keys)
-    num_salts = np.uint64(cfg.num_salts)
+    P = default_partitions(cfg)
+    hot_ref = ray.put(hot_bucket_keys(rows, cfg))
 
-    def add_salt(t: pa.Table) -> pa.Table:
-        hk = ray.get(hot_ref)
-        keys = t["key"].to_numpy(zero_copy_only=False)
-        salts = np.full(len(t), -1, dtype=np.int64)
-        if hk:
-            mask = np.fromiter((int(k) in hk for k in keys), count=len(t), dtype=bool)
-            if mask.any():
-                urls = t["url"].to_pylist()
-                uh = np.array(
-                    [hash(u) & 0x7FFFFFFFFFFFFFFF for u in urls], dtype=np.uint64
-                )
-                uh = mix64(uh * _SALT_MIX)
-                salts[mask] = (uh[mask] % num_salts).astype(np.int64)
-        gkey = keys.view(np.uint64).copy()
-        m = salts >= 0
-        gkey[m] = mix64(
-            gkey[m] ^ ((salts[m].view(np.uint64) + np.uint64(1)) * _SALT_MIX)
-        )
-        out = t.append_column("salt", pa.array(salts, type=pa.int64()))
-        return out.append_column("gkey", pa.array(gkey.view(np.int64), type=pa.int64()))
-
-    salted = rows.map_batches(add_salt, batch_format="pyarrow")
-    grouped = salted.groupby("gkey").map_groups(
-        make_bucket_grouper(cfg, verified=verified, emit_reps=True),
+    salted = rows.map_batches(make_salter(hot_ref, cfg, P), batch_format="pyarrow")
+    grouped = salted.groupby("pkey").map_groups(
+        make_partition_grouper(cfg, verified=verified, emit_reps=True),
         batch_format="pandas",
     )
+    # materialize: output is tiny (edges + reps) and is consumed twice below —
+    # without this the whole shuffle upstream would re-execute per consumer
+    grouped = grouped.materialize()
 
     edges = grouped.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "edge")).select(["a", "b", "est"]),
         batch_format="pyarrow",
     )
 
-    # phase 3: link sub-bucket hubs of each hot bucket (≤ num_salts rows/key)
-    reps = grouped.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "rep")),
-        batch_format="pyarrow",
-    )
+    # phase 3: link sub-bucket hubs of each hot bucket (≤ num_salts rows/key).
+    # rep rows are re-keyed on the ORIGINAL bucket key, salt=-1 (no re-salt);
+    # the rep population is tiny so a single partition suffices.
+    def rep_rows_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "rep"))
+        cols = {
+            "key": t["key"],
+            "url": t["a"],
+            "salt": pa.array([-1] * len(t), type=pa.int64()),
+            "gkey": t["key"],
+            "pkey": pa.array([0] * len(t), type=pa.int64()),
+        }
+        if "vsig" in t.column_names:
+            cols["vsig"] = t["vsig"]
+        return pa.table(cols)
 
-    def rep_add_cols(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["kind", "b", "est"])
-        t = t.rename_columns(["key", "url", "vsig"])
-        t = t.append_column("salt", pa.array([-1] * len(t), type=pa.int64()))
-        return t
-
-    rep_rows = reps.map_batches(rep_add_cols, batch_format="pyarrow")
-    rep_grouped = rep_rows.groupby("key").map_groups(
-        make_bucket_grouper(cfg, verified=verified, emit_reps=False),
+    rep_rows = grouped.map_batches(rep_rows_fn, batch_format="pyarrow")
+    rep_grouped = rep_rows.groupby("pkey").map_groups(
+        make_partition_grouper(cfg, verified=verified, emit_reps=False),
         batch_format="pandas",
     )
     rep_edges = rep_grouped.map_batches(
@@ -288,7 +385,7 @@ def make_band_expander(cfg: DedupConfig):
 
 
 def make_lgram_expander(cfg: DedupConfig):
-    """sig table → substring candidate rows: one row per sampled L-gram."""
+    """sig table → substring candidate rows: one row per winnowed L-gram."""
 
     def expand(t: pa.Table) -> pa.Table:
         lg = t["lgrams"]
@@ -354,8 +451,10 @@ def hamming_matrix(v: np.ndarray) -> np.ndarray:
     return _POPCNT_LUT[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
 
 
-def make_simhash_grouper(cfg: DedupConfig):
-    """map_groups fn: pairwise Hamming ≤ radius within a pigeonhole bucket.
+def make_simhash_partition_grouper(cfg: DedupConfig):
+    """One-call-per-partition simhash grouper: pairwise Hamming ≤ radius
+    within each pigeonhole bucket; Python loop touches only multi-member
+    buckets (actual pigeonhole collisions).
 
     Buckets above ``simhash_group_cap`` are chunked after sorting by simhash
     value (documented approximation: cross-chunk pairs in oversized buckets
@@ -367,32 +466,43 @@ def make_simhash_grouper(cfg: DedupConfig):
 
     def grouper(df: pd.DataFrame) -> pd.DataFrame:
         n = len(df)
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="object"),
+                "b": pd.Series([], dtype="object"),
+                "est": pd.Series([], dtype="float64"),
+            }
+        )
         if n < 2:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series([], dtype="object"),
-                    "b": pd.Series([], dtype="object"),
-                    "est": pd.Series([], dtype="float64"),
-                }
-            )
-        order = np.lexsort((df["url"].to_numpy(), df["simhash"].to_numpy()))
-        urls = df["url"].to_numpy()[order]
-        sh = df["simhash"].to_numpy()[order].view(np.uint64)
+            return empty
+        gkeys = df["gkey"].to_numpy()
+        urls = df["url"].to_numpy()
+        shs = df["simhash"].to_numpy()
+        order = np.lexsort((urls, shs, gkeys))
+        gkeys, urls, shs = gkeys[order], urls[order], shs[order].view(np.uint64)
+        starts = np.flatnonzero(np.r_[True, gkeys[1:] != gkeys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+
         aa: list[str] = []
         bb: list[str] = []
         ests: list[float] = []
-        for lo in range(0, n, cap):
-            chunk = slice(lo, min(n, lo + cap))
-            hv = hamming_matrix(sh[chunk])
-            ii, jj = np.nonzero(np.triu(hv <= radius, k=1))
-            cu = urls[chunk]
-            for i, j in zip(ii.tolist(), jj.tolist()):
-                x, y = cu[i], cu[j]
-                if y < x:
-                    x, y = y, x
-                aa.append(x)
-                bb.append(y)
-                ests.append(1.0 - float(hv[i, j]) / bits)
+        for gi in np.flatnonzero(sizes >= 2):
+            s0 = starts[gi]
+            gn = sizes[gi]
+            for lo in range(s0, s0 + gn, cap):
+                chunk = slice(lo, min(s0 + gn, lo + cap))
+                hv = hamming_matrix(shs[chunk])
+                ii, jj = np.nonzero(np.triu(hv <= radius, k=1))
+                cu = urls[chunk]
+                for i, j in zip(ii.tolist(), jj.tolist()):
+                    x, y = cu[i], cu[j]
+                    if y < x:
+                        x, y = y, x
+                    aa.append(x)
+                    bb.append(y)
+                    ests.append(1.0 - float(hv[i, j]) / bits)
+        if not aa:
+            return empty
         return pd.DataFrame(
             {
                 "a": pd.Series(aa, dtype="object"),
@@ -405,9 +515,19 @@ def make_simhash_grouper(cfg: DedupConfig):
 
 
 def simhash_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
+    P = np.uint64(default_partitions(cfg))
     rows = sig_ds.map_batches(make_simhash_expander(cfg), batch_format="pyarrow")
-    grouped = rows.groupby("key").map_groups(
-        make_simhash_grouper(cfg), batch_format="pandas"
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        pkey = (mix64(k ^ _PKEY_MIX) % P).view(np.int64)
+        t = t.append_column("gkey", t["key"])
+        return t.append_column("pkey", pa.array(pkey, type=pa.int64()))
+
+    grouped = (
+        rows.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(make_simhash_partition_grouper(cfg), batch_format="pandas")
     )
 
     def stamp(t: pa.Table) -> pa.Table:
