@@ -338,6 +338,93 @@ def knn_lsh(sf_dir: str):
     return ds.sort(["cos_fp", "vec_id"], descending=[True, False]).limit(10)
 
 
+def media_byte_features(sf_dir: str):
+    """Multimodal plumbing demo: documents' text bytes as opaque payloads
+    through the media decoder actor pool (fake decoder — see
+    stages/multimodal.py; rows-only check: features are non-SQL)."""
+    from camden_ray.stages.multimodal import media_features
+
+    def to_media(t: pa.Table) -> pa.Table:
+        payloads = [(x or "").encode() for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": pa.array(payloads, type=pa.binary()),
+                "media_type": pa.array(["image"] * len(t), type=pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    feats = media_features(ds, decoder="fake", batch_size=128, concurrency=(1, 4))
+
+    # scalar-only projection (value-hash harnesses can't sort list columns);
+    # the full feature vectors stay on the stage API (tests/test_multimodal.py)
+    def scalarize(t: pa.Table) -> pa.Table:
+        fl = t["feature"]
+        if isinstance(fl, pa.ChunkedArray):
+            fl = fl.combine_chunks()
+        vecs = fl.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
+        fdig = [
+            int.from_bytes(
+                hashlib.blake2b(v.tobytes(), digest_size=8).digest(), "little"
+            )
+            for v in vecs
+        ]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "media_type": t["media_type"],
+                "n_bytes": t["n_bytes"],
+                "digest": t["digest"],
+                "feature_digest": pa.array(
+                    np.array(fdig, dtype=np.uint64).view(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return feats.map_batches(scalarize, batch_format="pyarrow")
+
+
+def embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (exact, verification-grade).
+
+    The full (small-side) normalized matrix is broadcast once via ``ray.put``;
+    each batch does one numpy matmul against it and keeps pairs with
+    cos ≥ 0.4 and vec_id_a < vec_id_b (so no pair is emitted twice across
+    batches). This is the distributed O(n²/B) exact path; the LSH-bucketed
+    scale path is ``knn_lsh``'s bucketing applied pairwise.
+    """
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    emb = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    state = ray.put((ids, emb / norms))
+    tau_fp = 40_000  # cos >= 0.4, in 1e-5 fixed point
+
+    def pairs(t: pa.Table) -> pa.Table:
+        all_ids, En = ray.get(state)
+        bid = t["vec_id"].to_numpy(zero_copy_only=False)
+        be = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(be, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        cos_fp = np.round((be / bn) @ En.T * 100_000).astype(np.int64)
+        ii, jj = np.nonzero((cos_fp >= tau_fp) & (bid[:, None] < all_ids[None, :]))
+        return pa.table(
+            {
+                "a": pa.array(bid[ii], type=pa.int64()),
+                "b": pa.array(all_ids[jj], type=pa.int64()),
+                "cos_fp": pa.array(cos_fp[ii, jj], type=pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "embeddings").map_batches(pairs, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # dedup over the documents table (rows-only: non-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -369,6 +456,18 @@ def doc_minhash_pairs(sf_dir: str):
     cfg = DedupConfig(jaccard_threshold=0.5, methods=("minhash",))
     sig = signature_table(_documents_as_webtext(sf_dir), cfg, extract=False).materialize()
     return build_edges(sig, cfg)
+
+
+def doc_simhash_pairs(sf_dir: str):
+    """SimHash Hamming-ball candidate pairs over documents (rows-only)."""
+    from camden_ray.pipelines.dedup import signature_table
+    from camden_ray.stages.candidates import simhash_edges
+
+    cfg = DedupConfig()
+    sig = signature_table(
+        _documents_as_webtext(sf_dir), cfg, extract=False
+    ).materialize()
+    return simhash_edges(sig, cfg)
 
 
 def doc_ngram_jaccard_pairs(sf_dir: str):
@@ -420,6 +519,15 @@ def doc_ngram_jaccard_pairs(sf_dir: str):
 # registry + oracles
 # ---------------------------------------------------------------------------
 
+from camden_ray.pipelines.relational import (  # noqa: E402
+    ORACLE_SQL_RELATIONAL,
+    customer_region_counts,
+    events_distinct_users,
+    events_sessions,
+    lineitem_part_revenue,
+    orders_by_segment,
+)
+
 QUERIES = {
     "exact_dup_groups": exact_dup_groups,
     "digest_group_sizes": digest_group_sizes,
@@ -436,9 +544,17 @@ QUERIES = {
     "lineitem_pricing": lineitem_pricing,
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
+    "embedding_near_dup": embedding_near_dup,
+    "media_byte_features": media_byte_features,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_simhash_pairs": doc_simhash_pairs,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "orders_by_segment": orders_by_segment,
+    "customer_region_counts": customer_region_counts,
+    "lineitem_part_revenue": lineitem_part_revenue,
+    "events_sessions": events_sessions,
+    "events_distinct_users": events_distinct_users,
 }
 
 ORACLE_SQL = {
@@ -498,4 +614,13 @@ ORACLE_SQL = {
         FROM embeddings
         ORDER BY cos_fp DESC, vec_id ASC LIMIT 10
     """,
+    "embedding_near_dup": """
+        SELECT e1.vec_id AS a, e2.vec_id AS b,
+               CAST(round(list_cosine_similarity(e1.embedding, e2.embedding)
+                          * 100000) AS BIGINT) AS cos_fp
+        FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+        WHERE CAST(round(list_cosine_similarity(e1.embedding, e2.embedding)
+                         * 100000) AS BIGINT) >= 40000
+    """,
+    **ORACLE_SQL_RELATIONAL,
 }

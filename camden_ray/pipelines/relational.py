@@ -1,0 +1,211 @@
+"""Relational + windowed operators over the driver tables.
+
+The reference has NO joins/windows (SURVEY.md §2 "Categories with NO reference
+implementation") — these are the operations a training-data pipeline needs
+around the dedup core, each expressed with the partitioning pattern that
+survives 100 TB:
+
+* broadcast join   — small dimension side ``ray.put`` once, looked up inside
+                     ``map_batches`` (never a shuffle, never re-shipped per
+                     batch): :func:`orders_by_segment`,
+                     :func:`customer_region_counts`.
+* shuffle join     — both sides large: native ``Dataset.join`` hash shuffle:
+                     :func:`lineitem_part_revenue`.
+* sessionization   — per-key ordered window with gap break: hash-partition by
+                     user into coarse partitions, ONE vectorized pandas pass
+                     per partition (same physical plan as
+                     stages/candidates.py): :func:`events_sessions`.
+* count-distinct   — groupby-key then count groups (distributed; never a
+                     driver-side set): :func:`events_distinct_users`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from camden_ray.pipelines.common import cents, read_table, table_path
+
+SESSION_GAP_MIN = 30
+
+
+def orders_by_segment(sf_dir: str):
+    """Revenue per market segment: broadcast-join orders ⨝ customer.
+
+    customer is the small side: loaded once on the driver, ``ray.put`` as a
+    custkey→segment dict, read zero-copy from the local object store by every
+    map task.
+    """
+    cust = pq.read_table(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_map = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    seg_ref = ray.put(seg_map)
+
+    def add_segment(t: pa.Table) -> pa.Table:
+        m = ray.get(seg_ref)
+        segs = [m.get(k) for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(segs, type=pa.string()),
+                "price_cents": cents(t["o_totalprice"]),
+            }
+        )
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return ds.map_batches(add_segment, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_cents")
+    )
+
+
+def customer_region_counts(sf_dir: str):
+    """Customers per region: two chained broadcast lookups (nation, region
+    are tiny dimensions — a shuffle join would be wasteful at any scale)."""
+    nation = pq.read_table(
+        table_path(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        table_path(sf_dir, "region"), columns=["r_regionkey", "r_name"]
+    )
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    def add_region(t: pa.Table) -> pa.Table:
+        m = ray.get(lookup_ref)
+        names = [m.get(k) for k in t["c_nationkey"].to_pylist()]
+        return pa.table({"r_name": pa.array(names, type=pa.string())})
+
+    ds = read_table(sf_dir, "customer", columns=["c_nationkey"])
+    return ds.map_batches(add_region, batch_format="pyarrow").groupby(
+        "r_name"
+    ).aggregate(Count(alias_name="n_cust"))
+
+
+def lineitem_part_revenue(sf_dir: str):
+    """Discounted revenue per part brand: native hash-shuffle join (both
+    sides non-trivial), columns pruned and revenue pre-computed BEFORE the
+    join so the shuffle moves 2 columns, not 11."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"l_partkey": t["l_partkey"], "rev_cents": cents(rev)})
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep, batch_format="pyarrow")
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    return joined.groupby("p_brand").aggregate(
+        Count(alias_name="n_items"), Sum("rev_cents", alias_name="sum_rev_cents")
+    )
+
+
+def events_sessions(sf_dir: str):
+    """Sessionization: per-user event runs split at > 30-minute gaps.
+
+    The streaming-window analogue in batch form: hash-partition by user_id
+    into coarse partitions, then one vectorized pandas pass per partition
+    (sort by (user_id, ts, event_id), gap/user-change breaks via diff,
+    session ids via cumsum, groupby-agg min/count).
+    """
+    P = 32
+    gap = np.timedelta64(SESSION_GAP_MIN, "m")
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pkey", pa.array((uid % P).astype(np.int64), type=pa.int64())
+        )
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts"].to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        big_gap = np.r_[False, (ts[1:] - ts[:-1]) > gap]
+        sid = np.cumsum(new_user | big_gap)
+        out = pd.DataFrame({"user_id": uid, "ts": ts, "sid": sid})
+        g = out.groupby(["user_id", "sid"], as_index=False).agg(
+            session_start=("ts", "min"), n_events=("ts", "size")
+        )
+        return g[["user_id", "session_start", "n_events"]]
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(sessionize, batch_format="pandas")
+    )
+
+
+def events_distinct_users(sf_dir: str):
+    """Count-distinct via shuffle (groupby user, count groups) — the
+    distributed form; a driver-side set would not survive 10^12 rows."""
+    n = (
+        read_table(sf_dir, "events", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="c"))
+        .count()
+    )
+    return pd.DataFrame({"n_users": [int(n)]})
+
+
+ORACLE_SQL_RELATIONAL = {
+    "orders_by_segment": """
+        SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "customer_region_counts": """
+        SELECT r_name, count(*) AS n_cust
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "lineitem_part_revenue": """
+        SELECT p_brand, count(*) AS n_items,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_rev_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "events_sessions": """
+        WITH o AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        )
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    "events_distinct_users": """
+        SELECT count(DISTINCT user_id) AS n_users FROM events
+    """,
+}
