@@ -55,7 +55,9 @@ class DedupConfig:
     lgram_group_cap: int = 1024   # max members star-linked per shared-gram bucket
 
     # --- execution ---
-    batch_size: int = 1024        # rows per map_batches call (html is wide)
+    batch_size: int = 256         # rows per map_batches call (html is wide;
+                                  # small batches keep the actor pool saturated
+                                  # and batch × concurrency inside worker heap)
     extract_concurrency: tuple[int, int] = (1, 8)  # actor-pool autoscale bounds
     shuffle_partitions: int = 0   # 0 = let Ray Data choose
 

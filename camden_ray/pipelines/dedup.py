@@ -32,13 +32,7 @@ import ray.data
 
 from camden_ray.config import DedupConfig
 from camden_ray.sources.webtext import read_webtext
-from camden_ray.stages.candidates import (
-    exact_rows,
-    make_band_expander,
-    make_lgram_expander,
-    salted_star_edges,
-    simhash_edges,
-)
+from camden_ray.stages.candidates import simhash_edges
 from camden_ray.stages.cluster import (
     make_assigner,
     unionfind_assignments,
@@ -51,18 +45,17 @@ from camden_ray.state.checkpoint import Checkpointer, input_fingerprint
 def signature_table(
     ds: "ray.data.Dataset", cfg: DedupConfig, extract: bool = True
 ) -> "ray.data.Dataset":
-    """text/html rows → compact signature table (url, digest, sig, simhash, lgrams)."""
-    if extract:
-        ds = ds.map_batches(
-            HtmlExtractorActor,
-            batch_format="pyarrow",
-            batch_size=cfg.batch_size,
-            concurrency=cfg.extract_concurrency,
-            num_cpus=1,
-        )
+    """text/html rows → compact signature table (url, digest, sig, simhash, lgrams).
+
+    With ``extract=True`` the extraction runs INSIDE the signature actor
+    (fused stage): one actor pool instead of two chained pools, and the wide
+    html batches never make an extra object-store round trip. Extraction
+    semantics are identical to the standalone :class:`HtmlExtractorActor`
+    (byte-identical text per url — asserted in tests/test_extract.py).
+    """
     return ds.map_batches(
         SignatureActor,
-        fn_constructor_kwargs={"cfg": cfg},
+        fn_constructor_kwargs={"cfg": cfg, "extract": extract},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.extract_concurrency,
@@ -71,26 +64,28 @@ def signature_table(
 
 
 def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
-    """Union of verified candidate edges from every enabled method."""
-    branches = []
-    if "exact" in cfg.methods:
-        branches.append(
-            salted_star_edges(exact_rows(sig_ds), cfg, method="exact", verified=False)
-        )
-    if "minhash" in cfg.methods:
-        band_rows = sig_ds.map_batches(make_band_expander(cfg), batch_format="pyarrow")
-        branches.append(
-            salted_star_edges(band_rows, cfg, method="minhash", verified=True)
-        )
+    """Union of verified candidate edges from every enabled method.
+
+    The three star-shaped branches (exact / minhash / substring) share ONE
+    unified shuffle (branch ids folded into the bucket-key space — see
+    candidates.unified_star_edges): one expander pass over the signature
+    table, one hot-key count pass, one groupby. SimHash keeps its own
+    pigeonhole shuffle; the two run on a thread pool so their executions
+    overlap.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from camden_ray.stages.candidates import unified_star_edges
+
+    builders = []
+    if set(cfg.methods) & {"exact", "minhash", "substring"}:
+        builders.append(lambda: unified_star_edges(sig_ds, cfg).materialize())
     if "simhash" in cfg.methods:
-        branches.append(simhash_edges(sig_ds, cfg))
-    if "substring" in cfg.methods:
-        lgram_rows = sig_ds.map_batches(make_lgram_expander(cfg), batch_format="pyarrow")
-        branches.append(
-            salted_star_edges(lgram_rows, cfg, method="substring", verified=False)
-        )
-    if not branches:
+        builders.append(lambda: simhash_edges(sig_ds, cfg).materialize())
+    if not builders:
         raise ValueError("no methods enabled")
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        branches = [f.result() for f in [pool.submit(b) for b in builders]]
     edges = branches[0]
     for b in branches[1:]:
         edges = edges.union(b)
@@ -161,6 +156,9 @@ def run_dedup(
         clusters, _ = ckpt.run_stage(
             "clusters", edge_fp, lambda: clusters, params=str(len(assignments))
         )
+    else:
+        # executed by stats below AND by the caller — materialize once
+        clusters = clusters.materialize()
 
     kept = clusters.filter(expr="is_representative == True")
     removed = clusters.filter(expr="is_representative == False")

@@ -334,6 +334,291 @@ def salted_star_edges(
 
 
 # ---------------------------------------------------------------------------
+# Unified star path: exact + minhash + substring in ONE shuffle
+# ---------------------------------------------------------------------------
+
+BRANCH_METHOD = {0: "exact", 1: "minhash", 2: "substring"}
+_BRANCH_SALTS = {
+    0: np.uint64(0x8E2A_11D3_5C77_0A51),
+    1: np.uint64(0x6F4B_93D1_2AD8_4E17),
+    2: np.uint64(0xB7E1_5163_8AED_2A6B),
+}
+
+
+def make_unified_star_expander(cfg: DedupConfig):
+    """sig table → ONE keyed row set for every enabled star branch.
+
+    Reads the signature table once and emits, per doc: 1 digest row (exact),
+    ``num_bands`` band rows with vsig (minhash), ~len(lgrams) rows
+    (substring). Branch ids are folded into the key-space with per-branch
+    salts, so the three branches share a single count pass + groupby shuffle
+    (one partitioning key reused — SURVEY.md 'minimize shuffles') while their
+    buckets can never collide.
+
+    Row schema: key:int64, url:string, vsig:binary (b"" unless minhash),
+    branch:int32.
+    """
+    from camden_ray.functions.hashing import band_hashes
+
+    nb = cfg.num_bands
+    npms = cfg.num_perms
+    vp = cfg.verify_perms
+    methods = cfg.methods
+
+    def expand(t: pa.Table) -> pa.Table:
+        n = len(t)
+        keys_parts: list[np.ndarray] = []
+        urls_parts: list[pa.Array] = []
+        vsig_parts: list[list[bytes]] = []
+        branch_parts: list[np.ndarray] = []
+        url_col = t["url"]
+        if isinstance(url_col, pa.ChunkedArray):
+            url_col = url_col.combine_chunks()
+
+        if "exact" in methods:
+            dig = t["digest"].to_numpy(zero_copy_only=False).view(np.uint64)
+            keys_parts.append(mix64(dig ^ _BRANCH_SALTS[0]))
+            urls_parts.append(url_col)
+            vsig_parts.append([b""] * n)
+            branch_parts.append(np.zeros(n, dtype=np.int32))
+
+        if "minhash" in methods and n:
+            sig_col = t["sig"].to_pylist()
+            sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint64).reshape(n, npms)
+            bh = band_hashes(sigs, nb)  # (n, nb)
+            band_salt = mix64(
+                (np.arange(nb, dtype=np.uint64) + np.uint64(1)) * _SALT_MIX
+            )
+            keys = mix64((bh ^ band_salt[None, :]) ^ _BRANCH_SALTS[1]).reshape(-1)
+            keys_parts.append(keys)
+            urls_parts.append(
+                url_col.take(np.repeat(np.arange(n), nb))
+            )
+            vsig = [s[: vp * 8] for s in sig_col]
+            vsig_parts.append([vsig[i] for i in range(n) for _ in range(nb)])
+            branch_parts.append(np.ones(n * nb, dtype=np.int32))
+
+        if "substring" in methods:
+            lg = t["lgrams"]
+            if isinstance(lg, pa.ChunkedArray):
+                lg = lg.combine_chunks()
+            flat = lg.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
+            parent = lg.value_parent_indices()
+            keys_parts.append(mix64(flat ^ _BRANCH_SALTS[2]))
+            urls_parts.append(url_col.take(parent))
+            vsig_parts.append([b""] * len(flat))
+            branch_parts.append(np.full(len(flat), 2, dtype=np.int32))
+
+        if not keys_parts:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.int64()),
+                    "url": pa.array([], type=pa.string()),
+                    "vsig": pa.array([], type=pa.binary()),
+                    "branch": pa.array([], type=pa.int32()),
+                }
+            )
+        all_keys = np.concatenate(keys_parts).view(np.int64)
+        all_vsigs = [v for part in vsig_parts for v in part]
+        return pa.table(
+            {
+                "key": pa.array(all_keys, type=pa.int64()),
+                "url": pa.concat_arrays(
+                    [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u for u in urls_parts]
+                ),
+                "vsig": pa.array(all_vsigs, type=pa.binary()),
+                "branch": pa.array(np.concatenate(branch_parts), type=pa.int32()),
+            }
+        )
+
+    return expand
+
+
+def make_unified_partition_grouper(cfg: DedupConfig, emit_reps: bool):
+    """Partition grouper over mixed-branch rows: splits the partition into
+    verified (minhash) and unverified (exact/substring) row sets — branch ids
+    are baked into the keys, so a bucket is always branch-pure — and runs the
+    same vectorized star-edge passes as :func:`make_partition_grouper`.
+
+    Output adds a ``branch`` column so edges can be method-stamped after the
+    shuffle.
+    """
+    tau = cfg.jaccard_threshold - cfg.verify_margin
+    vp = cfg.verify_perms
+
+    def one_side(df: pd.DataFrame, verified: bool) -> list[pd.DataFrame]:
+        n = len(df)
+        if n == 0:
+            return []
+        gkeys = df["gkey"].to_numpy()
+        urls = df["url"].to_numpy()
+        order = np.lexsort((urls, gkeys))
+        gkeys = gkeys[order]
+        urls = urls[order]
+        keys = df["key"].to_numpy()[order]
+        salts = df["salt"].to_numpy()[order]
+        branches = df["branch"].to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, gkeys[1:] != gkeys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        hub_per_row = np.repeat(starts, sizes)
+        member = np.flatnonzero(np.arange(n) != hub_per_row)
+        hubs = hub_per_row[member]
+        frames: list[pd.DataFrame] = []
+
+        if verified:
+            raw = df["vsig"].to_numpy()[order]
+            vs = np.frombuffer(b"".join(raw), dtype=np.uint64).reshape(n, vp)
+            est = (vs[member] == vs[hubs]).mean(axis=1)
+            ok = est >= tau
+            aa2: list[str] = []
+            bb2: list[str] = []
+            ee2: list[float] = []
+            br2: list[int] = []
+            small = np.flatnonzero((sizes >= 3) & (sizes <= ALLPAIRS_CAP))
+            for gi in small:
+                lo = starts[gi]
+                hi = lo + sizes[gi]
+                gvs = vs[lo:hi]
+                pe = (gvs[:, None, :] == gvs[None, :, :]).mean(axis=2)
+                ii, jj = np.nonzero(np.triu(pe >= tau, k=1))
+                for i, j in zip(ii.tolist(), jj.tolist()):
+                    if i == 0:
+                        continue
+                    aa2.append(urls[lo + i])
+                    bb2.append(urls[lo + j])
+                    ee2.append(float(pe[i, j]))
+                    br2.append(int(branches[lo]))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": np.r_[keys[member][ok], np.zeros(len(aa2), dtype=np.int64)],
+                        "kind": "edge",
+                        "a": np.r_[urls[hubs][ok], np.asarray(aa2, dtype=object)],
+                        "b": np.r_[urls[member][ok], np.asarray(bb2, dtype=object)],
+                        "est": np.r_[est[ok], np.asarray(ee2, dtype=np.float64)],
+                        "branch": np.r_[
+                            branches[member][ok], np.asarray(br2, dtype=np.int32)
+                        ].astype(np.int32),
+                    }
+                )
+            )
+        else:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": keys[member],
+                        "kind": "edge",
+                        "a": urls[hubs],
+                        "b": urls[member],
+                        "est": 1.0,
+                        "branch": branches[member],
+                    }
+                )
+            )
+
+        if emit_reps:
+            rep_idx = starts[salts[starts] >= 0]
+            if len(rep_idx):
+                rep = pd.DataFrame(
+                    {
+                        "key": keys[rep_idx],
+                        "kind": "rep",
+                        "a": urls[rep_idx],
+                        "b": "",
+                        "est": 0.0,
+                        "branch": branches[rep_idx],
+                    }
+                )
+                if verified:
+                    rep["vsig"] = [bytes(raw[i]) for i in rep_idx]
+                frames.append(rep)
+        return frames
+
+    def grouper(df: pd.DataFrame) -> pd.DataFrame:
+        is_min = df["branch"].to_numpy() == 1
+        frames = one_side(df[is_min], verified=True) + one_side(
+            df[~is_min], verified=False
+        )
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="object"),
+                    "a": pd.Series([], dtype="object"),
+                    "b": pd.Series([], dtype="object"),
+                    "est": pd.Series([], dtype="float64"),
+                    "branch": pd.Series([], dtype="int32"),
+                    "vsig": pd.Series([], dtype="object"),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        if "vsig" not in out.columns:
+            out["vsig"] = b""
+        else:
+            out["vsig"] = out["vsig"].fillna(b"")
+        out["branch"] = out["branch"].astype(np.int32)
+        return out
+
+    return grouper
+
+
+def unified_star_edges(
+    sig_ds: "ray.data.Dataset", cfg: DedupConfig
+) -> "ray.data.Dataset":
+    """Signature table → edges for all enabled star branches via one shuffle.
+
+    Same three-phase skew handling as :func:`salted_star_edges` (count pass →
+    salt → partition grouping → rep linking), shared across the branches.
+    """
+    P = default_partitions(cfg)
+    rows = sig_ds.map_batches(
+        make_unified_star_expander(cfg), batch_format="pyarrow"
+    )
+    hot_ref = ray.put(hot_bucket_keys(rows, cfg))
+    salted = rows.map_batches(make_salter(hot_ref, cfg, P), batch_format="pyarrow")
+    grouped = salted.groupby("pkey").map_groups(
+        make_unified_partition_grouper(cfg, emit_reps=True),
+        batch_format="pandas",
+    )
+    grouped = grouped.materialize()
+
+    def stamp(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "edge"))
+        methods = pa.array(
+            [BRANCH_METHOD[int(b)] for b in t["branch"].to_pylist()],
+            type=pa.string(),
+        )
+        return pa.table(
+            {"a": t["a"], "b": t["b"], "est": t["est"], "method": methods}
+        )
+
+    edges = grouped.map_batches(stamp, batch_format="pyarrow")
+
+    def rep_rows_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "rep"))
+        return pa.table(
+            {
+                "key": t["key"],
+                "url": t["a"],
+                "vsig": t["vsig"],
+                "branch": t["branch"],
+                "salt": pa.array([-1] * len(t), type=pa.int64()),
+                "gkey": t["key"],
+                "pkey": pa.array([0] * len(t), type=pa.int64()),
+            }
+        )
+
+    rep_rows = grouped.map_batches(rep_rows_fn, batch_format="pyarrow")
+    rep_grouped = rep_rows.groupby("pkey").map_groups(
+        make_unified_partition_grouper(cfg, emit_reps=False),
+        batch_format="pandas",
+    )
+    rep_edges = rep_grouped.map_batches(stamp, batch_format="pyarrow")
+    return edges.union(rep_edges)
+
+
+# ---------------------------------------------------------------------------
 # Branch row builders (signature table → keyed candidate rows)
 # ---------------------------------------------------------------------------
 

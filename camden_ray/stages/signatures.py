@@ -48,16 +48,37 @@ class SignatureActor:
                        concurrency=..., num_cpus=1)
     """
 
-    def __init__(self, cfg: DedupConfig | None = None) -> None:
+    def __init__(
+        self, cfg: DedupConfig | None = None, extract: bool = False
+    ) -> None:
         self.cfg = cfg or DedupConfig()
         self.hasher = TokenHasher(seed=self.cfg.seed)
         self.perm_a, self.perm_b = minhash_params(self.cfg.num_perms, self.cfg.seed)
         self._shifts = np.arange(64, dtype=np.uint64)
         self._bit_vals = np.uint64(1) << self._shifts
+        # fused extract+signature mode: one actor pool instead of two chained
+        # pools, and the wide html batches never transit the object store
+        # between stages (same extraction semantics as HtmlExtractorActor)
+        self._extractor = None
+        if extract:
+            from camden_ray.stages.extract import _TextExtractor
+
+            self._extractor = _TextExtractor()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        texts = batch.column("text").to_pylist()
+        if self._extractor is not None:
+            htmls = batch.column("html").to_pylist()
+            texts = []
+            for raw in htmls:
+                if raw is None:
+                    texts.append("")
+                    continue
+                if isinstance(raw, bytes):
+                    raw = raw.decode("utf-8", "replace")
+                texts.append(self._extractor.extract(raw))
+        else:
+            texts = batch.column("text").to_pylist()
         n = len(texts)
 
         digests = digest_column_u64(texts, seed=cfg.seed)
