@@ -1,0 +1,132 @@
+"""CLI entry point: the generalization of camden's argument parsing
+(/root/reference/src/cli.rs:38-84) for ``ray job submit``.
+
+Shape parity with the reference (C1 in SURVEY.md §2):
+  * positional ``input [out_dir]`` or ``--input=`` / ``--out=`` flag forms
+    (camden: ``root [target]`` / ``--root=`` / ``--target=``,
+    /root/reference/src/cli.rs:55-76);
+  * ``--sequential`` — run with one shuffle partition and a single-actor
+    pool, the analogue of camden's ``--no-thread``
+    (/root/reference/src/cli.rs:44,48-51); results must equal the parallel
+    run's (tested parallel ≡ sequential, like src/scanner.rs:135-143);
+  * missing input, unknown flags, and excess positionals are errors
+    (/root/reference/src/cli.rs:20-24,87-96);
+  * the extension allow-list generalizes to ``--langs`` (scanner.rs:71-79).
+
+Everything else (thresholds, shingle/signature geometry, methods) maps onto
+:class:`DedupConfig` fields.
+
+Usage::
+
+    python -m camden_ray INPUT [OUT_DIR] [--methods exact,minhash]
+        [--langs en,de] [--threshold 0.8] [--sequential] [--no-extract]
+
+Owns its Ray session (scripts only — library code never calls ray.init,
+SURVEY.md §3.4 driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+from camden_ray.config import DedupConfig
+
+
+class CliError(Exception):
+    """Invalid command line (camden CliError, /root/reference/src/cli.rs:20-24)."""
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="camden_ray",
+        description="Ray-Data-native web-scale near-duplicate detection",
+        add_help=True,
+    )
+    p.add_argument("input", nargs="?", help="input Parquet path/dir (webtext schema)")
+    p.add_argument("out_dir", nargs="?", help="checkpointed output directory")
+    p.add_argument("--input", dest="input_flag", help="flag form of INPUT")
+    p.add_argument("--out", dest="out_flag", help="flag form of OUT_DIR")
+    p.add_argument(
+        "--methods",
+        default="exact,minhash,simhash,substring",
+        help="comma list of dedup methods",
+    )
+    p.add_argument("--langs", default="", help="comma allow-list of langs (empty = all)")
+    p.add_argument("--threshold", type=float, default=0.8, help="Jaccard τ")
+    p.add_argument(
+        "--sequential",
+        action="store_true",
+        help="single-partition run (camden --no-thread analogue)",
+    )
+    p.add_argument(
+        "--no-extract",
+        action="store_true",
+        help="input already has extracted text column",
+    )
+    p.add_argument("--num-cpus", type=int, default=None, help="ray.init CPU cap")
+    return p
+
+
+def parse_args(argv: list[str]) -> tuple[str, str | None, DedupConfig, argparse.Namespace]:
+    """argv → (input, out_dir, config, raw args); raises CliError on misuse."""
+    parser = build_parser()
+    try:
+        args = parser.parse_args(argv)
+    except SystemExit as e:  # argparse exits on unknown flags — surface as error
+        raise CliError(f"invalid arguments: {argv}") from e
+
+    inp = args.input_flag or args.input
+    if args.input_flag and args.input:
+        raise CliError("input given both positionally and via --input")
+    if not inp:
+        raise CliError("input path is required (positional or --input=)")
+    out = args.out_flag or args.out_dir
+    if args.out_flag and args.out_dir:
+        raise CliError("out_dir given both positionally and via --out")
+
+    methods = tuple(m for m in args.methods.split(",") if m)
+    bad = set(methods) - {"exact", "minhash", "simhash", "substring"}
+    if bad:
+        raise CliError(f"unknown methods: {sorted(bad)}")
+    langs = tuple(l for l in args.langs.split(",") if l)
+
+    cfg = DedupConfig(
+        methods=methods,
+        langs=langs,
+        jaccard_threshold=args.threshold,
+        shuffle_partitions=1 if args.sequential else 0,
+        extract_concurrency=(1, 1) if args.sequential else (1, 8),
+    )
+    return inp, out, cfg, args
+
+
+def main(argv: list[str] | None = None) -> int:
+    try:
+        inp, out, cfg, args = parse_args(
+            argv if argv is not None else sys.argv[1:]
+        )
+    except CliError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+
+    from camden_ray.pipelines.dedup import run_dedup
+
+    res = run_dedup(inp, cfg, out_dir=out, extract=not args.no_extract)
+    print(json.dumps({"stats": res["stats"], "config": dataclasses.asdict(cfg)}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -37,6 +37,11 @@ class DedupConfig:
     # --- skew control (north_rule: salted repartitioning of hot buckets) ---
     bucket_cap: int = 64          # LSH bucket size above which we salt-split
     num_salts: int = 16           # sub-buckets per hot bucket
+    hot_sample_frac: float = 0.1  # seeded row-sample fraction for hot-bucket
+                                  # detection (shuffle-free; FP/FN are benign:
+                                  # salting a cold bucket just splits it, and a
+                                  # missed warm bucket still groups correctly —
+                                  # star emission is linear. Shrink at scale.)
 
     # --- candidate verification (signature-estimated Jaccard) ---
     verify_perms: int = 64        # signature components carried on band rows
@@ -55,6 +60,12 @@ class DedupConfig:
     lgram_group_cap: int = 1024   # max members star-linked per shared-gram bucket
 
     # --- execution ---
+    materialize_candidate_rows: bool = True
+    # True: the unified candidate row set (≈ 17+ rows/doc, vsig payload) is
+    # materialized so the hot-key count pass and the grouping shuffle read it
+    # once (expander runs once). At extreme scale where the row set exceeds
+    # comfortable object-store capacity, set False to recompute the expander
+    # for each pass instead (2 passes, no storage).
     batch_size: int = 256         # rows per map_batches call (html is wide;
                                   # small batches keep the actor pool saturated
                                   # and batch × concurrency inside worker heap)

@@ -8,13 +8,12 @@ widened to four dup methods and made deterministic, distributed, resumable.
 Dataflow (SURVEY.md §3.4)::
 
     read_parquet(webtext)                         # S1
-      → map_batches(HtmlExtractorActor)           # actor pool (M1 invariant)
-      → map_batches(SignatureActor)               # digest+minhash+simhash+lgrams
+      → map_batches(SignatureActor(extract=True)) # fused actor pool: html→text
+        (M1 invariant) + digest+minhash+simhash+lgrams in one pass
       → [checkpoint: signatures]                  # compact; html/text dropped
-      ├→ exact     : salted_star_edges on digest          # shuffle 1 (G1)
-      ├→ minhash   : band expand → salted_star_edges      # shuffle 2
-      ├→ simhash   : pigeonhole rows → groupby pairwise   # shuffle 3
-      ├→ substring : lgram rows → salted_star_edges       # shuffle 4
+      ├→ unified star shuffle (exact + minhash-LSH + substring L-grams,
+      │    branch-salted keys, hot buckets salt-split)    # shuffle 1 (G1)
+      ├→ simhash : pigeonhole rows → partition pairwise   # shuffle 2
       → union(edges) → [checkpoint: edges]
       → union-find (driver; distributed hash-to-min above threshold)
       → assignments broadcast → clusters / kept / removed parquet   # W2/W3
@@ -53,7 +52,9 @@ def signature_table(
     semantics are identical to the standalone :class:`HtmlExtractorActor`
     (byte-identical text per url — asserted in tests/test_extract.py).
     """
-    return ds.map_batches(
+    from camden_ray.stages.candidates import default_partitions
+
+    out = ds.map_batches(
         SignatureActor,
         fn_constructor_kwargs={"cfg": cfg, "extract": extract},
         batch_format="pyarrow",
@@ -61,6 +62,12 @@ def signature_table(
         concurrency=cfg.extract_concurrency,
         num_cpus=1,
     )
+    # Coalesce: the signature table inherits one block per input file; web
+    # corpora arrive as thousands of small shards, and every downstream
+    # shuffle pays per-block scheduling cost × output partitions (measured
+    # 30× slowdown at 782 blocks vs 64 on the same rows). Minimal-movement
+    # repartition, not a shuffle.
+    return out.repartition(default_partitions(cfg))
 
 
 def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":

@@ -303,25 +303,28 @@ def knn_brute_force(sf_dir: str):
 def knn_lsh(sf_dir: str):
     """Random-hyperplane-LSH-bucketed ANN (the scale path; rows-only check).
 
-    Buckets by 12-bit sign signature; candidates = query's bucket plus
-    Hamming-1 probe buckets; exact cosine re-rank inside candidates.
+    Bit width adapts to the table size (expected bucket ≈ 64 rows, so the
+    candidate set stays ~constant as n grows); candidates = query's bucket
+    plus all Hamming-1 probe buckets; exact cosine re-rank inside candidates.
     """
     import pyarrow.parquet as pq
 
+    n_rows = pq.read_metadata(_t(sf_dir, "embeddings")).num_rows
+    bits = max(4, int(np.log2(max(2, n_rows / 64))))
     tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     dim = len(tbl["embedding"][0])
     rng = np.random.default_rng(42)
-    planes = rng.standard_normal((dim, 12))
+    planes = rng.standard_normal((dim, bits))
     q = np.array(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"][0].as_py())
     q = q / np.linalg.norm(q)
-    qsig = int(((q @ planes) > 0) @ (1 << np.arange(12)))
-    probe = {qsig} | {qsig ^ (1 << b) for b in range(12)}
+    qsig = int(((q @ planes) > 0) @ (1 << np.arange(bits)))
+    probe = {qsig} | {qsig ^ (1 << b) for b in range(bits)}
     state = ray.put((planes, q, probe))
 
     def bucket_and_rank(t: pa.Table) -> pa.Table:
         pl, qv, pr = ray.get(state)
         emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        sigs = ((emb @ pl) > 0) @ (1 << np.arange(12))
+        sigs = ((emb @ pl) > 0) @ (1 << np.arange(pl.shape[1]))
         mask = np.isin(sigs, list(pr))
         emb, ids = emb[mask], t["vec_id"].to_numpy(zero_copy_only=False)[mask]
         if len(ids) == 0:
@@ -523,6 +526,7 @@ from camden_ray.pipelines.relational import (  # noqa: E402
     ORACLE_SQL_RELATIONAL,
     customer_region_counts,
     events_distinct_users,
+    events_props_stats,
     events_sessions,
     lineitem_part_revenue,
     orders_by_segment,
@@ -555,6 +559,7 @@ QUERIES = {
     "lineitem_part_revenue": lineitem_part_revenue,
     "events_sessions": events_sessions,
     "events_distinct_users": events_distinct_users,
+    "events_props_stats": events_props_stats,
 }
 
 ORACLE_SQL = {

@@ -156,6 +156,36 @@ def events_sessions(sf_dir: str):
     )
 
 
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column per batch
+    (stdlib json inside map_batches — no driver-side loop) and aggregate the
+    extracted field per event type."""
+    import json
+
+    def extract(t: pa.Table) -> pa.Table:
+        ks = []
+        for p in t["props"].to_pylist():
+            try:
+                v = json.loads(p).get("k") if p else None
+            except (ValueError, AttributeError):
+                v = None
+            ks.append(v)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": pa.array(ks, type=pa.int64()),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"]).map_batches(
+        extract, batch_format="pyarrow"
+    )
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("k", alias_name="sum_k"),
+    )
+
+
 def events_distinct_users(sf_dir: str):
     """Count-distinct via shuffle (groupby user, count groups) — the
     distributed form; a driver-side set would not survive 10^12 rows."""
@@ -207,5 +237,10 @@ ORACLE_SQL_RELATIONAL = {
     """,
     "events_distinct_users": """
         SELECT count(DISTINCT user_id) AS n_users FROM events
+    """,
+    "events_props_stats": """
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type
     """,
 }

@@ -9,7 +9,7 @@ Physical plan: bucket keys are NOT grouped one-group-per-call (millions of
 tiny buckets ⇒ per-group Python overhead dominates). Instead rows are hash-
 partitioned into ``num_partitions`` coarse partitions (``pkey = mix(gkey) %
 P``) and each partition is processed by ONE vectorized numpy pass
-(:func:`make_partition_grouper`): lexsort by (gkey, url), group boundaries by
+(:func:`make_unified_partition_grouper`): lexsort by (gkey, url), group boundaries by
 run-length, star edges emitted via ``np.repeat`` — a Python loop touches only
 multi-member *candidate* buckets needing all-pairs verification.
 
@@ -37,7 +37,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from camden_ray.config import DedupConfig
 from camden_ray.functions.hashing import mix64
@@ -72,167 +71,31 @@ def _url_salts(urls: np.ndarray, num_salts: int) -> np.ndarray:
     )
 
 
-def _empty_group_out(verified: bool) -> pd.DataFrame:
-    cols = {
-        "key": pd.Series([], dtype="int64"),
-        "kind": pd.Series([], dtype="object"),
-        "a": pd.Series([], dtype="object"),
-        "b": pd.Series([], dtype="object"),
-        "est": pd.Series([], dtype="float64"),
-    }
-    if verified:
-        cols["vsig"] = pd.Series([], dtype="object")
-    return pd.DataFrame(cols)
-
-
-def make_partition_grouper(cfg: DedupConfig, verified: bool, emit_reps: bool):
-    """One-call-per-partition grouper: vectorized star edges over ALL buckets
-    in the partition.
-
-    verified=True  → rows carry a ``vsig`` binary column; an edge is kept when
-                     the signature-estimated Jaccard ≥ τ − margin. Buckets of
-                     ≤ ALLPAIRS_CAP members get exact all-pairs; larger
-                     (salt-capped) buckets get hub-star comparisons.
-    verified=False → bucket membership IS the dup criterion (exact digests,
-                     shared winnowed L-grams): est = 1.0, pure vectorized.
-    emit_reps      → salted sub-buckets additionally emit one ``rep`` row
-                     (hub url + its vsig) for the cross-salt linking pass.
-    """
-    tau = cfg.jaccard_threshold - cfg.verify_margin
-    vp = cfg.verify_perms
-
-    def grouper(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        if n == 0:
-            return _empty_group_out(verified)
-        gkeys = df["gkey"].to_numpy()
-        urls = df["url"].to_numpy()
-        order = np.lexsort((urls, gkeys))
-        gkeys = gkeys[order]
-        urls = urls[order]
-        keys = df["key"].to_numpy()[order]
-        salts = df["salt"].to_numpy()[order]
-
-        starts = np.flatnonzero(np.r_[True, gkeys[1:] != gkeys[:-1]])
-        sizes = np.diff(np.r_[starts, n])
-        hub_per_row = np.repeat(starts, sizes)  # index of each row's bucket hub
-
-        frames: list[pd.DataFrame] = []
-
-        if verified:
-            raw = df["vsig"].to_numpy()[order]
-            vs = np.frombuffer(b"".join(raw), dtype=np.uint64).reshape(n, vp)
-            # hub-star estimates for every non-hub row, one vectorized pass
-            member = np.flatnonzero(np.arange(n) != hub_per_row)
-            hubs = hub_per_row[member]
-            est = (vs[member] == vs[hubs]).mean(axis=1)
-            ok = est >= tau
-            # small buckets: exact all-pairs (covers pairs that disagree with
-            # the hub but agree with each other). Python loop touches ONLY
-            # multi-member buckets — these are actual candidate collisions,
-            # rare relative to rows.
-            aa2: list[str] = []
-            bb2: list[str] = []
-            ee2: list[float] = []
-            small = np.flatnonzero((sizes >= 3) & (sizes <= ALLPAIRS_CAP))
-            for gi in small:
-                lo = starts[gi]
-                hi = lo + sizes[gi]
-                gvs = vs[lo:hi]
-                pe = (gvs[:, None, :] == gvs[None, :, :]).mean(axis=2)
-                ii, jj = np.nonzero(np.triu(pe >= tau, k=1))
-                for i, j in zip(ii.tolist(), jj.tolist()):
-                    if i == 0:
-                        continue  # hub pairs already covered vectorized
-                    aa2.append(urls[lo + i])
-                    bb2.append(urls[lo + j])
-                    ee2.append(float(pe[i, j]))
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "key": np.r_[keys[member][ok], np.zeros(len(aa2), dtype=np.int64)],
-                        "kind": "edge",
-                        "a": np.r_[urls[hubs][ok], np.asarray(aa2, dtype=object)],
-                        "b": np.r_[urls[member][ok], np.asarray(bb2, dtype=object)],
-                        "est": np.r_[est[ok], np.asarray(ee2, dtype=np.float64)],
-                    }
-                )
-            )
-        else:
-            member = np.flatnonzero(np.arange(n) != hub_per_row)
-            hubs = hub_per_row[member]
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "key": keys[member],
-                        "kind": "edge",
-                        "a": urls[hubs],
-                        "b": urls[member],
-                        "est": 1.0,
-                    }
-                )
-            )
-
-        if emit_reps:
-            rep_idx = starts[salts[starts] >= 0]  # hubs of salted sub-buckets
-            if len(rep_idx):
-                rep = pd.DataFrame(
-                    {
-                        "key": keys[rep_idx],
-                        "kind": "rep",
-                        "a": urls[rep_idx],
-                        "b": "",
-                        "est": 0.0,
-                    }
-                )
-                if verified:
-                    rep["vsig"] = [bytes(raw[i]) for i in rep_idx]
-                frames.append(rep)
-
-        out = pd.concat(frames, ignore_index=True) if frames else None
-        if out is None or out.empty:
-            return _empty_group_out(verified)
-        if verified and "vsig" not in out.columns:
-            out["vsig"] = b""
-        elif verified:
-            out["vsig"] = out["vsig"].fillna(b"")
-        return out
-
-    return grouper
-
-
 def hot_bucket_keys(rows: "ray.data.Dataset", cfg: DedupConfig) -> frozenset[int]:
-    """Skew-detection pass: bucket keys with > bucket_cap members.
+    """Skew-detection pass: bucket keys likely above ``bucket_cap`` members.
 
-    Counts are pre-aggregated per batch (value_counts → (key, cnt) rows)
-    BEFORE the groupby shuffle, so the shuffle moves ~unique keys per batch,
-    not raw rows — the partial/combiner pattern of SURVEY.md §4.1.
+    Shuffle-free: a SEEDED row sample streams to the driver and keys whose
+    sampled count clears ``cap × frac / 2`` are flagged hot. Detection errors
+    are benign for correctness — salting a cold bucket merely splits it (the
+    rep pass re-links), and a missed slightly-hot bucket still groups
+    correctly since star emission is linear in bucket size — so sampling
+    trades nothing but load-balance precision for removing an entire
+    all-to-all count shuffle. The fixed seed keeps runs bit-reproducible.
+    (A truly-hot key — boilerplate shared by millions of rows — is hit by
+    any sample; shrink ``hot_sample_frac`` as the corpus grows.)
     """
-
-    def partial(t: pa.Table) -> pa.Table:
-        k = t["key"].to_numpy(zero_copy_only=False)
-        uniq, cnt = np.unique(k, return_counts=True)
-        return pa.table(
-            {
-                "key": pa.array(uniq, type=pa.int64()),
-                "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
-            }
-        )
-
-    sizes = (
-        rows.map_batches(partial, batch_format="pyarrow")
-        .groupby("key")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-    hot = sizes.map_batches(
-        lambda t: t.filter(pc.greater(t["cnt"], cfg.bucket_cap)).select(["key"]),
-        batch_format="pyarrow",
-    )
-    return frozenset(
-        int(k)
-        for batch in hot.iter_batches(batch_format="pyarrow")
-        for k in batch["key"].to_pylist()
-    )
+    frac = cfg.hot_sample_frac
+    threshold = max(2.0, cfg.bucket_cap * frac / 2.0)
+    sample = rows.select_columns(["key"]).random_sample(frac, seed=cfg.seed)
+    chunks = [
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in sample.iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    if not chunks:
+        return frozenset()
+    keys = np.concatenate(chunks)
+    uniq, cnt = np.unique(keys, return_counts=True)
+    return frozenset(int(k) for k in uniq[cnt >= threshold])
 
 
 def make_salter(hot_ref: "ray.ObjectRef", cfg: DedupConfig, num_partitions: int):
@@ -266,71 +129,6 @@ def make_salter(hot_ref: "ray.ObjectRef", cfg: DedupConfig, num_partitions: int)
         return out.append_column("pkey", pa.array(pkey, type=pa.int64()))
 
     return add_salt
-
-
-def salted_star_edges(
-    rows: "ray.data.Dataset",
-    cfg: DedupConfig,
-    method: str,
-    verified: bool,
-) -> "ray.data.Dataset":
-    """rows(key:int64, url:string[, vsig:binary]) → edges(a,b,est,method).
-
-    Three-phase skew-aware grouping:
-      1. partial-aggregated bucket-size pass → broadcast hot-key set;
-      2. salt hot rows, hash-partition on pkey, ONE vectorized grouping call
-         per partition (star-link within buckets, all-pairs verify for small
-         verified buckets), hot sub-buckets emit their hub as a ``rep`` row;
-      3. tiny second grouping over hot-bucket reps links sub-hubs (≤ num_salts
-         rows per hot key).
-    """
-    P = default_partitions(cfg)
-    hot_ref = ray.put(hot_bucket_keys(rows, cfg))
-
-    salted = rows.map_batches(make_salter(hot_ref, cfg, P), batch_format="pyarrow")
-    grouped = salted.groupby("pkey").map_groups(
-        make_partition_grouper(cfg, verified=verified, emit_reps=True),
-        batch_format="pandas",
-    )
-    # materialize: output is tiny (edges + reps) and is consumed twice below —
-    # without this the whole shuffle upstream would re-execute per consumer
-    grouped = grouped.materialize()
-
-    edges = grouped.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "edge")).select(["a", "b", "est"]),
-        batch_format="pyarrow",
-    )
-
-    # phase 3: link sub-bucket hubs of each hot bucket (≤ num_salts rows/key).
-    # rep rows are re-keyed on the ORIGINAL bucket key, salt=-1 (no re-salt);
-    # the rep population is tiny so a single partition suffices.
-    def rep_rows_fn(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["kind"], "rep"))
-        cols = {
-            "key": t["key"],
-            "url": t["a"],
-            "salt": pa.array([-1] * len(t), type=pa.int64()),
-            "gkey": t["key"],
-            "pkey": pa.array([0] * len(t), type=pa.int64()),
-        }
-        if "vsig" in t.column_names:
-            cols["vsig"] = t["vsig"]
-        return pa.table(cols)
-
-    rep_rows = grouped.map_batches(rep_rows_fn, batch_format="pyarrow")
-    rep_grouped = rep_rows.groupby("pkey").map_groups(
-        make_partition_grouper(cfg, verified=verified, emit_reps=False),
-        batch_format="pandas",
-    )
-    rep_edges = rep_grouped.map_batches(
-        lambda t: t.filter(pc.equal(t["kind"], "edge")).select(["a", "b", "est"]),
-        batch_format="pyarrow",
-    )
-
-    def stamp(t: pa.Table) -> pa.Table:
-        return t.append_column("method", pa.array([method] * len(t), type=pa.string()))
-
-    return edges.union(rep_edges).map_batches(stamp, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -575,10 +373,13 @@ def unified_star_edges(
     rows = sig_ds.map_batches(
         make_unified_star_expander(cfg), batch_format="pyarrow"
     )
-    hot_ref = ray.put(hot_bucket_keys(rows, cfg))
+    if cfg.materialize_candidate_rows:
+        rows = rows.materialize()  # expander runs once for both passes below
+    hot_keys = hot_bucket_keys(rows, cfg)
+    hot_ref = ray.put(hot_keys)
     salted = rows.map_batches(make_salter(hot_ref, cfg, P), batch_format="pyarrow")
     grouped = salted.groupby("pkey").map_groups(
-        make_unified_partition_grouper(cfg, emit_reps=True),
+        make_unified_partition_grouper(cfg, emit_reps=bool(hot_keys)),
         batch_format="pandas",
     )
     grouped = grouped.materialize()
@@ -594,6 +395,8 @@ def unified_star_edges(
         )
 
     edges = grouped.map_batches(stamp, batch_format="pyarrow")
+    if not hot_keys:
+        return edges  # no skew detected → no salted sub-buckets to re-link
 
     def rep_rows_fn(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["kind"], "rep"))
@@ -616,72 +419,6 @@ def unified_star_edges(
     )
     rep_edges = rep_grouped.map_batches(stamp, batch_format="pyarrow")
     return edges.union(rep_edges)
-
-
-# ---------------------------------------------------------------------------
-# Branch row builders (signature table → keyed candidate rows)
-# ---------------------------------------------------------------------------
-
-
-def exact_rows(sig_ds: "ray.data.Dataset") -> "ray.data.Dataset":
-    """(digest, url) rows for exact dedup (camden G1 at row granularity)."""
-
-    def build(t: pa.Table) -> pa.Table:
-        return pa.table({"key": t["digest"], "url": t["url"]})
-
-    return sig_ds.map_batches(build, batch_format="pyarrow")
-
-
-def make_band_expander(cfg: DedupConfig):
-    """sig table → LSH band rows: 1 doc → num_bands rows (key, url, vsig)."""
-    from camden_ray.functions.hashing import band_hashes
-
-    nb = cfg.num_bands
-    npms = cfg.num_perms
-    vp = cfg.verify_perms
-
-    def expand(t: pa.Table) -> pa.Table:
-        n = len(t)
-        if n == 0:
-            return pa.table(
-                {
-                    "key": pa.array([], type=pa.int64()),
-                    "url": pa.array([], type=pa.string()),
-                    "vsig": pa.array([], type=pa.binary()),
-                }
-            )
-        sig_col = t["sig"].to_pylist()
-        sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint64).reshape(n, npms)
-        bh = band_hashes(sigs, nb)  # (n, nb)
-        # fold the band index into the key so ONE int64 groupby key suffices
-        band_salt = mix64((np.arange(nb, dtype=np.uint64) + np.uint64(1)) * _SALT_MIX)
-        keys = mix64(bh ^ band_salt[None, :]).reshape(-1)
-        urls = t["url"].to_pylist()
-        vsig = [s[: vp * 8] for s in sig_col]
-        return pa.table(
-            {
-                "key": pa.array(keys.view(np.int64), type=pa.int64()),
-                "url": pa.array(np.repeat(urls, nb), type=pa.string()),
-                "vsig": pa.array([vsig[i] for i in range(n) for _ in range(nb)], type=pa.binary()),
-            }
-        )
-
-    return expand
-
-
-def make_lgram_expander(cfg: DedupConfig):
-    """sig table → substring candidate rows: one row per winnowed L-gram."""
-
-    def expand(t: pa.Table) -> pa.Table:
-        lg = t["lgrams"]
-        if isinstance(lg, pa.ChunkedArray):
-            lg = lg.combine_chunks()
-        flat = lg.flatten()
-        parent = lg.value_parent_indices()
-        urls = t["url"].take(parent)
-        return pa.table({"key": flat, "url": urls})
-
-    return expand
 
 
 def make_simhash_expander(cfg: DedupConfig):
