@@ -169,7 +169,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
-    ap.add_argument("--fixture-n", type=int, default=20_000)
+    ap.add_argument("--fixture-n", type=int, default=100_000)
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument(
         "--headline-only",
@@ -217,7 +217,7 @@ def scaling_main(args) -> int:
     hypervisor CPU-steal variance between identical runs).
     """
     lo_cpus, hi_cpus = 8, 32
-    n = args.fixture_n if args.fixture_n != 20_000 else 100_000
+    n = args.fixture_n if args.fixture_n != 100_000 else 1_200_000
     fixture_dir = bench_fixture_dir(n)  # pre-generate ONCE
     repeats = 2
 

@@ -483,7 +483,13 @@ def doc_ngram_jaccard_pairs(sf_dir: str):
     cfg = DedupConfig(jaccard_threshold=0.30, verify_margin=0.15, methods=("minhash",))
     docs = _documents_as_webtext(sf_dir).materialize()
     sig = signature_table(docs, cfg, extract=False).materialize()
-    cand = build_edges(sig, cfg).materialize()
+    # distinct (a, b): the same pair surfaces once per colliding LSH band
+    cand = (
+        build_edges(sig, cfg)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_bands"))
+        .materialize()
+    )
 
     texts = {
         u: t

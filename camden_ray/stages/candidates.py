@@ -184,6 +184,12 @@ def make_unified_star_expander(cfg: DedupConfig):
             sig_col = t["sig"].to_pylist()
             sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint64).reshape(n, npms)
             bh = band_hashes(sigs, nb)  # (n, nb)
+            # verification sketch: low byte of each of the first vp minhash
+            # components. A 1-byte component only inflates the agreement
+            # estimate by ~1/256 per disagreeing slot (negligible vs the
+            # sampling noise of vp slots) and shrinks the dominant shuffle
+            # payload 8x vs shipping full u64 components.
+            qs = (sigs[:, :vp] & np.uint64(0xFF)).astype(np.uint8).tobytes()
             band_salt = mix64(
                 (np.arange(nb, dtype=np.uint64) + np.uint64(1)) * _SALT_MIX
             )
@@ -192,7 +198,7 @@ def make_unified_star_expander(cfg: DedupConfig):
             urls_parts.append(
                 url_col.take(np.repeat(np.arange(n), nb))
             )
-            vsig = [s[: vp * 8] for s in sig_col]
+            vsig = [qs[i * vp : (i + 1) * vp] for i in range(n)]
             vsig_parts.append([vsig[i] for i in range(n) for _ in range(nb)])
             branch_parts.append(np.ones(n * nb, dtype=np.int32))
 
@@ -232,84 +238,138 @@ def make_unified_star_expander(cfg: DedupConfig):
     return expand
 
 
+def _binary_matrix(arr: "pa.Array", width: int) -> np.ndarray:
+    """Fixed-width BinaryArray → (n, width) uint8 matrix, zero-copy from
+    the Arrow data buffer (no per-cell Python bytes objects)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, width), dtype=np.uint8)
+    buf = arr.buffers()[2]
+    off = arr.offset * width
+    data = np.frombuffer(buf, dtype=np.uint8, count=n * width, offset=off)
+    return data.reshape(n, width)
+
+
+def _empty_grouped_table() -> pa.Table:
+    return pa.table(
+        {
+            "key": pa.array([], type=pa.int64()),
+            "kind": pa.array([], type=pa.string()),
+            "a": pa.array([], type=pa.string()),
+            "b": pa.array([], type=pa.string()),
+            "est": pa.array([], type=pa.float64()),
+            "branch": pa.array([], type=pa.int32()),
+            "vsig": pa.array([], type=pa.binary()),
+        }
+    )
+
+
 def make_unified_partition_grouper(cfg: DedupConfig, emit_reps: bool):
-    """Partition grouper over mixed-branch rows: splits the partition into
-    verified (minhash) and unverified (exact/substring) row sets — branch ids
-    are baked into the keys, so a bucket is always branch-pure — and runs the
-    same vectorized star-edge passes as :func:`make_partition_grouper`.
+    """Partition grouper over mixed-branch rows (buckets are branch-pure —
+    branch ids are baked into the keys).
+
+    Arrow-native hot path: within-partition ordering via ``pc.sort_indices``
+    + ``take`` (C), group boundaries and star-edge index math in numpy over
+    zero-copy int columns, verification signatures reinterpreted straight
+    from the Arrow binary buffer (:func:`_binary_matrix`), and url strings
+    only ever gathered by ``take`` for the (few) emitted edges — the 18M-row
+    partition input never materializes a Python object per cell (the
+    pandas-based predecessor spent ~70% of its time doing exactly that).
 
     Output adds a ``branch`` column so edges can be method-stamped after the
     shuffle.
     """
     tau = cfg.jaccard_threshold - cfg.verify_margin
     vp = cfg.verify_perms
+    vw = vp  # vsig byte width: 1 quantized byte per verification component
 
-    def one_side(df: pd.DataFrame, verified: bool) -> list[pd.DataFrame]:
-        n = len(df)
+    def grouper(t: pa.Table) -> pa.Table:
+        n = len(t)
         if n == 0:
-            return []
-        gkeys = df["gkey"].to_numpy()
-        urls = df["url"].to_numpy()
-        order = np.lexsort((urls, gkeys))
-        gkeys = gkeys[order]
-        urls = urls[order]
-        keys = df["key"].to_numpy()[order]
-        salts = df["salt"].to_numpy()[order]
-        branches = df["branch"].to_numpy()[order]
-        starts = np.flatnonzero(np.r_[True, gkeys[1:] != gkeys[:-1]])
+            return _empty_grouped_table()
+        order = pc.sort_indices(
+            t, sort_keys=[("gkey", "ascending"), ("url", "ascending")]
+        )
+        t = t.take(order).combine_chunks()
+        g = t["gkey"].to_numpy()
+        keys = t["key"].to_numpy()
+        salts = t["salt"].to_numpy()
+        branch = t["branch"].to_numpy()
+        urls = t["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
         sizes = np.diff(np.r_[starts, n])
         hub_per_row = np.repeat(starts, sizes)
-        member = np.flatnonzero(np.arange(n) != hub_per_row)
-        hubs = hub_per_row[member]
-        frames: list[pd.DataFrame] = []
+        is_member = np.arange(n) != hub_per_row
 
-        if verified:
-            raw = df["vsig"].to_numpy()[order]
-            vs = np.frombuffer(b"".join(raw), dtype=np.uint64).reshape(n, vp)
-            est = (vs[member] == vs[hubs]).mean(axis=1)
+        # --- verified (minhash) rows: est vs bucket hub --------------------
+        vmask = branch == 1
+        a_parts: list[np.ndarray] = []   # hub/src row indices
+        b_parts: list[np.ndarray] = []   # member/dst row indices
+        est_parts: list[np.ndarray] = []
+
+        if vmask.any():
+            vidx = np.cumsum(vmask) - 1  # row index → minhash-subset index
+            vs = _binary_matrix(t["vsig"].filter(pa.array(vmask)), vw)
+            vm = np.flatnonzero(is_member & vmask)
+            vh = hub_per_row[vm]
+            est = (vs[vidx[vm]] == vs[vidx[vh]]).mean(axis=1)
             ok = est >= tau
-            aa2: list[str] = []
-            bb2: list[str] = []
+            a_parts.append(vh[ok])
+            b_parts.append(vm[ok])
+            est_parts.append(est[ok])
+            # small buckets: exact all-pairs (pairs agreeing with each other
+            # but not the hub). Python loop touches only multi-member
+            # verified buckets — actual candidate collisions, rare vs rows.
+            small = np.flatnonzero(
+                (sizes >= 3) & (sizes <= ALLPAIRS_CAP) & vmask[starts]
+            )
+            aa2: list[int] = []
+            bb2: list[int] = []
             ee2: list[float] = []
-            br2: list[int] = []
-            small = np.flatnonzero((sizes >= 3) & (sizes <= ALLPAIRS_CAP))
             for gi in small:
                 lo = starts[gi]
-                hi = lo + sizes[gi]
-                gvs = vs[lo:hi]
+                gvs = vs[vidx[lo] : vidx[lo] + sizes[gi]]
                 pe = (gvs[:, None, :] == gvs[None, :, :]).mean(axis=2)
                 ii, jj = np.nonzero(np.triu(pe >= tau, k=1))
                 for i, j in zip(ii.tolist(), jj.tolist()):
                     if i == 0:
-                        continue
-                    aa2.append(urls[lo + i])
-                    bb2.append(urls[lo + j])
+                        continue  # hub pairs covered vectorized above
+                    aa2.append(lo + i)
+                    bb2.append(lo + j)
                     ee2.append(float(pe[i, j]))
-                    br2.append(int(branches[lo]))
-            frames.append(
-                pd.DataFrame(
+            if aa2:
+                a_parts.append(np.asarray(aa2, dtype=np.int64))
+                b_parts.append(np.asarray(bb2, dtype=np.int64))
+                est_parts.append(np.asarray(ee2, dtype=np.float64))
+
+        # --- unverified (exact / substring): membership IS the criterion ---
+        um = np.flatnonzero(is_member & ~vmask)
+        if len(um):
+            a_parts.append(hub_per_row[um])
+            b_parts.append(um)
+            est_parts.append(np.ones(len(um), dtype=np.float64))
+
+        tables: list[pa.Table] = []
+        if a_parts:
+            ai = np.concatenate(a_parts)
+            bi = np.concatenate(b_parts)
+            ee = np.concatenate(est_parts)
+            ne = len(ai)
+            tables.append(
+                pa.table(
                     {
-                        "key": np.r_[keys[member][ok], np.zeros(len(aa2), dtype=np.int64)],
-                        "kind": "edge",
-                        "a": np.r_[urls[hubs][ok], np.asarray(aa2, dtype=object)],
-                        "b": np.r_[urls[member][ok], np.asarray(bb2, dtype=object)],
-                        "est": np.r_[est[ok], np.asarray(ee2, dtype=np.float64)],
-                        "branch": np.r_[
-                            branches[member][ok], np.asarray(br2, dtype=np.int32)
-                        ].astype(np.int32),
-                    }
-                )
-            )
-        else:
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "key": keys[member],
-                        "kind": "edge",
-                        "a": urls[hubs],
-                        "b": urls[member],
-                        "est": 1.0,
-                        "branch": branches[member],
+                        "key": pa.array(keys[bi], type=pa.int64()),
+                        "kind": pa.array(["edge"] * ne, type=pa.string()),
+                        "a": urls.take(pa.array(ai)),
+                        "b": urls.take(pa.array(bi)),
+                        "est": pa.array(ee, type=pa.float64()),
+                        "branch": pa.array(branch[bi], type=pa.int32()),
+                        "vsig": pa.array([b""] * ne, type=pa.binary()),
                     }
                 )
             )
@@ -317,46 +377,27 @@ def make_unified_partition_grouper(cfg: DedupConfig, emit_reps: bool):
         if emit_reps:
             rep_idx = starts[salts[starts] >= 0]
             if len(rep_idx):
-                rep = pd.DataFrame(
-                    {
-                        "key": keys[rep_idx],
-                        "kind": "rep",
-                        "a": urls[rep_idx],
-                        "b": "",
-                        "est": 0.0,
-                        "branch": branches[rep_idx],
-                    }
+                ri = pa.array(rep_idx)
+                tables.append(
+                    pa.table(
+                        {
+                            "key": pa.array(keys[rep_idx], type=pa.int64()),
+                            "kind": pa.array(["rep"] * len(rep_idx), type=pa.string()),
+                            "a": urls.take(ri),
+                            "b": pa.array([""] * len(rep_idx), type=pa.string()),
+                            "est": pa.array(
+                                np.zeros(len(rep_idx)), type=pa.float64()
+                            ),
+                            "branch": pa.array(branch[rep_idx], type=pa.int32()),
+                            "vsig": t["vsig"].take(ri),
+                        }
+                    )
                 )
-                if verified:
-                    rep["vsig"] = [bytes(raw[i]) for i in rep_idx]
-                frames.append(rep)
-        return frames
 
-    def grouper(df: pd.DataFrame) -> pd.DataFrame:
-        is_min = df["branch"].to_numpy() == 1
-        frames = one_side(df[is_min], verified=True) + one_side(
-            df[~is_min], verified=False
-        )
-        frames = [f for f in frames if len(f)]
-        if not frames:
-            return pd.DataFrame(
-                {
-                    "key": pd.Series([], dtype="int64"),
-                    "kind": pd.Series([], dtype="object"),
-                    "a": pd.Series([], dtype="object"),
-                    "b": pd.Series([], dtype="object"),
-                    "est": pd.Series([], dtype="float64"),
-                    "branch": pd.Series([], dtype="int32"),
-                    "vsig": pd.Series([], dtype="object"),
-                }
-            )
-        out = pd.concat(frames, ignore_index=True)
-        if "vsig" not in out.columns:
-            out["vsig"] = b""
-        else:
-            out["vsig"] = out["vsig"].fillna(b"")
-        out["branch"] = out["branch"].astype(np.int32)
-        return out
+        if not tables:
+            return _empty_grouped_table()
+        out = pa.concat_tables(tables)
+        return out.cast(_empty_grouped_table().schema)
 
     return grouper
 
@@ -380,7 +421,7 @@ def unified_star_edges(
     salted = rows.map_batches(make_salter(hot_ref, cfg, P), batch_format="pyarrow")
     grouped = salted.groupby("pkey").map_groups(
         make_unified_partition_grouper(cfg, emit_reps=bool(hot_keys)),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     grouped = grouped.materialize()
 
@@ -415,7 +456,7 @@ def unified_star_edges(
     rep_rows = grouped.map_batches(rep_rows_fn, batch_format="pyarrow")
     rep_grouped = rep_rows.groupby("pkey").map_groups(
         make_unified_partition_grouper(cfg, emit_reps=False),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     rep_edges = rep_grouped.map_batches(stamp, batch_format="pyarrow")
     return edges.union(rep_edges)
@@ -452,11 +493,14 @@ def make_simhash_expander(cfg: DedupConfig):
                     keys[:, i * B + j] = mix64(
                         (block << np.uint64(20)) ^ sub ^ (tbl * _SALT_MIX)
                     )
-        urls = t["url"].to_pylist()
+        url_col = t["url"]
+        if isinstance(url_col, pa.ChunkedArray):
+            url_col = url_col.combine_chunks()
+        rep_idx = np.repeat(np.arange(n, dtype=np.int64), B * B)
         return pa.table(
             {
                 "key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
-                "url": pa.array(np.repeat(urls, B * B), type=pa.string()),
+                "url": url_col.take(pa.array(rep_idx)),
                 "simhash": pa.array(np.repeat(sh.view(np.int64), B * B), type=pa.int64()),
             }
         )
@@ -475,8 +519,10 @@ def hamming_matrix(v: np.ndarray) -> np.ndarray:
 
 def make_simhash_partition_grouper(cfg: DedupConfig):
     """One-call-per-partition simhash grouper: pairwise Hamming ≤ radius
-    within each pigeonhole bucket; Python loop touches only multi-member
-    buckets (actual pigeonhole collisions).
+    within each pigeonhole bucket. Arrow-native like the unified grouper:
+    C-speed sort/take, numpy over zero-copy int columns, urls gathered only
+    for emitted pairs; the Python loop touches only multi-member buckets
+    (actual pigeonhole collisions).
 
     Buckets above ``simhash_group_cap`` are chunked after sorting by simhash
     value (documented approximation: cross-chunk pairs in oversized buckets
@@ -486,50 +532,61 @@ def make_simhash_partition_grouper(cfg: DedupConfig):
     cap = cfg.simhash_group_cap
     bits = float(cfg.simhash_bits)
 
-    def grouper(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        empty = pd.DataFrame(
+    def grouper(t: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                "a": pd.Series([], dtype="object"),
-                "b": pd.Series([], dtype="object"),
-                "est": pd.Series([], dtype="float64"),
+                "a": pa.array([], type=pa.string()),
+                "b": pa.array([], type=pa.string()),
+                "est": pa.array([], type=pa.float64()),
             }
         )
+        n = len(t)
         if n < 2:
             return empty
-        gkeys = df["gkey"].to_numpy()
-        urls = df["url"].to_numpy()
-        shs = df["simhash"].to_numpy()
-        order = np.lexsort((urls, shs, gkeys))
-        gkeys, urls, shs = gkeys[order], urls[order], shs[order].view(np.uint64)
-        starts = np.flatnonzero(np.r_[True, gkeys[1:] != gkeys[:-1]])
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("gkey", "ascending"),
+                ("simhash", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        t = t.take(order).combine_chunks()
+        g = t["gkey"].to_numpy()
+        shs = t["simhash"].to_numpy().view(np.uint64)
+        urls = t["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
         sizes = np.diff(np.r_[starts, n])
 
-        aa: list[str] = []
-        bb: list[str] = []
-        ests: list[float] = []
+        ii_all: list[np.ndarray] = []
+        jj_all: list[np.ndarray] = []
+        hv_all: list[np.ndarray] = []
         for gi in np.flatnonzero(sizes >= 2):
-            s0 = starts[gi]
-            gn = sizes[gi]
+            s0 = int(starts[gi])
+            gn = int(sizes[gi])
             for lo in range(s0, s0 + gn, cap):
-                chunk = slice(lo, min(s0 + gn, lo + cap))
-                hv = hamming_matrix(shs[chunk])
-                ii, jj = np.nonzero(np.triu(hv <= radius, k=1))
-                cu = urls[chunk]
-                for i, j in zip(ii.tolist(), jj.tolist()):
-                    x, y = cu[i], cu[j]
-                    if y < x:
-                        x, y = y, x
-                    aa.append(x)
-                    bb.append(y)
-                    ests.append(1.0 - float(hv[i, j]) / bits)
-        if not aa:
+                hi = min(s0 + gn, lo + cap)
+                hv = hamming_matrix(shs[lo:hi])
+                ci, cj = np.nonzero(np.triu(hv <= radius, k=1))
+                if len(ci):
+                    ii_all.append(ci.astype(np.int64) + lo)
+                    jj_all.append(cj.astype(np.int64) + lo)
+                    hv_all.append(hv[ci, cj])
+        if not ii_all:
             return empty
-        return pd.DataFrame(
+        ii = np.concatenate(ii_all)
+        jj = np.concatenate(jj_all)
+        hv = np.concatenate(hv_all).astype(np.float64)
+        ua = urls.take(pa.array(ii))
+        ub = urls.take(pa.array(jj))
+        # canonical a < b ordering without touching Python strings
+        return pa.table(
             {
-                "a": pd.Series(aa, dtype="object"),
-                "b": pd.Series(bb, dtype="object"),
-                "est": pd.Series(ests, dtype="float64"),
+                "a": pc.min_element_wise(ua, ub),
+                "b": pc.max_element_wise(ua, ub),
+                "est": pa.array(1.0 - hv / bits, type=pa.float64()),
             }
         )
 
@@ -549,7 +606,7 @@ def simhash_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dat
     grouped = (
         rows.map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
-        .map_groups(make_simhash_partition_grouper(cfg), batch_format="pandas")
+        .map_groups(make_simhash_partition_grouper(cfg), batch_format="pyarrow")
     )
 
     def stamp(t: pa.Table) -> pa.Table:

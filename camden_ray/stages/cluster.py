@@ -70,18 +70,26 @@ def unionfind_assignments(edges: "ray.data.Dataset") -> dict[str, str]:
     ~10× the throughput of a dict-based union-find at millions of edges.
     """
     import numpy as np
+    import pyarrow.compute as pc
 
-    a_parts: list[np.ndarray] = []
-    b_parts: list[np.ndarray] = []
+    a_parts = []
+    b_parts = []
     for batch in edges.iter_batches(batch_size=262144, batch_format="pyarrow"):
-        a_parts.append(np.asarray(batch["a"].to_pylist(), dtype=object))
-        b_parts.append(np.asarray(batch["b"].to_pylist(), dtype=object))
+        a_parts.append(batch["a"])
+        b_parts.append(batch["b"])
     if not a_parts or sum(map(len, a_parts)) == 0:
         return {}
-    a = np.concatenate(a_parts)
-    b = np.concatenate(b_parts)
-    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    ei, ej = inv[: len(a)], inv[len(a) :]
+    # node ids via Arrow C kernels (hash-unique + sort), then remap to
+    # lexicographic ranks so min-id ≡ min-url — no Python-object sort
+    both = pa.chunked_array(a_parts + b_parts).combine_chunks()
+    uniq = both.unique()
+    rank_of = np.empty(len(uniq), dtype=np.int64)
+    rank_of[pc.sort_indices(uniq).to_numpy()] = np.arange(len(uniq))
+    idx = pc.index_in(both, value_set=uniq).to_numpy(zero_copy_only=False)
+    inv = rank_of[idx]
+    nodes = np.asarray(uniq.take(pc.sort_indices(uniq)).to_pylist(), dtype=object)
+    n_edges = len(both) // 2
+    ei, ej = inv[:n_edges], inv[n_edges:]
     lab = np.arange(len(nodes))
     while True:
         old = lab
