@@ -73,7 +73,12 @@ class DedupConfig:
     shuffle_partitions: int = 0   # 0 = let Ray Data choose
 
     # --- clustering ---
-    driver_unionfind_max_edges: int = 5_000_000  # above this, distributed hash-to-min
+    # Above this, clustering switches to distributed hash-to-min label
+    # propagation. The driver path is vectorized numpy/Arrow (~7M edges in
+    # ~13s, ~6 GB per 100M edges), so the bar sits where driver memory — not
+    # CPU — becomes the limit; the distributed path exists for the 10^12-row
+    # regime where edges themselves are object-store-scale.
+    driver_unionfind_max_edges: int = 50_000_000
     methods: tuple[str, ...] = ("exact", "minhash", "simhash", "substring")
 
     def __post_init__(self) -> None:
