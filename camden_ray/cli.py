@@ -75,7 +75,10 @@ def parse_args(argv: list[str]) -> tuple[str, str | None, DedupConfig, argparse.
     parser = build_parser()
     try:
         args = parser.parse_args(argv)
-    except SystemExit as e:  # argparse exits on unknown flags — surface as error
+    except SystemExit as e:
+        if e.code == 0:  # -h/--help: argparse printed usage; clean exit, not an error
+            raise
+        # unknown flags / bad values — surface as CliError (camden cli.rs:20-24)
         raise CliError(f"invalid arguments: {argv}") from e
 
     inp = args.input_flag or args.input

@@ -44,6 +44,14 @@ def _cents(arr, scale: int = 100):
     )
 
 
+def _fp_round(v: np.ndarray, scale: int = 100_000) -> np.ndarray:
+    """double → fixed-point int64 with DuckDB's rounding (half AWAY from
+    zero; numpy's round is half-to-even, which mismatches oracles on
+    boundary values — same reason common.cents() pins the round mode)."""
+    v = v * scale
+    return np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
+
+
 def _md5_col(t: pa.Table, col: str, out: str = "digest") -> pa.Table:
     vals = t[col].to_pylist()
     digs = [hashlib.md5((v or "").encode()).hexdigest() for v in vals]
@@ -233,24 +241,23 @@ def lineitem_pricing(sf_dir: str):
     shuffle (SURVEY.md §4.1 'pre-aggregate inside map_batches')."""
 
     def partial(t: pa.Table) -> pa.Table:
-        qty_c = _cents(t["l_quantity"])
-        price_c = _cents(t["l_extendedprice"])
         tmp = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
-                "qty_c": qty_c,
-                "price_c": price_c,
+                "qty_c": _cents(t["l_quantity"]),
+                "price_c": _cents(t["l_extendedprice"]),
             }
         )
-        df = tmp.to_pandas()
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(sum_qty_cents=("qty_c", "sum"),
-                 sum_price_cents=("price_c", "sum"),
-                 count_order=("qty_c", "size"))
+        # pure-Arrow partial aggregate (pa.TableGroupBy): no pandas detour,
+        # no per-cell Python objects inside the hot per-batch combiner
+        g = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("qty_c", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_cents", "sum_price_cents",
+             "count_order"]
+        )
 
     ds = _read(
         sf_dir, "lineitem",
@@ -276,8 +283,12 @@ def knn_brute_force(sf_dir: str):
     """
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    qrow = tbl.filter(pc.equal(tbl["vec_id"], 0))
+    # row-group-pruned point read: only row groups whose vec_id stats can
+    # contain 0 are decoded — never the whole table for one query row
+    qrow = pq.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
     q = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
     q /= np.linalg.norm(q)
     q_ref = ray.put(q)
@@ -288,7 +299,7 @@ def knn_brute_force(sf_dir: str):
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
         cos = (emb @ qv) / norms
-        cos_fp = np.round(cos * 100_000).astype(np.int64)
+        cos_fp = _fp_round(cos)
         out = pa.table(
             {"vec_id": t["vec_id"], "cos_fp": pa.array(cos_fp, type=pa.int64())}
         )
@@ -311,11 +322,14 @@ def knn_lsh(sf_dir: str):
 
     n_rows = pq.read_metadata(_t(sf_dir, "embeddings")).num_rows
     bits = max(4, int(np.log2(max(2, n_rows / 64))))
-    tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    dim = len(tbl["embedding"][0])
+    qrow = pq.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    dim = len(qrow["embedding"][0])
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((dim, bits))
-    q = np.array(tbl.filter(pc.equal(tbl["vec_id"], 0))["embedding"][0].as_py())
+    q = np.array(qrow.filter(pc.equal(qrow["vec_id"], 0))["embedding"][0].as_py())
     q = q / np.linalg.norm(q)
     qsig = int(((q @ planes) > 0) @ (1 << np.arange(bits)))
     probe = {qsig} | {qsig ^ (1 << b) for b in range(bits)}
@@ -332,7 +346,7 @@ def knn_lsh(sf_dir: str):
                              "cos_fp": pa.array([], type=pa.int64())})
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
-        cos_fp = np.round((emb @ qv) / norms * 100_000).astype(np.int64)
+        cos_fp = _fp_round((emb @ qv) / norms)
         idx = np.argsort(-cos_fp, kind="stable")[:10]
         return pa.table({"vec_id": pa.array(ids[idx], type=pa.int64()),
                          "cos_fp": pa.array(cos_fp[idx], type=pa.int64())})
@@ -415,7 +429,7 @@ def embedding_near_dup(sf_dir: str):
         be = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         bn = np.linalg.norm(be, axis=1, keepdims=True)
         bn[bn == 0] = 1.0
-        cos_fp = np.round((be / bn) @ En.T * 100_000).astype(np.int64)
+        cos_fp = _fp_round((be / bn) @ En.T)
         ii, jj = np.nonzero((cos_fp >= tau_fp) & (bid[:, None] < all_ids[None, :]))
         return pa.table(
             {

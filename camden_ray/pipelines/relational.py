@@ -41,20 +41,23 @@ def orders_by_segment(sf_dir: str):
     custkey→segment dict, read zero-copy from the local object store by every
     map task.
     """
+    import pyarrow.compute as pc
+
     cust = pq.read_table(
         table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
     )
-    seg_map = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    # broadcast the two Arrow arrays, not a Python dict: the lookup inside
+    # each task is then pc.index_in + take (C kernels, no per-row dict gets)
+    seg_ref = ray.put(
+        (cust["c_custkey"].combine_chunks(), cust["c_mktsegment"].combine_chunks())
     )
-    seg_ref = ray.put(seg_map)
 
     def add_segment(t: pa.Table) -> pa.Table:
-        m = ray.get(seg_ref)
-        segs = [m.get(k) for k in t["o_custkey"].to_pylist()]
+        keys, vals = ray.get(seg_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=keys)
         return pa.table(
             {
-                "c_mktsegment": pa.array(segs, type=pa.string()),
+                "c_mktsegment": vals.take(idx),
                 "price_cents": cents(t["o_totalprice"]),
             }
         )
@@ -76,14 +79,20 @@ def customer_region_counts(sf_dir: str):
     region = pq.read_table(
         table_path(sf_dir, "region"), columns=["r_regionkey", "r_name"]
     )
-    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
-    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    import pyarrow.compute as pc
+
+    # pre-compose nation→region-name on the driver (both dims are tiny),
+    # broadcast as Arrow arrays; per-task lookup is index_in + take
+    nkeys = nation["n_nationkey"].combine_chunks()
+    nreg = nation["n_regionkey"].combine_chunks()
+    ridx = pc.index_in(nreg, value_set=region["r_regionkey"].combine_chunks())
+    n2name = region["r_name"].combine_chunks().take(ridx)
+    lookup_ref = ray.put((nkeys, n2name))
 
     def add_region(t: pa.Table) -> pa.Table:
-        m = ray.get(lookup_ref)
-        names = [m.get(k) for k in t["c_nationkey"].to_pylist()]
-        return pa.table({"r_name": pa.array(names, type=pa.string())})
+        keys, names = ray.get(lookup_ref)
+        idx = pc.index_in(t["c_nationkey"], value_set=keys)
+        return pa.table({"r_name": names.take(idx)})
 
     ds = read_table(sf_dir, "customer", columns=["c_nationkey"])
     return ds.map_batches(add_region, batch_format="pyarrow").groupby(
@@ -126,7 +135,10 @@ def events_sessions(sf_dir: str):
     (sort by (user_id, ts, event_id), gap/user-change breaks via diff,
     session ids via cumsum, groupby-agg min/count).
     """
-    P = 32
+    from camden_ray.config import DedupConfig
+    from camden_ray.stages.candidates import default_partitions
+
+    P = default_partitions(DedupConfig())  # scales with cluster CPUs
     gap = np.timedelta64(SESSION_GAP_MIN, "m")
 
     def add_pkey(t: pa.Table) -> pa.Table:

@@ -181,8 +181,9 @@ def make_unified_star_expander(cfg: DedupConfig):
             branch_parts.append(np.zeros(n, dtype=np.int32))
 
         if "minhash" in methods and n:
-            sig_col = t["sig"].to_pylist()
-            sigs = np.frombuffer(b"".join(sig_col), dtype=np.uint64).reshape(n, npms)
+            # reinterpret the Arrow binary buffer directly — no per-row
+            # Python bytes objects (same zero-copy trick as _binary_matrix)
+            sigs = _binary_matrix(t["sig"], npms * 8).view(np.uint64)
             bh = band_hashes(sigs, nb)  # (n, nb)
             # verification sketch: low byte of each of the first vp minhash
             # components. A 1-byte component only inflates the agreement
@@ -246,9 +247,18 @@ def _binary_matrix(arr: "pa.Array", width: int) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty((0, width), dtype=np.uint8)
+    offsets = arr.buffers()[1]
+    starts = np.frombuffer(offsets, dtype=np.int32, count=n + 1, offset=arr.offset * 4)
+    if starts[-1] - starts[0] != n * width:
+        # mixed-width values (e.g. a cross-branch key collision placed an
+        # empty vsig among minhash rows): safe per-value path, zero-padded
+        out = np.zeros((n, width), dtype=np.uint8)
+        for i, v in enumerate(arr.to_pylist()):
+            b = np.frombuffer(v or b"", dtype=np.uint8)[:width]
+            out[i, : len(b)] = b
+        return out
     buf = arr.buffers()[2]
-    off = arr.offset * width
-    data = np.frombuffer(buf, dtype=np.uint8, count=n * width, offset=off)
+    data = np.frombuffer(buf, dtype=np.uint8, count=n * width, offset=int(starts[0]))
     return data.reshape(n, width)
 
 

@@ -80,8 +80,10 @@ def unionfind_assignments(edges: "ray.data.Dataset") -> dict[str, str]:
     if not a_parts or sum(map(len, a_parts)) == 0:
         return {}
     # node ids via Arrow C kernels (hash-unique + sort), then remap to
-    # lexicographic ranks so min-id ≡ min-url — no Python-object sort
-    both = pa.chunked_array(a_parts + b_parts).combine_chunks()
+    # lexicographic ranks so min-id ≡ min-url — no Python-object sort.
+    # large_string: 100M+ urls of realistic length overflow the 2 GiB int32
+    # string-offset limit of combine_chunks on plain string arrays.
+    both = pc.cast(pa.chunked_array(a_parts + b_parts), pa.large_string()).combine_chunks()
     uniq = both.unique()
     rank_of = np.empty(len(uniq), dtype=np.int64)
     rank_of[pc.sort_indices(uniq).to_numpy()] = np.arange(len(uniq))

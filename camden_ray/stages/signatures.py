@@ -68,15 +68,27 @@ class SignatureActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         if self._extractor is not None:
+            # identical semantics to the standalone HtmlExtractorActor
+            # (asserted by tests/test_extract.py::test_fused_equals_standalone):
+            # null html keeps any existing text (else ""), parser exceptions
+            # fall back to "" instead of killing the pipeline.
             htmls = batch.column("html").to_pylist()
+            existing = (
+                batch.column("text").to_pylist()
+                if "text" in batch.column_names
+                else [None] * len(htmls)
+            )
             texts = []
-            for raw in htmls:
+            for raw, fallback in zip(htmls, existing):
                 if raw is None:
-                    texts.append("")
+                    texts.append(fallback if fallback is not None else "")
                     continue
                 if isinstance(raw, bytes):
                     raw = raw.decode("utf-8", "replace")
-                texts.append(self._extractor.extract(raw))
+                try:
+                    texts.append(self._extractor.extract(raw))
+                except Exception:
+                    texts.append("")
         else:
             texts = batch.column("text").to_pylist()
         n = len(texts)

@@ -42,6 +42,39 @@ def test_fixture_byte_identity():
         assert extract_text(html.decode()) == text
 
 
+def test_fused_equals_standalone():
+    """SignatureActor(extract=True) must produce the same text semantics as
+    the standalone HtmlExtractorActor — incl. null-html rows keeping an
+    existing text column (the digest is over the same text iff semantics
+    match; asserted via the digest column)."""
+    import pyarrow as pa
+
+    from camden_ray.config import DedupConfig
+    from camden_ray.functions.hashing import digest_column_u64
+    from camden_ray.stages.signatures import SignatureActor
+
+    batch = pa.table(
+        {
+            "url": ["u1", "u2", "u3", "u4"],
+            "html": [
+                b"<html><body><p>alpha beta</p></body></html>",
+                None,  # null html + existing text: text must be KEPT
+                None,  # null html, no usable text
+                b"<p>ok</p><unclosed <<< nonsense",  # malformed: fallback
+            ],
+            "text": ["ignored", "kept text", None, "ignored"],
+        }
+    )
+    standalone = HtmlExtractorActor()(batch)
+    fused = SignatureActor(DedupConfig(), extract=True)(batch)
+    expected = digest_column_u64(standalone["text"].to_pylist(), seed=42)
+    import numpy as np
+
+    got = fused["digest"].to_numpy().view(np.uint64)
+    assert standalone["text"].to_pylist()[1] == "kept text"
+    assert (got == expected).all()
+
+
 def test_actor_pool_extraction_matches_text_column(webtext_path):
     """map_batches(HtmlExtractorActor) output == stored ground-truth text."""
     ds = ray.data.read_parquet(webtext_path, columns=["url", "html", "text"])
