@@ -143,25 +143,38 @@ def run_dedup(
         edge_fp = "adhoc"
 
     n_edges = edges.count()
-    if n_edges <= cfg.driver_unionfind_max_edges:
-        assignments = unionfind_assignments(edges)
-    else:  # scale path: distributed components, then stream the (small) map
-        from camden_ray.stages.cluster import hash_to_min_components
-
-        comp = hash_to_min_components(edges)
-        assignments = {
-            u: c
-            for b in comp.iter_batches(batch_format="pyarrow")
-            for u, c in zip(b["url"].to_pylist(), b["cluster_id"].to_pylist())
-        }
-
-    assign_ref = ray.put(assignments)
     urls = sig_ds.select_columns(["url"])
-    clusters = urls.map_batches(make_assigner(assign_ref), batch_format="pyarrow")
+    assignments: dict[str, str] | None = None
+    if n_edges <= cfg.driver_unionfind_max_edges:
+        # small regime: driver union-find + broadcast map (faster below the
+        # driver-memory bar; the map holds only clustered urls)
+        assignments = unionfind_assignments(edges)
+        assign_ref = ray.put(assignments)
+        clusters = urls.map_batches(make_assigner(assign_ref), batch_format="pyarrow")
+    else:
+        # scale path: distributed hash-to-min components + shuffle-join
+        # assignment — NO driver-side assignment map at any point (the regime
+        # that triggers this path is exactly the one where it wouldn't fit)
+        from camden_ray.stages.candidates import default_partitions
+        from camden_ray.stages.cluster import (
+            assign_clusters_distributed,
+            hash_to_min_components,
+        )
+
+        P = default_partitions(cfg)
+        comp = hash_to_min_components(edges, num_partitions=P).materialize()
+        clusters = assign_clusters_distributed(urls, comp, num_partitions=P)
+
+    if assignments is not None:
+        n_clustered = len(assignments)
+        n_reps_in_comps = len(set(assignments.values()))
+    else:  # distributed stats: count components without collecting them
+        n_clustered = comp.count()
+        n_reps_in_comps = comp.groupby("cluster_id").count().count()
 
     if ckpt:
         clusters, _ = ckpt.run_stage(
-            "clusters", edge_fp, lambda: clusters, params=str(len(assignments))
+            "clusters", edge_fp, lambda: clusters, params=str(n_clustered)
         )
     else:
         # executed by stats below AND by the caller — materialize once
@@ -176,14 +189,12 @@ def run_dedup(
         ckpt.write_metrics()
 
     n_total = clusters.count()
-    n_removed = sum(1 for v in assignments.values())  # members of non-trivial comps
-    n_reps_in_comps = len({c for c in assignments.values()})
     stats = {
         "rows": n_total,
         "edges": n_edges,
-        "clustered_urls": len(assignments),
+        "clustered_urls": n_clustered,
         "clusters_nontrivial": n_reps_in_comps,
-        "duplicates_removed": len(assignments) - n_reps_in_comps,
+        "duplicates_removed": n_clustered - n_reps_in_comps,
     }
     return {
         "clusters": clusters,

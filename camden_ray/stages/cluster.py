@@ -111,65 +111,104 @@ def unionfind_assignments(edges: "ray.data.Dataset") -> dict[str, str]:
     return dict(zip(nodes.tolist(), reps.tolist()))
 
 
-def _crc_pkey(values: list[str], P: int) -> "pa.Array":
-    import zlib
+def _label_fingerprint(labels: "ray.data.Dataset") -> tuple[int, int]:
+    """Order-insensitive content fingerprint of an int (node,label) Dataset.
 
+    Vectorized: one mix64 pass per block, a one-row partial per block, tiny
+    driver-side sum — never a per-row Python loop.
+    """
     import numpy as np
 
-    return pa.array(
-        np.fromiter(
-            (zlib.crc32(v.encode()) % P for v in values), count=len(values),
-            dtype=np.int64,
-        ),
-        type=pa.int64(),
-    )
-
-
-def _label_fingerprint(labels: "ray.data.Dataset") -> int:
-    """Order-insensitive content fingerprint of a (node,label) Dataset."""
-    import zlib
+    from camden_ray.functions.hashing import mix64
 
     def fp(t: pa.Table) -> pa.Table:
-        h = 0
-        for n, l in zip(t["node"].to_pylist(), t["label"].to_pylist()):
-            h = (h + (zlib.crc32(n.encode()) * 0x9E3779B9 ^ zlib.crc32(l.encode()))) & 0x7FFFFFFFFFFFFFFF
-        return pa.table({"h": pa.array([h], type=pa.int64()), "n": pa.array([len(t)], type=pa.int64())})
+        n = t["node"].to_numpy().view(np.uint64)
+        l = t["label"].to_numpy().view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = int(mix64(n * np.uint64(0x9E3779B97F4A7C15) ^ l).sum())
+        return pa.table(
+            {"h": pa.array([h & 0x7FFFFFFFFFFFFFFF], type=pa.int64()),
+             "n": pa.array([len(t)], type=pa.int64())}
+        )
 
     df = labels.map_batches(fp, batch_format="pyarrow").to_pandas()
     return (int(df["h"].sum()) & 0x7FFFFFFFFFFFFFFF, int(df["n"].sum()))
 
 
 def hash_to_min_components(
-    edges: "ray.data.Dataset", max_iter: int = 12, num_partitions: int = 64
+    edges: "ray.data.Dataset", max_iter: int = 30, num_partitions: int = 64
 ) -> "ray.data.Dataset":
-    """Distributed connected components over (a, b) string edges.
+    """Distributed connected components over (a, b) string edges — the scale
+    path: NO driver-side state at any point; every step is a native shuffle.
 
-    Min-label propagation (hash-to-min shape, Rastogi et al. 2013): labels
-    L(v) start at min(v, neighbors); each round every edge (u,v) proposes
-    L(u) to v via a coarse-partition merge (ONE vectorized pandas pass per
-    partition — never per-node Python) followed by a native groupby-Min;
-    converged when the label fingerprint stops changing. Returns Dataset
-    (url, cluster_id) for nodes appearing in edges.
+    Physical plan (int64 end-to-end; strings only enter at the edge of the
+    algorithm):
 
-    This is the scale path (no driver state); rounds = O(component
-    diameter), small for dup clusters (star-shaped around hubs).
+    1. node id = blake2b-8(url) (``digest_column_u64`` — deterministic across
+       processes). A 64-bit collision (≈ n²/2⁶⁵) could only merge two
+       clusters, never split one.
+    2. min-label propagation (hash-to-min shape, Rastogi et al. 2013) on int
+       ids: L(v) ← min(L(v), min_{(u,v)∈E} L(u)) per round, implemented as a
+       coarse hash-partition co-locating each node's label row with its edge
+       rows, ONE numpy searchsorted pass per partition, then a NATIVE
+       groupby-Min. Rounds = O(component diameter); convergence detected by
+       an order-insensitive label fingerprint.
+    3. min-url fixup: join int labels back to urls, groupby(label)·Min(url)
+       gives each component its lexicographic-min-url cluster id (the same
+       representative contract as the driver union-find), joined back onto
+       members.
+
+    Returns Dataset (url, cluster_id) for every url appearing in an edge.
     """
-    P = num_partitions
+    import numpy as np
 
-    def to_directed(t: pa.Table) -> pa.Table:
-        src = pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()])
-        dst = pa.concat_arrays([t["b"].combine_chunks(), t["a"].combine_chunks()])
-        return pa.table(
-            {"src": src, "dst": dst, "pkey": _crc_pkey(src.to_pylist(), P)}
+    from camden_ray.functions.hashing import digest_column_u64, mix64
+
+    P = num_partitions
+    PKEY_MIX = np.uint64(0xA24BAED4963EE407)
+
+    def _ids(col: pa.Array) -> np.ndarray:
+        return digest_column_u64(col.to_pylist()).view(np.int64)
+
+    def _pkey(ids: np.ndarray) -> pa.Array:
+        return pa.array(
+            (mix64(ids.view(np.uint64) ^ PKEY_MIX) % np.uint64(P)).view(np.int64),
+            type=pa.int64(),
         )
 
-    graph = (
-        edges.select_columns(["a", "b"])
-        .map_batches(to_directed, batch_format="pyarrow")
-        .materialize()
+    # --- 1. int-id directed graph + (nid,url) sidecar ----------------------
+    def to_directed(t: pa.Table) -> pa.Table:
+        ida = _ids(t["a"])
+        idb = _ids(t["b"])
+        src = np.concatenate([ida, idb])
+        dst = np.concatenate([idb, ida])
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.int64()),
+                "dst": pa.array(dst, type=pa.int64()),
+                "pkey": _pkey(src),
+            }
+        )
+
+    def to_node_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        urls = pa.concat_arrays([a, b])
+        return pa.table(
+            {"nid": pa.array(np.concatenate([_ids(a), _ids(b)]), type=pa.int64()),
+             "url": urls}
+        )
+
+    e2 = edges.select_columns(["a", "b"])
+    graph = e2.map_batches(to_directed, batch_format="pyarrow").materialize()
+    # distinct (nid,url): all urls of one nid are identical, so Min is a dedup
+    nodes = (
+        e2.map_batches(to_node_rows, batch_format="pyarrow")
+        .groupby("nid")
+        .aggregate(Min("url", alias_name="url"))
     )
 
-    # labels(node,label) initialised to min(node, neighbors) — native agg
+    # --- 2. labels(node,label) init to min(node, neighbors) — native agg ---
     labels = (
         graph.groupby("src")
         .aggregate(Min("dst", alias_name="nmin"))
@@ -186,67 +225,260 @@ def hash_to_min_components(
     )
     old_fp = None
 
+    def lab_to_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        return pa.table(
+            {
+                "src": t["node"],
+                "other": t["label"],
+                "is_label": pa.array(np.ones(len(t), dtype=bool)),
+                "pkey": _pkey(node),
+            }
+        )
+
+    def edge_to_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src"],
+                "other": t["dst"],
+                "is_label": pa.array(np.zeros(len(t), dtype=bool)),
+                "pkey": t["pkey"],
+            }
+        )
+
+    def propagate(t: pa.Table) -> pa.Table:
+        """One partition: every node's label row is co-located with its
+        outgoing edge rows. Edge (src,dst) forwards label(src) to dst;
+        label rows re-propose to their own node. Pure numpy (sort +
+        searchsorted), no pandas merge, no Python objects."""
+        is_lab = t["is_label"].to_numpy(zero_copy_only=False)
+        src = t["src"].to_numpy()
+        other = t["other"].to_numpy()
+        lsrc, llab = src[is_lab], other[is_lab]
+        order = np.argsort(lsrc, kind="stable")
+        lsrc, llab = lsrc[order], llab[order]
+        esrc, edst = src[~is_lab], other[~is_lab]
+        pos = np.searchsorted(lsrc, esrc)
+        # initial labels cover every src, so every edge finds its label row
+        ok = pos < len(lsrc)
+        pos = np.minimum(pos, max(0, len(lsrc) - 1))
+        ok &= lsrc[pos] == esrc
+        node = np.concatenate([edst[ok], lsrc])
+        cand = np.concatenate([llab[pos[ok]], llab])
+        return pa.table(
+            {"node": pa.array(node, type=pa.int64()),
+             "cand": pa.array(cand, type=pa.int64())}
+        )
+
     for _ in range(max_iter):
-        lab_rows = labels.map_batches(
-            lambda t: pa.table(
-                {
-                    "src": t["node"],
-                    "other": t["label"],
-                    "is_label": pa.array([True] * len(t), type=pa.bool_()),
-                    "pkey": _crc_pkey(t["node"].to_pylist(), P),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        edge_rows = graph.map_batches(
-            lambda t: pa.table(
-                {
-                    "src": t["src"],
-                    "other": t["dst"],
-                    "is_label": pa.array([False] * len(t), type=pa.bool_()),
-                    "pkey": t["pkey"],
-                }
-            ),
-            batch_format="pyarrow",
-        )
-
-        def propagate(df: pd.DataFrame) -> pd.DataFrame:
-            """One partition: all rows of each src co-located; vectorized
-            label join — edges (src,dst) merge labels (src,label) → the
-            label candidate flows to dst; labels also re-propose to src."""
-            is_lab = df["is_label"].to_numpy()
-            lab = df[is_lab]
-            edg = df[~is_lab]
-            m = edg.merge(
-                lab[["src", "other"]].rename(columns={"other": "label"}),
-                on="src",
-                how="inner",
-            )
-            return pd.DataFrame(
-                {
-                    "node": pd.concat([m["other"], lab["src"]], ignore_index=True),
-                    "cand": pd.concat([m["label"], lab["other"]], ignore_index=True),
-                }
-            )
-
-        proposed = (
+        lab_rows = labels.map_batches(lab_to_rows, batch_format="pyarrow")
+        edge_rows = graph.map_batches(edge_to_rows, batch_format="pyarrow")
+        labels = (
             lab_rows.union(edge_rows)
             .groupby("pkey")
-            .map_groups(propagate, batch_format="pandas")
+            .map_groups(propagate, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("cand", alias_name="label"))
         ).materialize()
-
-        labels = proposed
         new_fp = _label_fingerprint(labels)
         if new_fp == old_fp:
             break
         old_fp = new_fp
 
-    return labels.map_batches(
-        lambda t: pa.table({"url": t["node"], "cluster_id": t["label"]}),
+    # --- 3. min-url fixup: component key (int) → cluster id (min url) ------
+    # Two co-partition merges (NOT Dataset.join — chained join operators
+    # mis-resolve key fields in ray 2.49; and this keeps the whole algorithm
+    # on the one shuffle primitive the engine already relies on):
+    #   member(url, label) = labels ⨝ nodes on node==nid
+    #   out(url, cluster_id) = member ⨝ [groupby(label).Min(url)] on label
+    def lab_facts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": t["node"], "ival": t["label"],
+             "sval": pa.nulls(len(t), type=pa.string())}
+        )
+
+    def node_dims(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["nid"], "val": t["url"]})
+
+    member = _copartition_lookup(
+        labels.map_batches(lab_facts, batch_format="pyarrow"),
+        nodes.map_batches(node_dims, batch_format="pyarrow"),
+        P,
+    ).map_batches(
+        lambda t: pa.table({"url": t["val"], "label": t["ival"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    reps = member.groupby("label").aggregate(Min("url", alias_name="cluster_id"))
+
+    def mem_facts(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["label"], "ival": t["label"], "sval": t["url"]})
+
+    def rep_dims(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["label"], "val": t["cluster_id"]})
+
+    return _copartition_lookup(
+        member.map_batches(mem_facts, batch_format="pyarrow"),
+        reps.map_batches(rep_dims, batch_format="pyarrow"),
+        P,
+    ).map_batches(
+        lambda t: pa.table({"url": t["sval"], "cluster_id": t["val"]}),
         batch_format="pyarrow",
     )
+
+
+def _copartition_lookup(
+    facts: "ray.data.Dataset", dims: "ray.data.Dataset", num_partitions: int
+) -> "ray.data.Dataset":
+    """Distributed int-keyed lookup join on the engine's one shuffle primitive.
+
+    ``facts`` rows (k:int64, ival:int64, sval:string) are matched against
+    ``dims`` rows (k:int64, val:string, k unique) by co-hash-partitioning both
+    sides on k (union + groupby(pkey)) and doing ONE numpy sort+searchsorted
+    pass per partition. Returns matched fact rows with the dim ``val``
+    attached — an inner equi-join that never touches ``Dataset.join`` and
+    holds no driver state.
+    """
+    import numpy as np
+
+    from camden_ray.functions.hashing import mix64
+
+    P = np.uint64(num_partitions)
+    LOOKUP_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def tag(is_dim: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = t["k"].to_numpy().view(np.uint64)
+            pkey = (mix64(k ^ LOOKUP_MIX) % P).view(np.int64)
+            cols = {
+                "k": t["k"],
+                "ival": t["ival"] if "ival" in t.column_names else pa.nulls(len(t), type=pa.int64()),
+                "sval": t["sval"] if "sval" in t.column_names else pa.nulls(len(t), type=pa.string()),
+                "val": t["val"] if "val" in t.column_names else pa.nulls(len(t), type=pa.string()),
+                "is_dim": pa.array(np.full(len(t), is_dim)),
+                "pkey": pa.array(pkey, type=pa.int64()),
+            }
+            return pa.table(cols)
+
+        return f
+
+    def merge(t: pa.Table) -> pa.Table:
+        is_dim = t["is_dim"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy()
+        dk = k[is_dim]
+        order = np.argsort(dk, kind="stable")
+        dk = dk[order]
+        dval = t["val"].filter(pa.array(is_dim)).take(pa.array(order))
+        fmask = ~is_dim
+        fk = k[fmask]
+        if len(dk) == 0:
+            fidx = np.empty(0, dtype=np.int64)
+            ok = np.zeros(len(fk), dtype=bool)
+            pos_c = np.zeros(len(fk), dtype=np.int64)
+        else:
+            pos = np.searchsorted(dk, fk)
+            ok = pos < len(dk)
+            pos_c = np.minimum(pos, len(dk) - 1)
+            ok &= dk[pos_c] == fk
+            fidx = np.flatnonzero(fmask)[ok]
+        ft = t.take(pa.array(fidx))
+        return pa.table(
+            {
+                "k": ft["k"],
+                "ival": ft["ival"],
+                "sval": ft["sval"],
+                "val": dval.take(pa.array(pos_c[ok])),
+            }
+        )
+
+    rows = facts.map_batches(tag(False), batch_format="pyarrow").union(
+        dims.map_batches(tag(True), batch_format="pyarrow")
+    )
+    return rows.groupby("pkey").map_groups(merge, batch_format="pyarrow")
+
+
+def assign_clusters_distributed(
+    urls: "ray.data.Dataset",
+    comp: "ray.data.Dataset",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Scale-path cluster assignment: shuffle join instead of a broadcast map.
+
+    ``urls`` (url) LEFT-joined with ``comp`` (url, cluster_id) — the
+    hash-to-min output — by co-hash-partitioning both sides on the same
+    blake2b-8 url ids the propagation itself runs on (so this adds no new
+    collision mode), one numpy searchsorted pass per partition. Unmatched
+    urls are singletons (cluster_id = own url). NO driver-side assignment
+    map at any point — this is what makes the > ``driver_unionfind_max_edges``
+    regime actually distributed (the broadcast-dict path would have to hold
+    every clustered url in driver memory).
+
+    Returns (url, cluster_id, is_representative) — same schema/contract as
+    :func:`make_assigner`.
+    """
+    import numpy as np
+
+    from camden_ray.functions.hashing import digest_column_u64, mix64
+
+    P = np.uint64(num_partitions)
+    LOOKUP_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def tag(is_dim: bool):
+        def f(t: pa.Table) -> pa.Table:
+            src = t["url"]
+            k = digest_column_u64(src.to_pylist())
+            pkey = (mix64(k ^ LOOKUP_MIX) % P).view(np.int64)
+            return pa.table(
+                {
+                    "k": pa.array(k.view(np.int64), type=pa.int64()),
+                    "url": src,
+                    "cid": t["cluster_id"] if is_dim else pa.nulls(len(t), type=pa.string()),
+                    "is_dim": pa.array(np.full(len(t), is_dim)),
+                    "pkey": pa.array(pkey, type=pa.int64()),
+                }
+            )
+
+        return f
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_dim = t["is_dim"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy()
+        dk = k[is_dim]
+        order = np.argsort(dk, kind="stable")
+        dk = dk[order]
+        dcid = t["cid"].filter(pa.array(is_dim)).take(pa.array(order))
+        fmask = ~is_dim
+        fk = k[fmask]
+        ft = t.filter(pa.array(fmask))
+        furl = ft["url"]
+        if isinstance(furl, pa.ChunkedArray):
+            furl = furl.combine_chunks()
+        if len(dk) == 0:
+            cid = furl  # no components in this partition: all singletons
+        else:
+            pos = np.searchsorted(dk, fk)
+            ok = pos < len(dk)
+            pos_c = np.minimum(pos, len(dk) - 1)
+            ok &= dk[pos_c] == fk
+            # matched → component cluster id; unmatched → singleton (own url)
+            taken = dcid.take(pa.array(np.where(ok, pos_c, 0)))
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            cid = pc.if_else(pa.array(ok), taken, furl)
+        return pa.table(
+            {
+                "url": furl,
+                "cluster_id": cid,
+                "is_representative": pc.equal(cid, furl),
+            }
+        )
+
+    rows = urls.map_batches(tag(False), batch_format="pyarrow").union(
+        comp.map_batches(tag(True), batch_format="pyarrow")
+    )
+    return rows.groupby("pkey").map_groups(merge, batch_format="pyarrow")
 
 
 def make_assigner(assign_ref: "ray.ObjectRef"):

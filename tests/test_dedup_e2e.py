@@ -82,6 +82,25 @@ def test_kept_removed_partition(dedup_result):
     assert (kept.cluster_id == kept.url).all()
 
 
+def test_distributed_clustering_matches_driver_path(webtext_path, dedup_result):
+    """Force the scale path (driver_unionfind_max_edges=0): distributed
+    hash-to-min + shuffle-join assignment must produce the SAME clusters as
+    the driver union-find + broadcast map, with no driver-side assignment
+    map anywhere in the run."""
+    res = run_dedup(
+        webtext_path,
+        DedupConfig(driver_unionfind_max_edges=0),
+        extract=True,
+    )
+    a = (
+        dedup_result["clusters"].to_pandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    b = res["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+    assert res["stats"] == dedup_result["stats"]
+
+
 def test_parallel_equals_sequential(webtext_path, dedup_result):
     """Same input, 1 block vs many blocks ⇒ identical sorted clusters."""
     import ray.data
