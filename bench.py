@@ -175,6 +175,9 @@ def main() -> int:
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--fixture-n", type=int, default=100_000)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-lo", type=int, default=8)
+    ap.add_argument("--scaling-hi", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument(
         "--headline-only",
         action="store_true",
@@ -220,14 +223,12 @@ def scaling_main(args) -> int:
     takes the best of ``repeats`` runs per level (this sandbox shows
     hypervisor CPU-steal variance between identical runs).
     """
-    # N vs 4N: 4 and 16 CPUs rather than 8 and 32 — this sandbox carries
-    # several cores of co-tenant CPU steal, which silently shrinks a
-    # 32-CPU session (~24 effective) while leaving a 16-CPU one intact,
-    # distorting the ratio. Both pairs satisfy the 4x criterion.
-    lo_cpus, hi_cpus = 4, 16
+    # N vs 4N per the BASELINE.md protocol: 8 and 32 CPUs, best of
+    # ``repeats`` runs per level (co-tenant CPU-steal variance).
+    lo_cpus, hi_cpus = args.scaling_lo, args.scaling_hi
     n = args.fixture_n if args.fixture_n != 100_000 else 1_200_000
     fixture_dir = bench_fixture_dir(n)  # pre-generate ONCE
-    repeats = 1
+    repeats = args.repeats
 
     def run_level(cpus: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
@@ -260,7 +261,7 @@ def scaling_main(args) -> int:
     hi = best_of(hi_cpus)
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cpus / lo_cpus)
     out = {
-        "metric": "scaling_efficiency_8_to_32_cpus",
+        "metric": f"scaling_efficiency_{lo_cpus}_to_{hi_cpus}_cpus",
         "value": round(eff, 3),
         "unit": "ratio",
         "sf": fixture_dir,

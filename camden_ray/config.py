@@ -58,6 +58,10 @@ class DedupConfig:
     lgram_mod: int = 8            # winnowing window w: shared spans >=
                                   # lgram_tokens + w - 1 are guaranteed detected
     lgram_group_cap: int = 1024   # max members star-linked per shared-gram bucket
+    verify_substring_spans: bool = True
+    # re-verify every substring candidate edge against the actual token
+    # streams (stages/spanverify.py) — a 64-bit L-gram collision cannot
+    # produce a false edge; costs one candidate-subset-sized shuffle
 
     # --- execution ---
     materialize_candidate_rows: bool = True

@@ -51,6 +51,56 @@ def digest_column_u64(values: list[bytes | str | None], seed: int = 0) -> np.nda
     return out
 
 
+def hash_string_column(arr) -> np.ndarray:
+    """Vectorized 64-bit hash of a pyarrow string column — the KEY hash for
+    partitioning / node ids / pair ids (NOT the content digest: exact-dedup
+    digests stay blake2b, see :func:`digest_column_u64`).
+
+    Polynomial hash over UTF-8 bytes via invertible prefix sums (same O(total
+    bytes) trick as :func:`rolling_lgram_hashes`): h(row) = mix64(poly(bytes)
+    ^ len·C). No per-row Python loop or per-row bytes objects — several times
+    the blake2b-path throughput on url-sized strings, O(total bytes) numpy.
+    Deterministic across processes.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    if not pa.types.is_large_string(arr.type) and not pa.types.is_string(arr.type):
+        arr = arr.cast(pa.string())
+    off_width = 8 if pa.types.is_large_string(arr.type) else 4
+    off_dtype = np.int64 if off_width == 8 else np.int32
+    offsets = np.frombuffer(
+        arr.buffers()[1], dtype=off_dtype, count=n + 1, offset=arr.offset * off_width
+    ).astype(np.int64)
+    data_buf = arr.buffers()[2]
+    total = int(offsets[-1] - offsets[0])
+    if total == 0:
+        return mix64(np.zeros(n, dtype=U64))
+    data = np.frombuffer(data_buf, dtype=np.uint8, count=total, offset=int(offsets[0]))
+    starts = offsets - offsets[0]
+    with np.errstate(over="ignore"):
+        pinv_pows = np.empty(total, dtype=U64)
+        pinv_pows[0] = np.uint64(1)
+        if total > 1:
+            np.multiply.accumulate(
+                np.full(total - 1, POLY_P_INV, dtype=U64), out=pinv_pows[1:]
+            )
+        prefix = np.zeros(total + 1, dtype=U64)
+        np.cumsum(data.astype(U64) * pinv_pows, out=prefix[1:], dtype=U64)
+        p_pows = np.empty(total + 1, dtype=U64)
+        p_pows[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(total, POLY_P, dtype=U64), out=p_pows[1:])
+        ends = starts[1:]
+        lens = (ends - starts[:-1]).astype(U64)
+        h = p_pows[np.maximum(ends - 1, 0)] * (prefix[ends] - prefix[starts[:-1]])
+        h ^= lens * np.uint64(0x9E3779B97F4A7C15)
+    return mix64(h)
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 finalizer — scrambles structured integers into uniform u64."""
     x = x.astype(U64, copy=True)

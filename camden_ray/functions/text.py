@@ -101,10 +101,14 @@ def quality_features(text: str) -> dict[str, float]:
         "digit_ratio": digits / n_chars,
         "uniq_token_ratio": uniq / n_tok,
     }
-    # simple monotone score in [0,1]: long enough, diverse, not punct/digit soup
+    # simple monotone score in [0,1]: long enough, diverse, not punct/digit
+    # soup. math.sqrt (not **0.5): IEEE-exact, so a SQL oracle's sqrt()
+    # reproduces the identical double.
+    import math
+
     score = 1.0
     score *= min(1.0, n_tok / 50.0)
-    score *= feats["uniq_token_ratio"] ** 0.5
+    score *= math.sqrt(feats["uniq_token_ratio"])
     score *= 1.0 - min(0.5, feats["punct_ratio"]) / 0.5 * 0.5
     score *= 1.0 - min(0.5, feats["digit_ratio"]) / 0.5 * 0.5
     feats["quality_score"] = float(score)

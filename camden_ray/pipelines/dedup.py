@@ -99,6 +99,73 @@ def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Datas
     return edges
 
 
+def refine_substring_edges(
+    edges: "ray.data.Dataset",
+    input_ds: "ray.data.Dataset",
+    cfg: DedupConfig,
+    extract: bool,
+) -> "ray.data.Dataset":
+    """Suffix-array refinement (SURVEY.md §8 TODO 3): re-verify substring
+    candidate edges against the actual token streams.
+
+    Only UNCORROBORATED substring pairs are verified: a pair that is also an
+    exact / minhash / simhash edge is already content-verified by that
+    method, and its substring copy is redundant for clustering (union-find
+    unions the pair either way) — so it is dropped, not re-proved. What
+    remains is exactly the set a coarse L-gram collision could have faked.
+    Only the endpoint docs of that residual set are (re-)extracted — the
+    endpoint url set is broadcast once to prefilter the corpus read, so the
+    verification pass touches O(uncorroborated candidates), not O(corpus).
+    """
+    from camden_ray.stages.spanverify import (
+        antijoin_pairs,
+        needed_url_array,
+        verify_span_edges,
+    )
+
+    sub = edges.map_batches(
+        lambda t: t.filter(pc.equal(t["method"], "substring")),
+        batch_format="pyarrow",
+    ).select_columns(["a", "b"])
+    others = edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t["method"], "substring")),
+        batch_format="pyarrow",
+    ).materialize()
+
+    from camden_ray.stages.candidates import default_partitions
+
+    # one shuffle: anti-join vs corroborating methods + per-pair dedup (the
+    # same pair surfaces from several gram buckets)
+    sub = antijoin_pairs(
+        sub, others.select_columns(["a", "b"]), default_partitions(cfg)
+    ).materialize()
+    if sub.count() == 0:
+        return others
+
+    needed = needed_url_array(sub)
+    texts = input_ds
+    if needed is not None:
+        need_ref = ray.put(needed)
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["url"], value_set=ray.get(need_ref)))
+
+        texts = texts.map_batches(prefilter, batch_format="pyarrow")
+    if extract:
+        # stateless tasks, not an actor pool: the candidate subset is small
+        # and pool spin-up would dominate; the parser is cheap to build
+        def extract_batch(t: pa.Table) -> pa.Table:
+            return HtmlExtractorActor()(t)
+
+        texts = texts.map_batches(
+            extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size
+        )
+    texts = texts.select_columns(["url", "text"])
+
+    verified = verify_span_edges(sub, texts, cfg)
+    return others.union(verified)
+
+
 def run_dedup(
     input_path: str | list[str],
     cfg: DedupConfig | None = None,
@@ -128,18 +195,22 @@ def run_dedup(
     ckpt = Checkpointer(out_dir, cfg) if out_dir else None
     in_fp = input_fingerprint(input_path) if isinstance(input_path, (str, list)) and input_path else "adhoc"
 
+    def _edges(sig: "ray.data.Dataset") -> "ray.data.Dataset":
+        e = build_edges(sig, cfg).materialize()
+        if "substring" in cfg.methods and cfg.verify_substring_spans:
+            e = refine_substring_edges(e, ds, cfg, extract)
+        return e
+
     if ckpt:
         sig_ds, sig_fp = ckpt.run_stage(
             "signatures", in_fp, lambda: signature_table(ds, cfg, extract=extract)
         )
-        edges, edge_fp = ckpt.run_stage(
-            "edges", sig_fp, lambda: build_edges(sig_ds, cfg)
-        )
+        edges, edge_fp = ckpt.run_stage("edges", sig_fp, lambda: _edges(sig_ds))
     else:
         # no checkpoint dir: materialize the compact signature table once so
         # the four candidate branches don't re-execute extraction per branch
         sig_ds = signature_table(ds, cfg, extract=extract).materialize()
-        edges = build_edges(sig_ds, cfg).materialize()
+        edges = _edges(sig_ds).materialize()
         edge_fp = "adhoc"
 
     n_edges = edges.count()

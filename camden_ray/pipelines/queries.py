@@ -142,14 +142,25 @@ def top_docs_by_chars(sf_dir: str):
 
 
 def doc_quality(sf_dir: str):
-    """Quality features per document (heuristic scoring; rows-only check)."""
+    """Quality features per document, emitted as fixed-point int64 (×1e6,
+    half-away-from-zero) so the DuckDB oracle can replicate every value
+    exactly — counts stay plain int64."""
+
+    _INT_COLS = ("n_chars", "n_tokens")
 
     class Scorer:
         def __call__(self, t: pa.Table) -> pa.Table:
             feats = [quality_features(x or "") for x in t["text"].to_pylist()]
             cols = {"doc_id": t["doc_id"]}
-            for k in feats[0] if feats else []:
-                cols[k] = pa.array([f[k] for f in feats], type=pa.float64())
+            keys = feats[0] if feats else []
+            for k in keys:
+                v = np.array([f[k] for f in feats], dtype=np.float64)
+                if k in _INT_COLS:
+                    cols[k] = pa.array(v.astype(np.int64), type=pa.int64())
+                else:
+                    cols[f"{k}_fp"] = pa.array(
+                        _fp_round(v, scale=1_000_000), type=pa.int64()
+                    )
             return pa.table(cols)
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
@@ -358,16 +369,18 @@ def knn_lsh(sf_dir: str):
 def media_byte_features(sf_dir: str):
     """Multimodal plumbing demo: documents' text bytes as opaque payloads
     through the media decoder actor pool (fake decoder — see
-    stages/multimodal.py; rows-only check: features are non-SQL)."""
+    stages/multimodal.py); the projection is DuckDB-oracle-checked."""
     from camden_ray.stages.multimodal import media_features
 
     def to_media(t: pa.Table) -> pa.Table:
         payloads = [(x or "").encode() for x in t["text"].to_pylist()]
+        md5s = [hashlib.md5(p).hexdigest() for p in payloads]
         return pa.table(
             {
                 "media_id": t["doc_id"],
                 "payload": pa.array(payloads, type=pa.binary()),
                 "media_type": pa.array(["image"] * len(t), type=pa.string()),
+                "digest_md5": pa.array(md5s, type=pa.string()),
             }
         )
 
@@ -376,28 +389,18 @@ def media_byte_features(sf_dir: str):
     )
     feats = media_features(ds, decoder="fake", batch_size=128, concurrency=(1, 4))
 
-    # scalar-only projection (value-hash harnesses can't sort list columns);
-    # the full feature vectors stay on the stage API (tests/test_multimodal.py)
+    # scalar-only, SQL-matchable projection (value-hash harnesses can't sort
+    # list columns, and the stage's blake2b digest has no SQL analogue): the
+    # md5 payload digest lets DuckDB verify content identity; the full
+    # feature vectors + blake2b digest stay on the stage API and are covered
+    # by tests/test_multimodal.py.
     def scalarize(t: pa.Table) -> pa.Table:
-        fl = t["feature"]
-        if isinstance(fl, pa.ChunkedArray):
-            fl = fl.combine_chunks()
-        vecs = fl.flatten().to_numpy(zero_copy_only=False).reshape(len(t), -1)
-        fdig = [
-            int.from_bytes(
-                hashlib.blake2b(v.tobytes(), digest_size=8).digest(), "little"
-            )
-            for v in vecs
-        ]
         return pa.table(
             {
                 "media_id": t["media_id"],
                 "media_type": t["media_type"],
                 "n_bytes": t["n_bytes"],
-                "digest": t["digest"],
-                "feature_digest": pa.array(
-                    np.array(fdig, dtype=np.uint64).view(np.int64), type=pa.int64()
-                ),
+                "digest_md5": t["digest_md5"],
             }
         )
 
@@ -440,6 +443,130 @@ def embedding_near_dup(sf_dir: str):
         )
 
     return _read(sf_dir, "embeddings").map_batches(pairs, batch_format="pyarrow")
+
+
+def embedding_near_dup_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup pairs — the SCALE path for vector
+    dedup (the exact ``embedding_near_dup`` is its verification oracle).
+
+    Random-hyperplane signatures (Charikar 2002), T tables × b bits with b
+    adapted to the table size (expected bucket ≈ 256 rows): each vector is
+    hashed into one bucket per table; exact cosine verification runs ONLY
+    inside buckets (pairwise work O(T · n · bucket) instead of O(n²)); the
+    same pair surfacing from several tables is deduped by a groupby. No
+    full-matrix broadcast, no driver state — embeddings travel the shuffle
+    as float32 bytes. Threshold τ=0.7 (near-dup grade; the τ=0.4 exact
+    query keeps the oracle-checkable low band).
+
+    Recall gate vs the exact pairs at the same τ: tests/test_similarity.py.
+    """
+    import pyarrow.parquet as pq
+
+    from camden_ray.functions.hashing import mix64
+    from camden_ray.stages.candidates import default_partitions
+
+    TABLES = 16
+    TAU_FP = 70_000
+    n_rows = pq.read_metadata(_t(sf_dir, "embeddings")).num_rows
+    bits = int(np.clip(np.log2(max(2, n_rows / 256)), 3, 10))
+    P = default_partitions(DedupConfig())
+    _TBL_SALT = np.uint64(0x9E3779B97F4A7C15)
+    _PK_MIX = np.uint64(0xA24BAED4963EE407)
+    planes_state: dict = {}
+
+    def _planes(d: int) -> np.ndarray:
+        # deterministic per dim: every worker builds the same planes
+        r = np.random.default_rng(42)
+        return r.standard_normal((TABLES, d, bits))
+
+    def expand(t: pa.Table) -> pa.Table:
+        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        n, d = emb.shape
+        pl = planes_state.setdefault(d, _planes(d))
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        pow2 = 1 << np.arange(bits)
+        keys = np.empty((TABLES, n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for ti in range(TABLES):
+                sig = ((emb @ pl[ti]) > 0) @ pow2
+                keys[ti] = mix64(
+                    sig.astype(np.uint64) ^ (np.uint64(ti + 1) * _TBL_SALT)
+                )
+        payload = emb.astype(np.float32).tobytes()
+        per_row = [payload[i * d * 4 : (i + 1) * d * 4] for i in range(n)]
+        flat_keys = keys.reshape(-1)
+        pkey = (mix64(flat_keys ^ _PK_MIX) % np.uint64(P)).view(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(flat_keys.view(np.int64), type=pa.int64()),
+                "vec_id": pa.array(np.tile(ids, TABLES), type=pa.int64()),
+                "emb": pa.array(per_row * TABLES if TABLES > 1 else per_row,
+                                 type=pa.binary()),
+                "pkey": pa.array(pkey, type=pa.int64()),
+            }
+        )
+
+    CAP = 4096  # pairwise-compared members per bucket (cf. simhash_group_cap)
+
+    def grouper(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], type=pa.int64()),
+             "b": pa.array([], type=pa.int64()),
+             "cos_fp": pa.array([], type=pa.int64())}
+        )
+        n = len(t)
+        if n < 2:
+            return empty
+        order = pc.sort_indices(
+            t, sort_keys=[("key", "ascending"), ("vec_id", "ascending")]
+        )
+        t = t.take(order).combine_chunks()
+        keys = t["key"].to_numpy()
+        ids = t["vec_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        emb_col = t["emb"]
+        if isinstance(emb_col, pa.ChunkedArray):
+            emb_col = emb_col.combine_chunks()
+        aa, bb, cc = [], [], []
+        for gi in np.flatnonzero(sizes >= 2):
+            s0, gn = int(starts[gi]), int(sizes[gi])
+            for lo in range(s0, s0 + gn, CAP):
+                hi = min(s0 + gn, lo + CAP)
+                if hi - lo < 2:
+                    continue
+                mat = np.frombuffer(
+                    b"".join(emb_col.slice(lo, hi - lo).to_pylist()),
+                    dtype=np.float32,
+                ).reshape(hi - lo, -1).astype(np.float64)
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                matn = mat / norms
+                cos_fp = _fp_round(matn @ matn.T)
+                gi_ids = ids[lo:hi]
+                ii, jj = np.nonzero(np.triu(cos_fp >= TAU_FP, k=1))
+                # de-dup identical vec_ids colliding inside one bucket
+                keep = gi_ids[ii] != gi_ids[jj]
+                ii, jj = ii[keep], jj[keep]
+                a = np.minimum(gi_ids[ii], gi_ids[jj])
+                b = np.maximum(gi_ids[ii], gi_ids[jj])
+                aa.append(a)
+                bb.append(b)
+                cc.append(cos_fp[ii, jj])
+        if not aa:
+            return empty
+        return pa.table(
+            {"a": pa.array(np.concatenate(aa), type=pa.int64()),
+             "b": pa.array(np.concatenate(bb), type=pa.int64()),
+             "cos_fp": pa.array(np.concatenate(cc), type=pa.int64())}
+        )
+
+    rows = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
+        expand, batch_format="pyarrow"
+    )
+    pairs = rows.groupby("pkey").map_groups(grouper, batch_format="pyarrow")
+    # same pair from several tables → one row
+    return pairs.groupby(["a", "b"]).aggregate(Max("cos_fp", alias_name="cos_fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -489,10 +616,12 @@ def doc_simhash_pairs(sf_dir: str):
 
 def doc_ngram_jaccard_pairs(sf_dir: str):
     """Brute-force-verified n-gram Jaccard pairs at τ=0.5 — the oracle-grade
-    exact method, distributed: LSH prefilter at a low threshold, then exact
-    shingle-set verification per candidate pair inside map_batches."""
+    exact method, fully distributed: LSH prefilter at a low threshold, then
+    exact shingle-set verification with texts co-shuffled to the partitions
+    whose pairs reference them (stages/spanverify.py — no driver-side corpus
+    dict, no whole-dataset broadcast)."""
     from camden_ray.pipelines.dedup import build_edges, signature_table
-    from camden_ray.functions.text import tokenize
+    from camden_ray.stages.spanverify import verify_jaccard_pairs
 
     cfg = DedupConfig(jaccard_threshold=0.30, verify_margin=0.15, methods=("minhash",))
     docs = _documents_as_webtext(sf_dir).materialize()
@@ -502,40 +631,10 @@ def doc_ngram_jaccard_pairs(sf_dir: str):
         build_edges(sig, cfg)
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["a", "b"])
         .materialize()
     )
-
-    texts = {
-        u: t
-        for b in docs.iter_batches(batch_format="pyarrow")
-        for u, t in zip(b["url"].to_pylist(), b["text"].to_pylist())
-    }
-    text_ref = ray.put(texts)
-    k = cfg.shingle_k
-
-    def verify(t: pa.Table) -> pa.Table:
-        tx = ray.get(text_ref)
-        keep_a, keep_b, jac = [], [], []
-        seen = set()
-        for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
-            if (a, b) in seen:
-                continue
-            seen.add((a, b))
-            ta, tb = tokenize(tx[a]), tokenize(tx[b])
-            sa = {tuple(ta[i : i + k]) for i in range(max(0, len(ta) - k + 1))}
-            sb = {tuple(tb[i : i + k]) for i in range(max(0, len(tb) - k + 1))}
-            j = len(sa & sb) / max(1, len(sa | sb))
-            if j >= 0.5:
-                keep_a.append(a)
-                keep_b.append(b)
-                jac.append(int(round(j * 100_000)))
-        return pa.table(
-            {"a": pa.array(keep_a, type=pa.string()),
-             "b": pa.array(keep_b, type=pa.string()),
-             "jaccard_fp": pa.array(jac, type=pa.int64())}
-        )
-
-    return cand.map_batches(verify, batch_format="pyarrow")
+    return verify_jaccard_pairs(cand, docs, cfg, tau=0.5)
 
 
 # ---------------------------------------------------------------------------
@@ -569,6 +668,7 @@ QUERIES = {
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
     "embedding_near_dup": embedding_near_dup,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "media_byte_features": media_byte_features,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_minhash_pairs": doc_minhash_pairs,
@@ -610,6 +710,99 @@ ORACLE_SQL = {
     "top_docs_by_chars": """
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+    """,
+    "doc_quality": """
+        WITH c AS (
+            SELECT doc_id, COALESCE(text, '') AS t,
+                   length(COALESCE(text, '')) AS nc,
+                   string_split(COALESCE(text, ''), ' ') AS toks
+            FROM documents
+        ), d AS (
+            SELECT doc_id, t, nc, toks,
+                   CASE WHEN t = '' THEN 0 ELSE len(toks) END AS ntok,
+                   length(regexp_replace(t, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+                   length(regexp_replace(t, '[^0-9]', '', 'g')) AS digits,
+                   len(list_filter(toks, x -> x IN
+                       ('the','and','of','to','a','in','is','that','it','for',
+                        'on','with','as','was','at','by'))) AS stop,
+                   len(list_distinct(toks)) AS uniq,
+                   list_sum(list_transform(toks, x -> length(x))) AS swl
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(nc AS BIGINT) AS n_chars,
+               CAST(CASE WHEN nc = 0 OR ntok = 0 THEN 0 ELSE ntok END AS BIGINT)
+                   AS n_tokens,
+               CASE WHEN nc = 0 OR ntok = 0 THEN 0
+                    ELSE CAST(round(swl / ntok * 1000000) AS BIGINT)
+               END AS mean_word_len_fp,
+               CASE WHEN nc = 0 OR ntok = 0 THEN 0
+                    ELSE CAST(round(stop / ntok * 1000000) AS BIGINT)
+               END AS stopword_ratio_fp,
+               CASE WHEN nc = 0 OR ntok = 0 THEN 0
+                    ELSE CAST(round(punct / nc * 1000000) AS BIGINT)
+               END AS punct_ratio_fp,
+               CASE WHEN nc = 0 OR ntok = 0 THEN 0
+                    ELSE CAST(round(digits / nc * 1000000) AS BIGINT)
+               END AS digit_ratio_fp,
+               CASE WHEN nc = 0 OR ntok = 0 THEN 0
+                    ELSE CAST(round(uniq / ntok * 1000000) AS BIGINT)
+               END AS uniq_token_ratio_fp,
+               CASE WHEN nc = 0 OR ntok = 0 THEN 0
+                    ELSE CAST(round(
+                        least(1.0, ntok / 50.0)
+                        * sqrt(uniq / ntok)
+                        * (1.0 - least(0.5, punct / nc) / 0.5 * 0.5)
+                        * (1.0 - least(0.5, digits / nc) / 0.5 * 0.5)
+                        * 1000000) AS BIGINT)
+               END AS quality_score_fp
+        FROM d
+    """,
+    "doc_lang_id": """
+        WITH c AS (
+            SELECT doc_id, lang, COALESCE(text, '') AS t,
+                   substr(COALESCE(text, ''), 1, 2000) AS s
+            FROM documents
+        ), d AS (
+            SELECT doc_id, lang, t, s,
+                   string_split(s, ' ') AS toks,
+                   length(regexp_replace(s, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+                       AS cjk
+            FROM c
+        ), e AS (
+            SELECT doc_id, lang, t, s, cjk,
+                   len(list_filter(toks, x -> x IN
+                       ('the','and','of','to','a','in','is','that','it','for',
+                        'on','with','as','was','at','by'))) AS h_en,
+                   len(list_filter(toks, x -> x IN
+                       ('der','die','das','und','ist','von','zu','mit','den',
+                        'im','für','auf','ein','nicht'))) AS h_de,
+                   len(list_filter(toks, x -> x IN
+                       ('le','la','les','de','et','un','une','est','pour',
+                        'dans','que','sur','avec','pas'))) AS h_fr,
+                   len(list_filter(toks, x -> x IN
+                       ('el','la','los','las','de','y','un','una','es','para',
+                        'en','que','con','por','no'))) AS h_es
+            FROM d
+        )
+        SELECT doc_id, lang,
+               CASE WHEN t = '' THEN 'unknown'
+                    WHEN cjk > 0.05 * length(s) THEN 'zh'
+                    WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0
+                        THEN 'unknown'
+                    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                    WHEN h_fr >= h_es THEN 'fr'
+                    ELSE 'es'
+               END AS detected
+        FROM e
+    """,
+    "media_byte_features": """
+        SELECT doc_id AS media_id,
+               'image' AS media_type,
+               CAST(strlen(COALESCE(text, '')) AS BIGINT) AS n_bytes,
+               md5(COALESCE(text, '')) AS digest_md5
+        FROM documents
     """,
     "events_hourly": """
         SELECT user_id, date_trunc('hour', ts) AS hour,

@@ -144,8 +144,8 @@ def hash_to_min_components(
     Physical plan (int64 end-to-end; strings only enter at the edge of the
     algorithm):
 
-    1. node id = blake2b-8(url) (``digest_column_u64`` — deterministic across
-       processes). A 64-bit collision (≈ n²/2⁶⁵) could only merge two
+    1. node id = 64-bit url key hash (``hash_string_column`` — vectorized,
+       deterministic across processes). A 64-bit collision (≈ n²/2⁶⁵) could only merge two
        clusters, never split one.
     2. min-label propagation (hash-to-min shape, Rastogi et al. 2013) on int
        ids: L(v) ← min(L(v), min_{(u,v)∈E} L(u)) per round, implemented as a
@@ -162,13 +162,13 @@ def hash_to_min_components(
     """
     import numpy as np
 
-    from camden_ray.functions.hashing import digest_column_u64, mix64
+    from camden_ray.functions.hashing import hash_string_column, mix64
 
     P = num_partitions
     PKEY_MIX = np.uint64(0xA24BAED4963EE407)
 
     def _ids(col: pa.Array) -> np.ndarray:
-        return digest_column_u64(col.to_pylist()).view(np.int64)
+        return hash_string_column(col).view(np.int64)
 
     def _pkey(ids: np.ndarray) -> pa.Array:
         return pa.array(
@@ -406,7 +406,7 @@ def assign_clusters_distributed(
 
     ``urls`` (url) LEFT-joined with ``comp`` (url, cluster_id) — the
     hash-to-min output — by co-hash-partitioning both sides on the same
-    blake2b-8 url ids the propagation itself runs on (so this adds no new
+    64-bit url key ids the propagation itself runs on (so this adds no new
     collision mode), one numpy searchsorted pass per partition. Unmatched
     urls are singletons (cluster_id = own url). NO driver-side assignment
     map at any point — this is what makes the > ``driver_unionfind_max_edges``
@@ -418,7 +418,7 @@ def assign_clusters_distributed(
     """
     import numpy as np
 
-    from camden_ray.functions.hashing import digest_column_u64, mix64
+    from camden_ray.functions.hashing import hash_string_column, mix64
 
     P = np.uint64(num_partitions)
     LOOKUP_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
@@ -426,7 +426,7 @@ def assign_clusters_distributed(
     def tag(is_dim: bool):
         def f(t: pa.Table) -> pa.Table:
             src = t["url"]
-            k = digest_column_u64(src.to_pylist())
+            k = hash_string_column(src)
             pkey = (mix64(k ^ LOOKUP_MIX) % P).view(np.int64)
             return pa.table(
                 {

@@ -84,18 +84,20 @@ class MediaDecoderActor:
             else:
                 feats[i] = self._decode_real(p, mt)
         digests = digest_column_u64(payloads)
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "media_type": pa.array(mtypes, type=pa.string()),
-                "n_bytes": pa.array(
-                    [len(p) if p else 0 for p in payloads], type=pa.int64()
-                ),
-                "digest": pa.array(digests.view(np.int64), type=pa.int64()),
-                "feature": pa.array(
-                    list(feats), type=pa.list_(pa.float32(), FEATURE_DIM)
-                ),
-            }
+        # pass through every non-payload input column (metadata sidecars
+        # survive the decode stage), then append the decoder outputs
+        out = batch.drop_columns([self.payload_col])
+        if "media_type" not in out.column_names:
+            out = out.append_column("media_type", pa.array(mtypes, type=pa.string()))
+        out = out.append_column(
+            "n_bytes",
+            pa.array([len(p) if p else 0 for p in payloads], type=pa.int64()),
+        )
+        out = out.append_column(
+            "digest", pa.array(digests.view(np.int64), type=pa.int64())
+        )
+        return out.append_column(
+            "feature", pa.array(list(feats), type=pa.list_(pa.float32(), FEATURE_DIM))
         )
 
 

@@ -1,0 +1,481 @@
+"""Distributed candidate-pair verification against the actual token streams.
+
+The coarse substring pass (winnowed L-gram star buckets,
+stages/signatures.py) guarantees detection of every shared span >=
+``lgram_tokens + lgram_mod - 1`` tokens, but a bucket collision — two docs
+whose 64-bit rolling-gram hashes collide without sharing a span — would
+produce a FALSE edge that the coarse pass simply trusts. This module is the
+refinement stage (SURVEY.md §8 TODO 3; the suffix-array analogue of Lee et
+al. 2021): every candidate pair is re-verified against the real token
+streams of both documents, distributed, with no driver-side text map.
+
+Physical plan (all candidate-subset-sized — pairs ≪ corpus):
+
+1. pair rows   — each pair (a, b) keyed by ``ppk = mix(digest(a) ^ digest(b))
+                 % P`` (one partition owns the pair).
+2. need rows   — (url, ppk) for BOTH endpoints, deduped.
+3. text fetch  — the needs map (url → partitions that reference it) is
+                 candidate-output-sized, so it is broadcast ONCE as CSR
+                 arrays (``ray.put``, the sanctioned small-side pattern) and
+                 every text batch replicates its rows to exactly the
+                 partitions that need them — no second shuffle. If the map
+                 ever exceeds driver comfort, a co-hash-partitioned
+                 searchsorted semi-join (same merge as stages/cluster.py)
+                 takes over — correct either way.
+4. verify      — union(pair rows, text rows) → groupby(ppk): one partition
+                 sees its pairs plus exactly the texts they reference;
+                 per-pair check runs on numpy token-hash arrays with a final
+                 raw-token window comparison (hash equality is only a
+                 filter, the tokens themselves are the proof).
+
+Generalizes camden's "verify by content, not by name" invariant
+(/root/reference/src/scanner.rs:81-95) to span granularity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from camden_ray.config import DedupConfig
+from camden_ray.functions.hashing import (
+    TokenHasher,
+    hash_string_column,
+    mix64,
+    rolling_lgram_hashes,
+)
+from camden_ray.functions.text import tokenize
+
+_PPK_MIX = np.uint64(0x9E6C63D0762C23C5)
+_URL_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _url_pkey(urls: "pa.Array", P: int) -> np.ndarray:
+    ids = hash_string_column(urls)
+    return (mix64(ids ^ _URL_MIX) % np.uint64(P)).view(np.int64)
+
+
+def _pair_ppk(a: "pa.Array", b: "pa.Array", P: int) -> np.ndarray:
+    ida = hash_string_column(a)
+    idb = hash_string_column(b)
+    return (mix64(ida ^ idb ^ _PPK_MIX) % np.uint64(P)).view(np.int64)
+
+
+def antijoin_pairs(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    num_partitions: int,
+    dedupe_left: bool = True,
+) -> "ray.data.Dataset":
+    """Distributed anti-join of (a, b) pair sets: rows of ``left`` whose pair
+    does NOT appear in ``right``, deduplicated by pair. Co-hash-partitioned
+    on a 64-bit pair digest (one numpy searchsorted per partition; a digest
+    collision can only suppress a pair, i.e. skip one verification — never
+    invent an edge). Dedup happens inside the same shuffle, so callers don't
+    need a separate distinct-groupby pass over the left side.
+    """
+    P = num_partitions
+
+    def tag(is_right: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ida = hash_string_column(t["a"])
+            idb = hash_string_column(t["b"])
+            # symmetric pair digest: (a,b) and (b,a) collide by construction
+            pk = mix64(mix64(ida) ^ mix64(idb))
+            return pa.table(
+                {
+                    "pk": pa.array(pk.view(np.int64), type=pa.int64()),
+                    "a": t["a"],
+                    "b": t["b"],
+                    "is_right": pa.array(np.full(len(t), is_right)),
+                    "ppk": pa.array(
+                        (pk % np.uint64(P)).view(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    def merge(t: pa.Table) -> pa.Table:
+        is_right = t["is_right"].to_numpy(zero_copy_only=False)
+        pk = t["pk"].to_numpy()
+        rk = np.sort(pk[is_right])
+        lt = t.filter(pa.array(~is_right))
+        lk = pk[~is_right]
+        if len(rk):
+            pos = np.searchsorted(rk, lk)
+            pos_c = np.minimum(pos, len(rk) - 1)
+            keep = ~((pos < len(rk)) & (rk[pos_c] == lk))
+        else:
+            keep = np.ones(len(lk), dtype=bool)
+        if dedupe_left and keep.any():
+            first = np.zeros(len(lk), dtype=bool)
+            first[np.unique(lk, return_index=True)[1]] = True
+            keep &= first
+        out = lt.filter(pa.array(keep))
+        return pa.table({"a": out["a"], "b": out["b"]})
+
+    rows = left.map_batches(tag(False), batch_format="pyarrow").union(
+        right.map_batches(tag(True), batch_format="pyarrow")
+    )
+    # coalesce: the union inherits the edge Datasets' block counts and the
+    # groupby pays per-block scheduling cost × output partitions
+    return rows.repartition(P).groupby("ppk").map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
+def needed_url_array(
+    pairs: "ray.data.Dataset", cap: int = 50_000_000
+) -> "pa.Array | None":
+    """Distinct endpoint urls of a candidate-pair Dataset, as a sorted Arrow
+    array for broadcast prefiltering — or None when the set exceeds ``cap``
+    (caller then skips the broadcast filter; the co-shuffle semi-join still
+    handles the subset selection correctly, just with more data movement)."""
+    urls: set[str] = set()
+    for b in pairs.select_columns(["a", "b"]).iter_batches(
+        batch_size=262144, batch_format="pyarrow"
+    ):
+        urls.update(b["a"].to_pylist())
+        urls.update(b["b"].to_pylist())
+        if len(urls) > cap:
+            return None
+    return pa.array(sorted(urls), type=pa.string())
+
+
+def pair_texts_partitions(
+    pairs: "ray.data.Dataset",
+    texts: "ray.data.Dataset",
+    num_partitions: int,
+    carry: tuple[str, ...] = (),
+) -> "ray.data.Dataset":
+    """Co-locate each candidate pair with both endpoint texts.
+
+    ``pairs``: (a, b [, carry...]); ``texts``: (url, text). Returns a Dataset
+    whose partitions (grouped by ``ppk``) contain, per pair, rows
+    kind="pair" (a, b, carry) and kind="text" (url→a slot, text→b slot) for
+    every referenced url — ready for a per-partition verification
+    ``map_groups``. ``carry`` columns must be float64.
+    """
+    P = num_partitions
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        ppk = _pair_ppk(t["a"], t["b"], P)
+        cols = {
+            "ppk": pa.array(ppk, type=pa.int64()),
+            "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
+            "a": t["a"],
+            "b": t["b"],
+        }
+        for c in carry:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def need_rows(t: pa.Table) -> pa.Table:
+        ppk = _pair_ppk(t["a"], t["b"], P)
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        urls = pa.concat_arrays([a, b])
+        pk = np.concatenate([ppk, ppk])
+        return pa.table(
+            {"url": urls, "ppk": pa.array(pk, type=pa.int64())}
+        )
+
+    # distinct (url, ppk) — one text copy per partition that needs it
+    needs = (
+        pairs.map_batches(need_rows, batch_format="pyarrow")
+        .groupby(["url", "ppk"])
+        .count()
+        .select_columns(["url", "ppk"])
+    ).materialize()
+
+    # Broadcast the needs map (url → sorted list of partitions referencing
+    # it) as CSR arrays — candidate-output-sized, shipped ONCE via ray.put.
+    # Every text batch then replicates its rows to exactly the partitions
+    # that reference them with two Arrow/numpy gathers: no second shuffle.
+    # Cap guard: above driver comfort, fall back to a co-hash-partitioned
+    # searchsorted semi-join (slower, zero driver state).
+    need_url_chunks: list = []
+    need_ppk_chunks: list = []
+    n_need = 0
+    overflow = False
+    for b in needs.iter_batches(batch_size=262144, batch_format="pyarrow"):
+        need_url_chunks.append(b["url"])
+        need_ppk_chunks.append(b["ppk"])
+        n_need += len(b["url"])
+        if n_need > 100_000_000:
+            overflow = True
+            break
+    if not overflow:
+        nurl = pa.chunked_array(need_url_chunks) if need_url_chunks else pa.chunked_array([pa.array([], type=pa.string())])
+        nppk = (
+            np.concatenate([c.to_numpy() for c in need_ppk_chunks])
+            if need_ppk_chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        order = pc.sort_indices(nurl)
+        uniq_urls = nurl.take(order).combine_chunks()
+        nppk = nppk[order.to_numpy(zero_copy_only=False)]
+        # CSR: uniq url values + offsets into the ppk value array
+        eq_prev = pc.equal(uniq_urls.slice(1), uniq_urls.slice(0, max(0, len(uniq_urls) - 1)))
+        is_new = np.r_[True, ~eq_prev.to_numpy(zero_copy_only=False)] if len(uniq_urls) else np.empty(0, dtype=bool)
+        firsts = np.flatnonzero(is_new)
+        csr_urls = uniq_urls.take(pa.array(firsts))
+        csr_offsets = np.r_[firsts, len(nppk)].astype(np.int64)
+        csr_ref = ray.put((csr_urls, csr_offsets, nppk))
+
+        def replicate(t: pa.Table) -> pa.Table:
+            urls_s, offs, ppks = ray.get(csr_ref)
+            idx = pc.index_in(t["url"], value_set=urls_s)
+            valid = pc.is_valid(idx)
+            t = t.filter(valid)
+            g = idx.filter(valid).to_numpy(zero_copy_only=False).astype(np.int64)
+            counts = offs[g + 1] - offs[g]
+            total = int(counts.sum())
+            if total == 0:
+                return pa.table(
+                    {"ppk": pa.array([], type=pa.int64()),
+                     "url": pa.array([], type=pa.string()),
+                     "text": pa.array([], type=pa.string())}
+                )
+            row_rep = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+            cum0 = np.r_[0, np.cumsum(counts)[:-1]]
+            within = np.arange(total, dtype=np.int64) - np.repeat(cum0, counts)
+            ppk_out = ppks[np.repeat(offs[g], counts) + within]
+            rt = t.take(pa.array(row_rep))
+            return pa.table(
+                {"ppk": pa.array(ppk_out, type=pa.int64()),
+                 "url": rt["url"], "text": rt["text"]}
+            )
+
+        text_rows = texts.map_batches(replicate, batch_format="pyarrow")
+    else:
+        text_rows = _coshuffle_semijoin(needs, texts, P)
+
+    def as_text_kind(t: pa.Table) -> pa.Table:
+        cols = {
+            "ppk": t["ppk"],
+            "kind": pa.array(np.ones(len(t), dtype=np.int8)),
+            "a": t["url"],
+            "b": t["text"],
+        }
+        for c in carry:
+            cols[c] = pa.nulls(len(t), type=pa.float64())
+        return pa.table(cols)
+
+    out = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
+        text_rows.map_batches(as_text_kind, batch_format="pyarrow")
+    )
+    # coalesce before the grouping shuffle: the union inherits hundreds of
+    # tiny blocks from upstream stages and every groupby pays per-block
+    # scheduling cost × output partitions (measured 5× on this exact stage)
+    return out.repartition(P)
+
+
+def _coshuffle_semijoin(
+    needs: "ray.data.Dataset", texts: "ray.data.Dataset", P: int
+) -> "ray.data.Dataset":
+    """Fallback semi-join for needs maps too large to broadcast: co-hash-
+    partition needs and texts on url, searchsorted merge per partition.
+    Returns (ppk, url, text) — one row per (needing partition, url)."""
+
+    def tag_need(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "upk": pa.array(_url_pkey(t["url"], P), type=pa.int64()),
+                "url": t["url"],
+                "ppk": t["ppk"],
+                "text": pa.nulls(len(t), type=pa.string()),
+                "is_text": pa.array(np.zeros(len(t), dtype=bool)),
+            }
+        )
+
+    def tag_text(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "upk": pa.array(_url_pkey(t["url"], P), type=pa.int64()),
+                "url": t["url"],
+                "ppk": pa.nulls(len(t), type=pa.int64()),
+                "text": t["text"],
+                "is_text": pa.array(np.ones(len(t), dtype=bool)),
+            }
+        )
+
+    def attach_text(t: pa.Table) -> pa.Table:
+        is_text = t["is_text"].to_numpy(zero_copy_only=False)
+        turl = t["url"].filter(pa.array(is_text))
+        ttext = t["text"].filter(pa.array(is_text))
+        order = pc.sort_indices(turl)
+        turl = turl.take(order).combine_chunks()
+        ttext = ttext.take(order).combine_chunks()
+        nt = t.filter(pa.array(~is_text))
+        nurl = nt["url"]
+        if isinstance(nurl, pa.ChunkedArray):
+            nurl = nurl.combine_chunks()
+        idx = pc.index_in(nurl, value_set=turl)
+        valid = pc.is_valid(idx)
+        nt = nt.filter(valid)
+        idx = idx.filter(valid)
+        return pa.table(
+            {"ppk": nt["ppk"], "url": nt["url"], "text": ttext.take(idx)}
+        )
+
+    return (
+        needs.map_batches(tag_need, batch_format="pyarrow")
+        .union(texts.map_batches(tag_text, batch_format="pyarrow"))
+        .repartition(P)
+        .groupby("upk")
+        .map_groups(attach_text, batch_format="pyarrow")
+    )
+
+
+def _partition_pairs_and_texts(t: pa.Table):
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    is_pair = kind == 0
+    pt = t.filter(pa.array(is_pair))
+    tt = t.filter(pa.array(~is_pair))
+    texts = dict(zip(tt["a"].to_pylist(), tt["b"].to_pylist()))
+    return pt, texts
+
+
+def verify_span_edges(
+    pairs: "ray.data.Dataset",
+    texts: "ray.data.Dataset",
+    cfg: DedupConfig,
+) -> "ray.data.Dataset":
+    """Substring-edge refinement: keep a pair iff the two token streams truly
+    share a contiguous >= ``lgram_tokens``-token span.
+
+    Hash positions are found with the FULL (unwinnowed) rolling-gram arrays;
+    every hash match is confirmed by comparing the raw token windows, so a
+    64-bit collision cannot survive. Output schema matches the edge schema
+    (a, b, est, method='substring'); ``est`` = matched-span length / tokens.
+    """
+    from camden_ray.stages.candidates import default_partitions
+
+    P = default_partitions(cfg)
+    L = cfg.lgram_tokens
+    seed = cfg.seed
+
+    rows = pair_texts_partitions(pairs, texts, P)
+
+    def verify(t: pa.Table) -> pa.Table:
+        pt, tx = _partition_pairs_and_texts(t)
+        hasher = TokenHasher(seed=seed)
+        tok_cache: dict[str, list[str]] = {}
+        gram_cache: dict[str, np.ndarray] = {}
+
+        def toks(u: str) -> list[str]:
+            v = tok_cache.get(u)
+            if v is None:
+                v = tokenize(tx.get(u, "") or "")
+                tok_cache[u] = v
+            return v
+
+        def grams(u: str) -> np.ndarray:
+            g = gram_cache.get(u)
+            if g is None:
+                g = rolling_lgram_hashes(hasher.hash_tokens(toks(u)), L)
+                gram_cache[u] = g
+            return g
+
+        keep_a: list[str] = []
+        keep_b: list[str] = []
+        est: list[float] = []
+        for a, b in zip(pt["a"].to_pylist(), pt["b"].to_pylist()):
+            ga, gb = grams(a), grams(b)
+            if not len(ga) or not len(gb):
+                continue
+            common = np.intersect1d(ga, gb)
+            if not len(common):
+                continue
+            ta, tb = toks(a), toks(b)
+            verified = False
+            # confirm up to 4 distinct matching hash values on raw tokens
+            for hv in common[:4]:
+                pa_pos = np.flatnonzero(ga == hv)
+                pb_pos = np.flatnonzero(gb == hv)
+                for i in pa_pos[:2]:
+                    wa = ta[i : i + L]
+                    for j in pb_pos[:2]:
+                        if wa == tb[j : j + L]:
+                            verified = True
+                            break
+                    if verified:
+                        break
+                if verified:
+                    break
+            if verified:
+                keep_a.append(a)
+                keep_b.append(b)
+                est.append(min(1.0, len(common) / max(1, min(len(ga), len(gb)))))
+        return pa.table(
+            {
+                "a": pa.array(keep_a, type=pa.string()),
+                "b": pa.array(keep_b, type=pa.string()),
+                "est": pa.array(est, type=pa.float64()),
+                "method": pa.array(["substring"] * len(keep_a), type=pa.string()),
+            }
+        )
+
+    return rows.groupby("ppk").map_groups(verify, batch_format="pyarrow")
+
+
+def verify_jaccard_pairs(
+    pairs: "ray.data.Dataset",
+    texts: "ray.data.Dataset",
+    cfg: DedupConfig,
+    tau: float,
+) -> "ray.data.Dataset":
+    """Exact shingle-set Jaccard >= tau per candidate pair — distributed.
+
+    Replaces the driver-side whole-corpus text dict (the old
+    ``doc_ngram_jaccard_pairs`` broadcast): texts travel only to partitions
+    whose pairs reference them. Jaccard is computed on raw token k-gram
+    TUPLES (set semantics) — exact, not hash-estimated.
+    """
+    from camden_ray.stages.candidates import default_partitions
+
+    P = default_partitions(cfg)
+    k = cfg.shingle_k
+
+    rows = pair_texts_partitions(pairs, texts, P)
+
+    def verify(t: pa.Table) -> pa.Table:
+        pt, tx = _partition_pairs_and_texts(t)
+        shingle_cache: dict[str, set] = {}
+
+        def shingles(u: str) -> set:
+            s = shingle_cache.get(u)
+            if s is None:
+                tk = tokenize(tx.get(u, "") or "")
+                s = {tuple(tk[i : i + k]) for i in range(max(0, len(tk) - k + 1))}
+                shingle_cache[u] = s
+            return s
+
+        keep_a: list[str] = []
+        keep_b: list[str] = []
+        jac: list[int] = []
+        seen: set[tuple[str, str]] = set()
+        for a, b in zip(pt["a"].to_pylist(), pt["b"].to_pylist()):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            sa, sb = shingles(a), shingles(b)
+            j = len(sa & sb) / max(1, len(sa | sb))
+            if j >= tau:
+                keep_a.append(a)
+                keep_b.append(b)
+                jac.append(int(round(j * 100_000)))
+        return pa.table(
+            {
+                "a": pa.array(keep_a, type=pa.string()),
+                "b": pa.array(keep_b, type=pa.string()),
+                "jaccard_fp": pa.array(jac, type=pa.int64()),
+            }
+        )
+
+    return rows.groupby("ppk").map_groups(verify, batch_format="pyarrow")

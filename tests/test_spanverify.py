@@ -1,0 +1,73 @@
+"""Distributed span/jaccard verification of candidate pairs (the refinement
+stage that makes a coarse L-gram bucket collision unable to produce a false
+substring edge)."""
+
+import pandas as pd
+import ray.data
+
+from camden_ray.config import DedupConfig
+from camden_ray.stages.spanverify import verify_jaccard_pairs, verify_span_edges
+
+
+def _texts_ds(d: dict[str, str]):
+    return ray.data.from_pandas(
+        pd.DataFrame({"url": list(d), "text": list(d.values())})
+    )
+
+
+def _pairs_ds(pairs):
+    return ray.data.from_pandas(
+        pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    )
+
+
+def test_span_verify_keeps_true_span_drops_false_pair():
+    """A/B share a 60-token span (>= lgram_tokens=50) → edge survives; C/D
+    share nothing → a candidate pair between them (a collided bucket) is
+    refuted by the token streams."""
+    base = [f"w{i}" for i in range(200)]
+    span = [f"s{i}" for i in range(60)]
+    texts = {
+        "u://a": " ".join(base[:50] + span + base[50:100]),
+        "u://b": " ".join(base[100:150] + span + base[150:200]),
+        "u://c": " ".join(f"c{i}" for i in range(150)),
+        "u://d": " ".join(f"d{i}" for i in range(150)),
+    }
+    pairs = _pairs_ds([("u://a", "u://b"), ("u://c", "u://d")])
+    out = verify_span_edges(pairs, _texts_ds(texts), DedupConfig()).to_pandas()
+    assert set(zip(out.a, out.b)) == {("u://a", "u://b")}
+    assert (out.method == "substring").all()
+
+
+def test_span_verify_just_below_threshold_refuted():
+    """A shared span one token SHORT of lgram_tokens must not verify."""
+    cfg = DedupConfig()
+    span = [f"s{i}" for i in range(cfg.lgram_tokens - 1)]
+    texts = {
+        "u://a": " ".join([f"x{i}" for i in range(80)] + span),
+        "u://b": " ".join(span + [f"y{i}" for i in range(80)]),
+    }
+    pairs = _pairs_ds([("u://a", "u://b")])
+    out = verify_span_edges(pairs, _texts_ds(texts), cfg).to_pandas()
+    assert len(out) == 0
+
+
+def test_jaccard_verify_matches_bruteforce():
+    va = [f"t{i}" for i in range(100)]
+    vb = list(va)
+    vb[10] = "zzz"  # one substitution: J just under 1.0, well over 0.5
+    texts = {
+        "u://a": " ".join(va),
+        "u://b": " ".join(vb),
+        "u://c": " ".join(f"q{i}" for i in range(100)),
+    }
+    pairs = _pairs_ds([("u://a", "u://b"), ("u://a", "u://c")])
+    cfg = DedupConfig()
+    out = verify_jaccard_pairs(pairs, _texts_ds(texts), cfg, tau=0.5).to_pandas()
+    assert set(zip(out.a, out.b)) == {("u://a", "u://b")}
+    # exact tuple-shingle jaccard, fixed-point 1e-5
+    k = cfg.shingle_k
+    sa = {tuple(va[i : i + k]) for i in range(len(va) - k + 1)}
+    sb = {tuple(vb[i : i + k]) for i in range(len(vb) - k + 1)}
+    want = int(round(len(sa & sb) / len(sa | sb) * 100_000))
+    assert out.jaccard_fp.iloc[0] == want
