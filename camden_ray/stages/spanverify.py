@@ -469,7 +469,8 @@ def verify_jaccard_pairs(
             if j >= tau:
                 keep_a.append(a)
                 keep_b.append(b)
-                jac.append(int(round(j * 100_000)))
+                # half-away-from-zero (DuckDB round), not Python's half-even
+                jac.append(int(np.trunc(j * 100_000 + 0.5)))
         return pa.table(
             {
                 "a": pa.array(keep_a, type=pa.string()),

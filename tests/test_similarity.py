@@ -17,30 +17,31 @@ def _pairs(df: pd.DataFrame) -> set[tuple[int, int]]:
     return set(zip(df["a"].astype(int), df["b"].astype(int)))
 
 
-def test_embedding_near_dup_lsh_recall_and_precision():
-    """Bucketed near-dup pairs vs the exact all-pairs query at τ=0.7:
-    recall >= 0.99 and NO false pairs (in-bucket verification is exact)."""
+def test_embedding_near_dup_lsh_equals_exact():
+    """Bucketed near-dup pairs vs the exact all-pairs query at τ=0.4: the
+    32-table probe must recover the IDENTICAL pair set with identical
+    fixed-point cosines (this equality is what lets the exact query's SQL
+    double as the LSH query's oracle)."""
     from camden_ray.pipelines.queries import (
         embedding_near_dup,
         embedding_near_dup_lsh,
     )
 
     exact = embedding_near_dup(SF_DIR).to_pandas()
-    exact = exact[exact.cos_fp >= 70_000]
     got = embedding_near_dup_lsh(SF_DIR).to_pandas()
     want_pairs, got_pairs = _pairs(exact), _pairs(got)
-    assert want_pairs, "fixture has no near-dup pairs at tau=0.7"
-    recall = len(want_pairs & got_pairs) / len(want_pairs)
-    assert recall >= 0.99, f"recall {recall:.4f} ({len(got_pairs)}/{len(want_pairs)})"
-    assert got_pairs <= want_pairs, f"false pairs: {sorted(got_pairs - want_pairs)[:5]}"
-    # verified cosine values agree with the exact query (same fixed point)
+    assert want_pairs, "fixture has no near-dup pairs at tau=0.4"
+    assert got_pairs == want_pairs, (
+        f"missed: {sorted(want_pairs - got_pairs)[:5]} "
+        f"extra: {sorted(got_pairs - want_pairs)[:5]}"
+    )
     merged = got.merge(exact, on=["a", "b"], suffixes=("_lsh", "_exact"))
     assert (merged.cos_fp_lsh == merged.cos_fp_exact).all()
 
 
 def test_knn_lsh_matches_brute_force():
     """ANN top-10 for the vec_id=0 query equals exact brute-force top-10 on
-    the driver tables (recall@10 == 1.0 at this probe width)."""
+    the driver tables (the 32 tables jointly cover the space at this n)."""
     from camden_ray.pipelines.queries import knn_brute_force, knn_lsh
 
     bf = knn_brute_force(SF_DIR).to_pandas()
