@@ -119,7 +119,7 @@ def refine_substring_edges(
     """
     from camden_ray.stages.spanverify import (
         antijoin_pairs,
-        needed_url_array,
+        pull_needs_csr,
         verify_span_edges,
     )
 
@@ -142,10 +142,12 @@ def refine_substring_edges(
     if sub.count() == 0:
         return others
 
-    needed = needed_url_array(sub)
+    # ONE driver pass builds the needs CSR; its url list doubles as the
+    # corpus-read prefilter (only candidate-endpoint docs are re-extracted)
+    csr = pull_needs_csr(sub, default_partitions(cfg))
     texts = input_ds
-    if needed is not None:
-        need_ref = ray.put(needed)
+    if csr is not None:
+        need_ref = ray.put(csr[0])
 
         def prefilter(t: pa.Table) -> pa.Table:
             return t.filter(pc.is_in(t["url"], value_set=ray.get(need_ref)))
@@ -162,7 +164,7 @@ def refine_substring_edges(
         )
     texts = texts.select_columns(["url", "text"])
 
-    verified = verify_span_edges(sub, texts, cfg)
+    verified = verify_span_edges(sub, texts, cfg, needs_csr=csr)
     return others.union(verified)
 
 

@@ -146,11 +146,59 @@ def needed_url_array(
     return pa.array(sorted(urls), type=pa.string())
 
 
+def pull_needs_csr(pairs: "ray.data.Dataset", num_partitions: int, cap: int = 50_000_000):
+    """ONE driver pass over the (materialized, candidate-output-sized) pairs
+    Dataset building the url → sorted-partition-list CSR map used to
+    replicate texts — replaces a distributed distinct-groupby + pull.
+    Returns (urls: pa.Array sorted unique, offsets: int64[n+1], ppks: int64)
+    or None when the pair set exceeds ``cap`` rows (co-shuffle fallback).
+    """
+    url_chunks: list[pa.Array] = []
+    ppk_chunks: list[np.ndarray] = []
+    n = 0
+    for b in pairs.select_columns(["a", "b"]).iter_batches(
+        batch_size=262144, batch_format="pyarrow"
+    ):
+        ppk = _pair_ppk(b["a"], b["b"], num_partitions)
+        a = b["a"].combine_chunks() if isinstance(b["a"], pa.ChunkedArray) else b["a"]
+        bb = b["b"].combine_chunks() if isinstance(b["b"], pa.ChunkedArray) else b["b"]
+        url_chunks.append(pa.concat_arrays([a, bb]))
+        ppk_chunks.append(np.concatenate([ppk, ppk]))
+        n += 2 * len(b["a"])
+        if n > cap:
+            return None
+    if n == 0:
+        return (
+            pa.array([], type=pa.string()),
+            np.zeros(1, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    urls = pa.chunked_array(url_chunks)
+    ppks = np.concatenate(ppk_chunks)
+    order = pc.sort_indices(urls)
+    urls = urls.take(order).combine_chunks()
+    ppks = ppks[order.to_numpy(zero_copy_only=False)]
+    eq_prev = pc.equal(urls.slice(1), urls.slice(0, len(urls) - 1))
+    is_new = np.r_[True, ~eq_prev.to_numpy(zero_copy_only=False)]
+    firsts = np.flatnonzero(is_new)
+    csr_urls = urls.take(pa.array(firsts))
+    # dedupe (url, ppk) repeats — vectorized via a combined group·P+ppk key
+    runs = np.diff(np.r_[firsts, len(ppks)])
+    gidx = np.repeat(np.arange(len(firsts), dtype=np.int64), runs)
+    key = gidx * np.int64(num_partitions) + ppks
+    uk = np.unique(key)
+    out_ppks = uk % np.int64(num_partitions)
+    g_of = uk // np.int64(num_partitions)
+    new_offsets = np.searchsorted(g_of, np.arange(len(firsts) + 1, dtype=np.int64))
+    return csr_urls, new_offsets.astype(np.int64), out_ppks
+
+
 def pair_texts_partitions(
     pairs: "ray.data.Dataset",
     texts: "ray.data.Dataset",
     num_partitions: int,
     carry: tuple[str, ...] = (),
+    needs_csr=None,
 ) -> "ray.data.Dataset":
     """Co-locate each candidate pair with both endpoint texts.
 
@@ -184,48 +232,17 @@ def pair_texts_partitions(
             {"url": urls, "ppk": pa.array(pk, type=pa.int64())}
         )
 
-    # distinct (url, ppk) — one text copy per partition that needs it
-    needs = (
-        pairs.map_batches(need_rows, batch_format="pyarrow")
-        .groupby(["url", "ppk"])
-        .count()
-        .select_columns(["url", "ppk"])
-    ).materialize()
-
-    # Broadcast the needs map (url → sorted list of partitions referencing
-    # it) as CSR arrays — candidate-output-sized, shipped ONCE via ray.put.
-    # Every text batch then replicates its rows to exactly the partitions
-    # that reference them with two Arrow/numpy gathers: no second shuffle.
-    # Cap guard: above driver comfort, fall back to a co-hash-partitioned
-    # searchsorted semi-join (slower, zero driver state).
-    need_url_chunks: list = []
-    need_ppk_chunks: list = []
-    n_need = 0
-    overflow = False
-    for b in needs.iter_batches(batch_size=262144, batch_format="pyarrow"):
-        need_url_chunks.append(b["url"])
-        need_ppk_chunks.append(b["ppk"])
-        n_need += len(b["url"])
-        if n_need > 100_000_000:
-            overflow = True
-            break
-    if not overflow:
-        nurl = pa.chunked_array(need_url_chunks) if need_url_chunks else pa.chunked_array([pa.array([], type=pa.string())])
-        nppk = (
-            np.concatenate([c.to_numpy() for c in need_ppk_chunks])
-            if need_ppk_chunks
-            else np.empty(0, dtype=np.int64)
-        )
-        order = pc.sort_indices(nurl)
-        uniq_urls = nurl.take(order).combine_chunks()
-        nppk = nppk[order.to_numpy(zero_copy_only=False)]
-        # CSR: uniq url values + offsets into the ppk value array
-        eq_prev = pc.equal(uniq_urls.slice(1), uniq_urls.slice(0, max(0, len(uniq_urls) - 1)))
-        is_new = np.r_[True, ~eq_prev.to_numpy(zero_copy_only=False)] if len(uniq_urls) else np.empty(0, dtype=bool)
-        firsts = np.flatnonzero(is_new)
-        csr_urls = uniq_urls.take(pa.array(firsts))
-        csr_offsets = np.r_[firsts, len(nppk)].astype(np.int64)
-        csr_ref = ray.put((csr_urls, csr_offsets, nppk))
+    # The needs map (url → sorted list of partitions referencing it) is
+    # candidate-output-sized: pulled in ONE driver pass (or handed in by the
+    # caller, who typically also used its url list to prefilter the corpus
+    # read) and broadcast ONCE via ray.put as CSR arrays. Every text batch
+    # then replicates its rows to exactly the partitions that reference
+    # them with two Arrow/numpy gathers: no second shuffle. Cap guard:
+    # above driver comfort, fall back to a co-hash-partitioned searchsorted
+    # semi-join (slower, zero driver state).
+    csr = needs_csr if needs_csr is not None else pull_needs_csr(pairs, P)
+    if csr is not None:
+        csr_ref = ray.put(csr)
 
         def replicate(t: pa.Table) -> pa.Table:
             urls_s, offs, ppks = ray.get(csr_ref)
@@ -253,6 +270,12 @@ def pair_texts_partitions(
 
         text_rows = texts.map_batches(replicate, batch_format="pyarrow")
     else:
+        needs = (
+            pairs.map_batches(need_rows, batch_format="pyarrow")
+            .groupby(["url", "ppk"])
+            .count()
+            .select_columns(["url", "ppk"])
+        )
         text_rows = _coshuffle_semijoin(needs, texts, P)
 
     def as_text_kind(t: pa.Table) -> pa.Table:
@@ -345,6 +368,7 @@ def verify_span_edges(
     pairs: "ray.data.Dataset",
     texts: "ray.data.Dataset",
     cfg: DedupConfig,
+    needs_csr=None,
 ) -> "ray.data.Dataset":
     """Substring-edge refinement: keep a pair iff the two token streams truly
     share a contiguous >= ``lgram_tokens``-token span.
@@ -360,7 +384,7 @@ def verify_span_edges(
     L = cfg.lgram_tokens
     seed = cfg.seed
 
-    rows = pair_texts_partitions(pairs, texts, P)
+    rows = pair_texts_partitions(pairs, texts, P, needs_csr=needs_csr)
 
     def verify(t: pa.Table) -> pa.Table:
         pt, tx = _partition_pairs_and_texts(t)
@@ -429,6 +453,7 @@ def verify_jaccard_pairs(
     texts: "ray.data.Dataset",
     cfg: DedupConfig,
     tau: float,
+    needs_csr=None,
 ) -> "ray.data.Dataset":
     """Exact shingle-set Jaccard >= tau per candidate pair — distributed.
 
@@ -442,7 +467,7 @@ def verify_jaccard_pairs(
     P = default_partitions(cfg)
     k = cfg.shingle_k
 
-    rows = pair_texts_partitions(pairs, texts, P)
+    rows = pair_texts_partitions(pairs, texts, P, needs_csr=needs_csr)
 
     def verify(t: pa.Table) -> pa.Table:
         pt, tx = _partition_pairs_and_texts(t)
