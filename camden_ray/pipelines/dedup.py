@@ -22,6 +22,7 @@ Dataflow (SURVEY.md §3.4)::
 from __future__ import annotations
 
 import os
+import time
 from typing import Any
 
 import pyarrow as pa
@@ -197,10 +198,16 @@ def run_dedup(
     ckpt = Checkpointer(out_dir, cfg) if out_dir else None
     in_fp = input_fingerprint(input_path) if isinstance(input_path, (str, list)) and input_path else "adhoc"
 
+    timings: dict[str, float] = {}
+
     def _edges(sig: "ray.data.Dataset") -> "ray.data.Dataset":
+        t0 = time.monotonic()
         e = build_edges(sig, cfg).materialize()
+        timings["edges"] = round(time.monotonic() - t0, 3)
         if "substring" in cfg.methods and cfg.verify_substring_spans:
+            t0 = time.monotonic()
             e = refine_substring_edges(e, ds, cfg, extract)
+            timings["span_verify"] = round(time.monotonic() - t0, 3)
         return e
 
     if ckpt:
@@ -211,10 +218,15 @@ def run_dedup(
     else:
         # no checkpoint dir: materialize the compact signature table once so
         # the four candidate branches don't re-execute extraction per branch
+        t0 = time.monotonic()
         sig_ds = signature_table(ds, cfg, extract=extract).materialize()
+        timings["signatures"] = round(time.monotonic() - t0, 3)
+        t0 = time.monotonic()
         edges = _edges(sig_ds).materialize()
+        timings["edges_total"] = round(time.monotonic() - t0, 3)
         edge_fp = "adhoc"
 
+    t0 = time.monotonic()
     n_edges = edges.count()
     urls = sig_ds.select_columns(["url"])
     assignments: dict[str, str] | None = None
@@ -237,7 +249,9 @@ def run_dedup(
         P = default_partitions(cfg)
         comp = hash_to_min_components(edges, num_partitions=P).materialize()
         clusters = assign_clusters_distributed(urls, comp, num_partitions=P)
+    timings["clustering"] = round(time.monotonic() - t0, 3)
 
+    t0 = time.monotonic()
     if assignments is not None:
         n_clustered = len(assignments)
         n_reps_in_comps = len(set(assignments.values()))
@@ -252,6 +266,7 @@ def run_dedup(
     else:
         # executed by stats below AND by the caller — materialize once
         clusters = clusters.materialize()
+    timings["assign"] = round(time.monotonic() - t0, 3)
 
     kept = clusters.filter(expr="is_representative == True")
     removed = clusters.filter(expr="is_representative == False")
@@ -275,5 +290,8 @@ def run_dedup(
         "kept": kept,
         "removed": removed,
         "stats": stats,
+        # wall-clock per stage — kept OUT of stats so result comparisons
+        # across runs/paths stay deterministic
+        "timings": timings,
         "config": cfg,
     }

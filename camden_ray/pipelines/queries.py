@@ -529,7 +529,7 @@ def embedding_near_dup_lsh(sf_dir: str):
     import pyarrow.parquet as pq
 
     from camden_ray.functions.hashing import mix64
-    from camden_ray.stages.candidates import default_partitions
+    from camden_ray.stages.candidates import default_partitions, partition_map
 
     TABLES = 32
     TAU_FP = 40_000
@@ -639,7 +639,7 @@ def embedding_near_dup_lsh(sf_dir: str):
     rows = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).map_batches(
         expand, batch_format="pyarrow"
     )
-    pairs = rows.groupby("pkey").map_groups(grouper, batch_format="pyarrow")
+    pairs = partition_map(rows, P, grouper)
     # same pair from several tables → one row
     return pairs.groupby(["a", "b"]).aggregate(Max("cos_fp", alias_name="cos_fp"))
 

@@ -136,7 +136,7 @@ def events_sessions(sf_dir: str):
     session ids via cumsum, groupby-agg min/count).
     """
     from camden_ray.config import DedupConfig
-    from camden_ray.stages.candidates import default_partitions
+    from camden_ray.stages.candidates import default_partitions, partition_map
 
     P = default_partitions(DedupConfig())  # scales with cluster CPUs
     gap = np.timedelta64(SESSION_GAP_MIN, "m")
@@ -148,6 +148,12 @@ def events_sessions(sf_dir: str):
         )
 
     def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            # dtypes from the (empty) input so all blocks agree on schema
+            return pd.DataFrame(
+                {"user_id": df["user_id"], "session_start": df["ts"],
+                 "n_events": pd.Series(dtype="int64")}
+            )
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         uid = df["user_id"].to_numpy()
         ts = df["ts"].to_numpy()
@@ -161,10 +167,11 @@ def events_sessions(sf_dir: str):
         return g[["user_id", "session_start", "n_events"]]
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    return (
-        ds.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(sessionize, batch_format="pandas")
+    return partition_map(
+        ds.map_batches(add_pkey, batch_format="pyarrow"),
+        P,
+        sessionize,
+        batch_format="pandas",
     )
 
 

@@ -52,14 +52,57 @@ ALLPAIRS_CAP = 16
 
 
 def default_partitions(cfg: DedupConfig) -> int:
-    """Coarse reduce-partition count: explicit config wins; else 2× cluster CPUs."""
+    """Coarse reduce-partition count: explicit config wins; else 4× cluster CPUs.
+
+    4× (not 1×) so one slow partition doesn't stall a whole wave — with
+    vectorized groupers the per-partition overhead is negligible next to the
+    straggler savings (measured: P=4×CPUs halved the candidate-shuffle wall
+    vs P=2×CPUs at 1.2M docs / 32 CPUs).
+    """
     if cfg.shuffle_partitions:
         return cfg.shuffle_partitions
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(8, cpus * 2)
+    return max(8, cpus * 4)
+
+
+def partition_map(
+    ds: "ray.data.Dataset",
+    P: int,
+    fn,
+    key: str = "pkey",
+    batch_format: str = "pyarrow",
+) -> "ray.data.Dataset":
+    """Co-locate rows by a precomputed integer partition key in ``[0, P)`` and
+    apply ``fn`` once per partition (whole-partition Arrow batches).
+
+    This replaces ``groupby(key).map_groups(fn)`` on coarse partition keys:
+    Ray's sort-based groupby quantile-samples boundaries, which collapse on a
+    low-cardinality key (P distinct values → skewed reduce blocks, empty
+    partitions, and an expensive re-merge). An explicit-boundary sort places
+    each key in exactly one reduce partition — perfectly hash-balanced, no
+    sampling pass — and each reduce partition arrives as exactly ONE block
+    (sort_task_spec.reduce merges to a single block), so ``batch_size=None``
+    hands ``fn`` complete partitions. Measured 4–20× faster than the groupby
+    path on the 54M-row candidate shuffle.
+
+    Scale note: one partition = one block, so P must keep partitions under
+    the object-store block budget — size P ∝ data volume via
+    ``cfg.shuffle_partitions`` when 4×CPUs isn't enough.
+
+    ``fn`` MUST tolerate an empty batch: a ``key`` value with no rows still
+    yields one (empty) reduce block, which groupby-map_groups never produced.
+    """
+    P = int(P)
+    if P <= 1:
+        return ds.repartition(1).map_batches(
+            fn, batch_format=batch_format, batch_size=None
+        )
+    return ds.sort(key, boundaries=list(range(1, P))).map_batches(
+        fn, batch_format=batch_format, batch_size=None
+    )
 
 
 def _url_salts(urls: np.ndarray, num_salts: int) -> np.ndarray:
@@ -429,9 +472,8 @@ def unified_star_edges(
     hot_keys = hot_bucket_keys(rows, cfg)
     hot_ref = ray.put(hot_keys)
     salted = rows.map_batches(make_salter(hot_ref, cfg, P), batch_format="pyarrow")
-    grouped = salted.groupby("pkey").map_groups(
-        make_unified_partition_grouper(cfg, emit_reps=bool(hot_keys)),
-        batch_format="pyarrow",
+    grouped = partition_map(
+        salted, P, make_unified_partition_grouper(cfg, emit_reps=bool(hot_keys))
     )
     grouped = grouped.materialize()
 
@@ -464,9 +506,8 @@ def unified_star_edges(
         )
 
     rep_rows = grouped.map_batches(rep_rows_fn, batch_format="pyarrow")
-    rep_grouped = rep_rows.groupby("pkey").map_groups(
-        make_unified_partition_grouper(cfg, emit_reps=False),
-        batch_format="pyarrow",
+    rep_grouped = partition_map(
+        rep_rows, 1, make_unified_partition_grouper(cfg, emit_reps=False)
     )
     rep_edges = rep_grouped.map_batches(stamp, batch_format="pyarrow")
     return edges.union(rep_edges)
@@ -613,10 +654,10 @@ def simhash_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dat
         t = t.append_column("gkey", t["key"])
         return t.append_column("pkey", pa.array(pkey, type=pa.int64()))
 
-    grouped = (
-        rows.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(make_simhash_partition_grouper(cfg), batch_format="pyarrow")
+    grouped = partition_map(
+        rows.map_batches(add_pkey, batch_format="pyarrow"),
+        int(P),
+        make_simhash_partition_grouper(cfg),
     )
 
     def stamp(t: pa.Table) -> pa.Table:

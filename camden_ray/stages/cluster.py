@@ -27,6 +27,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Min
 
+from camden_ray.stages.candidates import partition_map
+
 
 class UnionFind:
     """Path-halving union-find over string keys, min-root ordering."""
@@ -274,9 +276,7 @@ def hash_to_min_components(
         lab_rows = labels.map_batches(lab_to_rows, batch_format="pyarrow")
         edge_rows = graph.map_batches(edge_to_rows, batch_format="pyarrow")
         labels = (
-            lab_rows.union(edge_rows)
-            .groupby("pkey")
-            .map_groups(propagate, batch_format="pyarrow")
+            partition_map(lab_rows.union(edge_rows), P, propagate)
             .groupby("node")
             .aggregate(Min("cand", alias_name="label"))
         ).materialize()
@@ -394,7 +394,7 @@ def _copartition_lookup(
     rows = facts.map_batches(tag(False), batch_format="pyarrow").union(
         dims.map_batches(tag(True), batch_format="pyarrow")
     )
-    return rows.groupby("pkey").map_groups(merge, batch_format="pyarrow")
+    return partition_map(rows, num_partitions, merge)
 
 
 def assign_clusters_distributed(
@@ -478,7 +478,7 @@ def assign_clusters_distributed(
     rows = urls.map_batches(tag(False), batch_format="pyarrow").union(
         comp.map_batches(tag(True), batch_format="pyarrow")
     )
-    return rows.groupby("pkey").map_groups(merge, batch_format="pyarrow")
+    return partition_map(rows, num_partitions, merge)
 
 
 def make_assigner(assign_ref: "ray.ObjectRef"):

@@ -48,6 +48,7 @@ from camden_ray.functions.hashing import (
     rolling_lgram_hashes,
 )
 from camden_ray.functions.text import tokenize
+from camden_ray.stages.candidates import default_partitions, partition_map
 
 _PPK_MIX = np.uint64(0x9E6C63D0762C23C5)
 _URL_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
@@ -122,10 +123,8 @@ def antijoin_pairs(
         right.map_batches(tag(True), batch_format="pyarrow")
     )
     # coalesce: the union inherits the edge Datasets' block counts and the
-    # groupby pays per-block scheduling cost × output partitions
-    return rows.repartition(P).groupby("ppk").map_groups(
-        merge, batch_format="pyarrow"
-    )
+    # partitioning sort pays per-block scheduling cost × output partitions
+    return partition_map(rows.repartition(P), P, merge, key="ppk")
 
 
 def needed_url_array(
@@ -346,13 +345,10 @@ def _coshuffle_semijoin(
             {"ppk": nt["ppk"], "url": nt["url"], "text": ttext.take(idx)}
         )
 
-    return (
-        needs.map_batches(tag_need, batch_format="pyarrow")
-        .union(texts.map_batches(tag_text, batch_format="pyarrow"))
-        .repartition(P)
-        .groupby("upk")
-        .map_groups(attach_text, batch_format="pyarrow")
+    rows = needs.map_batches(tag_need, batch_format="pyarrow").union(
+        texts.map_batches(tag_text, batch_format="pyarrow")
     )
+    return partition_map(rows.repartition(P), P, attach_text, key="upk")
 
 
 def _partition_pairs_and_texts(t: pa.Table):
@@ -378,7 +374,6 @@ def verify_span_edges(
     64-bit collision cannot survive. Output schema matches the edge schema
     (a, b, est, method='substring'); ``est`` = matched-span length / tokens.
     """
-    from camden_ray.stages.candidates import default_partitions
 
     P = default_partitions(cfg)
     L = cfg.lgram_tokens
@@ -445,7 +440,7 @@ def verify_span_edges(
             }
         )
 
-    return rows.groupby("ppk").map_groups(verify, batch_format="pyarrow")
+    return partition_map(rows, P, verify, key="ppk")
 
 
 def verify_jaccard_pairs(
@@ -462,7 +457,6 @@ def verify_jaccard_pairs(
     whose pairs reference them. Jaccard is computed on raw token k-gram
     TUPLES (set semantics) — exact, not hash-estimated.
     """
-    from camden_ray.stages.candidates import default_partitions
 
     P = default_partitions(cfg)
     k = cfg.shingle_k
@@ -504,4 +498,4 @@ def verify_jaccard_pairs(
             }
         )
 
-    return rows.groupby("ppk").map_groups(verify, batch_format="pyarrow")
+    return partition_map(rows, P, verify, key="ppk")
