@@ -35,7 +35,7 @@ from camden_ray.sources.webtext import read_webtext
 from camden_ray.stages.candidates import simhash_edges
 from camden_ray.stages.cluster import (
     make_assigner,
-    unionfind_assignments,
+    unionfind_table,
 )
 from camden_ray.stages.extract import HtmlExtractorActor
 from camden_ray.stages.signatures import SignatureActor
@@ -229,11 +229,19 @@ def run_dedup(
     t0 = time.monotonic()
     n_edges = edges.count()
     urls = sig_ds.select_columns(["url"])
-    assignments: dict[str, str] | None = None
+    assignments: "pa.Table | None" = None
     if n_edges <= cfg.driver_unionfind_max_edges:
-        # small regime: driver union-find + broadcast map (faster below the
-        # driver-memory bar; the map holds only clustered urls)
-        assignments = unionfind_assignments(edges)
+        # small regime: driver union-find + broadcast Arrow table (faster
+        # below the driver-memory bar; the table holds only clustered urls
+        # and deserializes zero-copy in every assign task)
+        assignments = unionfind_table(edges)
+        if assignments is None:
+            assignments = pa.table(
+                {
+                    "url": pa.array([], type=pa.large_string()),
+                    "cluster_id": pa.array([], type=pa.large_string()),
+                }
+            )
         assign_ref = ray.put(assignments)
         clusters = urls.map_batches(make_assigner(assign_ref), batch_format="pyarrow")
     else:
@@ -253,8 +261,8 @@ def run_dedup(
 
     t0 = time.monotonic()
     if assignments is not None:
-        n_clustered = len(assignments)
-        n_reps_in_comps = len(set(assignments.values()))
+        n_clustered = assignments.num_rows
+        n_reps_in_comps = pc.count_distinct(assignments["cluster_id"]).as_py()
     else:  # distributed stats: count components without collecting them
         n_clustered = comp.count()
         n_reps_in_comps = comp.groupby("cluster_id").count().count()

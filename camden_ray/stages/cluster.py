@@ -61,15 +61,20 @@ class UnionFind:
         return {x: self.find(x) for x in self.nodes}
 
 
-def unionfind_assignments(edges: "ray.data.Dataset") -> dict[str, str]:
-    """Stream edge batches to the driver; returns url → cluster_id for every
-    url that appears in an edge (non-edge urls are singletons).
+def unionfind_table(edges: "ray.data.Dataset") -> "pa.Table | None":
+    """Stream edge batches to the driver; returns an Arrow table
+    ``(url: large_string, cluster_id: large_string)`` covering every url that
+    appears in an edge (non-edge urls are singletons), or ``None`` when there
+    are no edges.
 
     Vectorized connected components (no per-edge Python loop): node ids from
-    ``np.unique`` — whose lexicographic order makes min-id ≡ min-url, so the
-    representative contract is preserved — then numpy min-label propagation
-    with pointer jumping (``np.minimum.at`` per round, O(log n) rounds).
-    ~10× the throughput of a dict-based union-find at millions of edges.
+    Arrow hash-unique + sort — whose lexicographic order makes min-id ≡
+    min-url, so the representative contract is preserved — then numpy
+    min-label propagation with pointer jumping (``np.minimum.at`` per round,
+    O(log n) rounds). Input, labels and output all stay in Arrow/numpy; no
+    Python string objects are ever materialized (a 1M-node python dict costs
+    seconds to build and tens of seconds to pickle-broadcast — the Arrow
+    table is zero-copy both ways).
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -80,7 +85,7 @@ def unionfind_assignments(edges: "ray.data.Dataset") -> dict[str, str]:
         a_parts.append(batch["a"])
         b_parts.append(batch["b"])
     if not a_parts or sum(map(len, a_parts)) == 0:
-        return {}
+        return None
     # node ids via Arrow C kernels (hash-unique + sort), then remap to
     # lexicographic ranks so min-id ≡ min-url — no Python-object sort.
     # large_string: 100M+ urls of realistic length overflow the 2 GiB int32
@@ -91,7 +96,7 @@ def unionfind_assignments(edges: "ray.data.Dataset") -> dict[str, str]:
     rank_of[pc.sort_indices(uniq).to_numpy()] = np.arange(len(uniq))
     idx = pc.index_in(both, value_set=uniq).to_numpy(zero_copy_only=False)
     inv = rank_of[idx]
-    nodes = np.asarray(uniq.take(pc.sort_indices(uniq)).to_pylist(), dtype=object)
+    nodes = uniq.take(pc.sort_indices(uniq))  # lexicographically ordered
     n_edges = len(both) // 2
     ei, ej = inv[:n_edges], inv[n_edges:]
     lab = np.arange(len(nodes))
@@ -109,8 +114,20 @@ def unionfind_assignments(edges: "ray.data.Dataset") -> dict[str, str]:
         if np.array_equal(nxt, lab):
             break
         lab = nxt
-    reps = nodes[lab]
-    return dict(zip(nodes.tolist(), reps.tolist()))
+    reps = nodes.take(pa.array(lab))
+    return pa.table({"url": nodes, "cluster_id": reps})
+
+
+def unionfind_assignments(edges: "ray.data.Dataset") -> dict[str, str]:
+    """Dict view of :func:`unionfind_table` (url → cluster_id).
+
+    Kept for tests and small-scale callers; the pipeline broadcasts the Arrow
+    table instead (dict pickling is the scaling bottleneck it replaced).
+    """
+    t = unionfind_table(edges)
+    if t is None:
+        return {}
+    return dict(zip(t["url"].to_pylist(), t["cluster_id"].to_pylist()))
 
 
 def _label_fingerprint(labels: "ray.data.Dataset") -> tuple[int, int]:
@@ -484,20 +501,29 @@ def assign_clusters_distributed(
 def make_assigner(assign_ref: "ray.ObjectRef"):
     """map_batches fn: stamp cluster assignments onto url rows.
 
-    The assignment map (url → cluster_id, only for urls in some component) is
-    broadcast ONCE via ``ray.put``; each task reads it from the local object
-    store (zero-copy for the dict's buffer, one fetch per node) — never
-    re-shipped per batch. Singletons cluster to themselves.
+    The assignment table (``(url, cluster_id)`` Arrow table from
+    :func:`unionfind_table`, only urls in some component) is broadcast ONCE
+    via ``ray.put``; each task reads it from the local object store —
+    zero-copy deserialization (Arrow buffers, not a pickled dict) and never
+    re-shipped per batch. Lookup is a vectorized ``pc.index_in`` + ``take``;
+    urls missing from the table (singletons) cluster to themselves.
     """
-    cache: dict[int, dict[str, str]] = {}
+    import pyarrow.compute as pc
+
+    cache: list = []
 
     def assign(t: pa.Table) -> pa.Table:
-        amap = cache.setdefault(0, None) or ray.get(assign_ref)
-        cache[0] = amap
-        urls = t["url"].to_pylist()
-        cids = [amap.get(u, u) for u in urls]
-        reps = [c == u for u, c in zip(urls, cids)]
-        out = t.append_column("cluster_id", pa.array(cids, type=pa.string()))
-        return out.append_column("is_representative", pa.array(reps, type=pa.bool_()))
+        if not cache:
+            at = ray.get(assign_ref)
+            cache.append((at["url"].combine_chunks(), at["cluster_id"].combine_chunks()))
+        nodes, reps = cache[0]
+        urls = pc.cast(t["url"], nodes.type)
+        idx = pc.index_in(urls, value_set=nodes)
+        cids = pc.cast(
+            pc.coalesce(pc.take(reps, idx), urls), t["url"].type
+        )
+        is_rep = pc.equal(cids, t["url"])
+        out = t.append_column("cluster_id", cids)
+        return out.append_column("is_representative", is_rep)
 
     return assign

@@ -134,14 +134,22 @@ class SignatureActor:
         sigs = np.ascontiguousarray(sigs.T)  # (n, num_perms)
 
         # --- SimHash: sign of per-bit vote over the shingle set ---
+        # 64 contiguous bit-plane passes, each a 1-D ``np.add.reduceat``
+        # segment-sum. (The obvious 2-D ``np.add.reduceat(bits, offsets,
+        # axis=0)`` walks segments in a slow generic inner loop — measured
+        # 24 s vs 0.08 s per 1024-doc batch; a column-wise cumsum over the
+        # unpacked bit matrix is nearly as bad at ~9 s.)
         if n:
-            bits = ((S[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(
-                np.int32
-            )
-            votes = np.add.reduceat(bits, offsets, axis=0)  # (n, 64) ones-count
-            seg_sizes = np.diff(np.append(offsets, len(S)))[:, None]
+            votes = np.empty((64, n), dtype=np.int64)
+            one = np.uint64(1)
+            for b in range(64):
+                col = ((S >> np.uint64(b)) & one).astype(np.int64)
+                votes[b] = np.add.reduceat(col, offsets)
+            seg_sizes = np.diff(np.append(offsets, len(S)))[None, :]
             simhash_bits = (votes * 2 > seg_sizes).astype(np.uint64)
-            simhash = np.bitwise_or.reduce(simhash_bits * self._bit_vals[None, :], axis=1)
+            simhash = np.bitwise_or.reduce(
+                simhash_bits * self._bit_vals[:, None], axis=0
+            )
         else:
             simhash = np.empty(0, dtype=np.uint64)
 
