@@ -74,7 +74,14 @@ class DedupConfig:
                                   # small batches keep the actor pool saturated
                                   # and batch × concurrency inside worker heap)
     extract_concurrency: tuple[int, int] = (1, 8)  # actor-pool autoscale bounds
-    shuffle_partitions: int = 0   # 0 = let Ray Data choose
+    shuffle_partitions: int = 0   # 0 = size from data (see rows_per_partition)
+    # Reduce-partition sizing when shuffle_partitions is 0: P = max(cluster
+    # CPUs, ceil(docs / rows_per_partition)). Tying P to DATA (not CPUs)
+    # keeps per-partition shuffle overhead constant across cluster sizes —
+    # the explicit-boundary sort creates map_blocks × P object slices, and a
+    # CPU-proportional P made every shuffle stage anti-scale (measured: P=128
+    # was 2× slower than P=32 on the same 1.2M-doc input at 32 CPUs).
+    rows_per_partition: int = 32768
 
     # --- clustering ---
     # Above this, clustering switches to distributed hash-to-min label

@@ -105,6 +105,7 @@ def refine_substring_edges(
     input_ds: "ray.data.Dataset",
     cfg: DedupConfig,
     extract: bool,
+    timings: dict | None = None,
 ) -> "ray.data.Dataset":
     """Suffix-array refinement (SURVEY.md §8 TODO 3): re-verify substring
     candidate edges against the actual token streams.
@@ -137,10 +138,15 @@ def refine_substring_edges(
 
     # one shuffle: anti-join vs corroborating methods + per-pair dedup (the
     # same pair surfaces from several gram buckets)
+    t0 = time.monotonic()
     sub = antijoin_pairs(
         sub, others.select_columns(["a", "b"]), default_partitions(cfg)
     ).materialize()
-    if sub.count() == 0:
+    n_sub = sub.count()
+    if timings is not None:
+        timings["span_antijoin"] = round(time.monotonic() - t0, 3)
+        timings["span_residual_pairs"] = n_sub
+    if n_sub == 0:
         return others
 
     # ONE driver pass builds the needs CSR; its url list doubles as the
@@ -165,7 +171,17 @@ def refine_substring_edges(
         )
     texts = texts.select_columns(["url", "text"])
 
-    verified = verify_span_edges(sub, texts, cfg, needs_csr=csr)
+    t0 = time.monotonic()
+    verified = verify_span_edges(sub, texts, cfg, needs_csr=csr).materialize()
+    if os.environ.get("CAMDEN_STAGE_STATS"):
+        import sys as _sys
+
+        print("== span_verify stats ==\n" + verified.stats(), file=_sys.stderr)
+    if timings is not None:
+        timings["span_verify_exec"] = round(time.monotonic() - t0, 3)
+        timings["span_verified_pairs"] = verified.count()
+        if csr is not None:
+            timings["span_endpoint_urls"] = len(csr[0])
     return others.union(verified)
 
 
@@ -195,6 +211,21 @@ def run_dedup(
             min_text_chars=0 if extract else cfg.min_text_chars,
         )
 
+    if not cfg.shuffle_partitions:
+        # Freeze a DATA-sized reduce-partition count for the whole run (see
+        # config.rows_per_partition): every default_partitions(cfg) call
+        # downstream then agrees, with no per-callsite plumbing. The count
+        # is parquet-metadata-only for fresh reads — no execution.
+        from dataclasses import replace
+
+        from camden_ray.stages.candidates import partitions_for
+
+        try:
+            n_in = ds.count()
+        except Exception:
+            n_in = 0
+        cfg = replace(cfg, shuffle_partitions=partitions_for(cfg, n_in))
+
     ckpt = Checkpointer(out_dir, cfg) if out_dir else None
     in_fp = input_fingerprint(input_path) if isinstance(input_path, (str, list)) and input_path else "adhoc"
 
@@ -206,7 +237,7 @@ def run_dedup(
         timings["edges"] = round(time.monotonic() - t0, 3)
         if "substring" in cfg.methods and cfg.verify_substring_spans:
             t0 = time.monotonic()
-            e = refine_substring_edges(e, ds, cfg, extract)
+            e = refine_substring_edges(e, ds, cfg, extract, timings=timings)
             timings["span_verify"] = round(time.monotonic() - t0, 3)
         return e
 
@@ -228,6 +259,8 @@ def run_dedup(
 
     t0 = time.monotonic()
     n_edges = edges.count()
+    timings["edges_count"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
     urls = sig_ds.select_columns(["url"])
     assignments: "pa.Table | None" = None
     if n_edges <= cfg.driver_unionfind_max_edges:

@@ -68,6 +68,24 @@ def default_partitions(cfg: DedupConfig) -> int:
     return max(8, cpus * 4)
 
 
+def partitions_for(cfg: DedupConfig, n_rows: int) -> int:
+    """Data-sized reduce-partition count: max(cluster CPUs, rows/target).
+
+    P grows with the DATA, not the cluster — per-partition shuffle overhead
+    (the boundary sort creates map_blocks × P object slices) then stays
+    constant when the same input runs on a bigger cluster, so extra CPUs
+    buy parallel reduce waves instead of more overhead. The CPU floor keeps
+    small inputs from under-using wide clusters.
+    """
+    if cfg.shuffle_partitions:
+        return cfg.shuffle_partitions
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(cpus, -(-n_rows // max(1, cfg.rows_per_partition)))
+
+
 def partition_map(
     ds: "ray.data.Dataset",
     P: int,
