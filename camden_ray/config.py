@@ -75,6 +75,12 @@ class DedupConfig:
                                   # and batch × concurrency inside worker heap)
     extract_concurrency: tuple[int, int] = (1, 8)  # actor-pool autoscale bounds
     shuffle_partitions: int = 0   # 0 = size from data (see rows_per_partition)
+    # Push-based shuffle for the sort/repartition exchanges (Ray Data's
+    # large-shuffle path: pipelined merge instead of map_blocks × P pull
+    # slices). Measured on the 54M-row candidate exchange at 32 CPUs:
+    # edges phase 40-60 s → 17 s. Applied to the session DataContext by
+    # run_dedup.
+    push_based_shuffle: bool = True
     # Reduce-partition sizing when shuffle_partitions is 0: P = max(cluster
     # CPUs, ceil(docs / rows_per_partition)). Tying P to DATA (not CPUs)
     # keeps per-partition shuffle overhead constant across cluster sizes —

@@ -92,8 +92,11 @@ def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Datas
         builders.append(lambda: simhash_edges(sig_ds, cfg).materialize())
     if not builders:
         raise ValueError("no methods enabled")
-    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
-        branches = [f.result() for f in [pool.submit(b) for b in builders]]
+    if os.environ.get("CAMDEN_SEQ_BUILDERS"):
+        branches = [b() for b in builders]
+    else:
+        with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+            branches = [f.result() for f in [pool.submit(b) for b in builders]]
     edges = branches[0]
     for b in branches[1:]:
         edges = edges.union(b)
@@ -210,6 +213,11 @@ def run_dedup(
             input_path, columns=columns, langs=cfg.langs,
             min_text_chars=0 if extract else cfg.min_text_chars,
         )
+
+    if cfg.push_based_shuffle:
+        from ray.data import DataContext
+
+        DataContext.get_current().use_push_based_shuffle = True
 
     if not cfg.shuffle_partitions:
         # Freeze a DATA-sized reduce-partition count for the whole run (see

