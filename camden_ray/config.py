@@ -64,12 +64,11 @@ class DedupConfig:
     # produce a false edge; costs one candidate-subset-sized shuffle
 
     # --- execution ---
-    materialize_candidate_rows: bool = True
-    # True: the unified candidate row set (≈ 17+ rows/doc, vsig payload) is
-    # materialized so the hot-key count pass and the grouping shuffle read it
-    # once (expander runs once). At extreme scale where the row set exceeds
-    # comfortable object-store capacity, set False to recompute the expander
-    # for each pass instead (2 passes, no storage).
+    materialize_candidate_rows: bool = False
+    # Legacy knob (no effect): the star path now detects hot buckets from a
+    # sample of the signature table and fuses salting into the expander, so
+    # the candidate row set streams straight into the partitioning sort —
+    # it is never materialized and the expander runs once regardless.
     batch_size: int = 256         # rows per map_batches call (html is wide;
                                   # small batches keep the actor pool saturated
                                   # and batch × concurrency inside worker heap)

@@ -132,6 +132,51 @@ def _url_salts(urls: np.ndarray, num_salts: int) -> np.ndarray:
     )
 
 
+def _salt_keys(
+    keys: np.ndarray,
+    url_col: "pa.Array",
+    hot: np.ndarray,
+    cfg: DedupConfig,
+    P: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized (salt, gkey, pkey) for candidate rows.
+
+    ``keys`` is int64 (bucket keys), ``hot`` a sorted uint64 array of hot
+    bucket keys. Membership is one ``np.isin`` pass (the per-row Python
+    ``int(k) in set`` predecessor cost ~14 s over the 54M-row candidate set);
+    the crc32 salting loop touches only rows of hot buckets.
+    """
+    n = len(keys)
+    salts = np.full(n, -1, dtype=np.int64)
+    if len(hot):
+        mask = np.isin(keys.view(np.uint64), hot)
+        if mask.any():
+            urls = np.asarray(url_col.take(pa.array(np.flatnonzero(mask))).to_pylist(), dtype=object)
+            salts[mask] = _url_salts(urls, int(cfg.num_salts))
+    gkey = keys.view(np.uint64).copy()
+    m = salts >= 0
+    if m.any():
+        gkey[m] = mix64(
+            gkey[m] ^ ((salts[m].view(np.uint64) + np.uint64(1)) * _SALT_MIX)
+        )
+    pkey = (mix64(gkey ^ _PKEY_MIX) % np.uint64(P)).view(np.int64)
+    return salts, gkey.view(np.int64), pkey
+
+
+def _count_hot(sample_rows: "ray.data.Dataset", threshold: float) -> frozenset[int]:
+    chunks = [
+        b["key"].to_numpy(zero_copy_only=False)
+        for b in sample_rows.select_columns(["key"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+    ]
+    if not chunks:
+        return frozenset()
+    keys = np.concatenate(chunks)
+    uniq, cnt = np.unique(keys, return_counts=True)
+    return frozenset(int(k) for k in uniq[cnt >= threshold])
+
+
 def hot_bucket_keys(rows: "ray.data.Dataset", cfg: DedupConfig) -> frozenset[int]:
     """Skew-detection pass: bucket keys likely above ``bucket_cap`` members.
 
@@ -147,16 +192,34 @@ def hot_bucket_keys(rows: "ray.data.Dataset", cfg: DedupConfig) -> frozenset[int
     """
     frac = cfg.hot_sample_frac
     threshold = max(2.0, cfg.bucket_cap * frac / 2.0)
-    sample = rows.select_columns(["key"]).random_sample(frac, seed=cfg.seed)
-    chunks = [
-        b["key"].to_numpy(zero_copy_only=False)
-        for b in sample.iter_batches(batch_size=65536, batch_format="pyarrow")
-    ]
-    if not chunks:
-        return frozenset()
-    keys = np.concatenate(chunks)
-    uniq, cnt = np.unique(keys, return_counts=True)
-    return frozenset(int(k) for k in uniq[cnt >= threshold])
+    return _count_hot(rows.random_sample(frac, seed=cfg.seed), threshold)
+
+
+def hot_bucket_keys_from_sig(
+    sig_ds: "ray.data.Dataset", cfg: DedupConfig
+) -> frozenset[int]:
+    """Hot-bucket detection from a sample of the SIGNATURE table.
+
+    Sampling docs instead of expanded candidate rows gives the same binomial
+    estimate of bucket sizes (each bucket member comes from a distinct doc
+    for the digest/band branches), but the expander only runs over ``frac``
+    of the corpus — the full 17+-rows/doc candidate set never needs to be
+    materialized just to count it (that mid-pipeline materialization was a
+    full extra pass over ~6 GB at 1.2M docs).
+    """
+    frac = cfg.hot_sample_frac
+    threshold = max(2.0, cfg.bucket_cap * frac / 2.0)
+    sample = sig_ds.random_sample(frac, seed=cfg.seed).map_batches(
+        make_unified_star_expander(cfg), batch_format="pyarrow"
+    )
+    return _count_hot(sample, threshold)
+
+
+def _hot_array(hot: frozenset[int] | np.ndarray) -> np.ndarray:
+    """Hot-key set → sorted uint64 array (the np.isin probe side)."""
+    if isinstance(hot, np.ndarray):
+        return hot
+    return np.sort(np.fromiter((k for k in hot), dtype=np.int64, count=len(hot)).view(np.uint64))
 
 
 def make_salter(hot_ref: "ray.ObjectRef", cfg: DedupConfig, num_partitions: int):
@@ -165,28 +228,21 @@ def make_salter(hot_ref: "ray.ObjectRef", cfg: DedupConfig, num_partitions: int)
     salt  = deterministic url-hash sub-bucket for rows of hot keys (−1 else);
     gkey  = key, or mix(key, salt) for hot rows — the logical bucket id;
     pkey  = mix(gkey) % P — the coarse reduce partition.
+
+    (Standalone pass; the production star path computes the same columns
+    inside the expander — see :func:`make_unified_star_expander`.)
     """
-    num_salts = np.uint64(cfg.num_salts)
-    P = np.uint64(num_partitions)
+    P = int(num_partitions)
 
     def add_salt(t: pa.Table) -> pa.Table:
-        hk = ray.get(hot_ref)
+        hot = _hot_array(ray.get(hot_ref))
         keys = t["key"].to_numpy(zero_copy_only=False)
-        salts = np.full(len(t), -1, dtype=np.int64)
-        if hk:
-            mask = np.fromiter((int(k) in hk for k in keys), count=len(t), dtype=bool)
-            if mask.any():
-                urls = np.asarray(t["url"].to_pylist(), dtype=object)
-                salts[mask] = _url_salts(urls[mask], int(num_salts))
-        gkey = keys.view(np.uint64).copy()
-        m = salts >= 0
-        if m.any():
-            gkey[m] = mix64(
-                gkey[m] ^ ((salts[m].view(np.uint64) + np.uint64(1)) * _SALT_MIX)
-            )
-        pkey = (mix64(gkey ^ _PKEY_MIX) % P).view(np.int64)
+        url_col = t["url"]
+        if isinstance(url_col, pa.ChunkedArray):
+            url_col = url_col.combine_chunks()
+        salts, gkey, pkey = _salt_keys(keys, url_col, hot, cfg, P)
         out = t.append_column("salt", pa.array(salts, type=pa.int64()))
-        out = out.append_column("gkey", pa.array(gkey.view(np.int64), type=pa.int64()))
+        out = out.append_column("gkey", pa.array(gkey, type=pa.int64()))
         return out.append_column("pkey", pa.array(pkey, type=pa.int64()))
 
     return add_salt
@@ -204,7 +260,11 @@ _BRANCH_SALTS = {
 }
 
 
-def make_unified_star_expander(cfg: DedupConfig):
+def make_unified_star_expander(
+    cfg: DedupConfig,
+    hot_ref: "ray.ObjectRef | None" = None,
+    num_partitions: int | None = None,
+):
     """sig table → ONE keyed row set for every enabled star branch.
 
     Reads the signature table once and emits, per doc: 1 digest row (exact),
@@ -215,7 +275,10 @@ def make_unified_star_expander(cfg: DedupConfig):
     buckets can never collide.
 
     Row schema: key:int64, url:string, vsig:binary (b"" unless minhash),
-    branch:int32.
+    branch:int32. With ``hot_ref``/``num_partitions`` set the expander ALSO
+    emits (salt, gkey, pkey) — the skew-salting pass fused in, so the
+    candidate row set goes straight into the partitioning sort with no
+    intermediate materialization or second full pass.
     """
     from camden_ray.functions.hashing import band_hashes
 
@@ -276,7 +339,7 @@ def make_unified_star_expander(cfg: DedupConfig):
             branch_parts.append(np.full(len(flat), 2, dtype=np.int32))
 
         if not keys_parts:
-            return pa.table(
+            out = pa.table(
                 {
                     "key": pa.array([], type=pa.int64()),
                     "url": pa.array([], type=pa.string()),
@@ -284,18 +347,32 @@ def make_unified_star_expander(cfg: DedupConfig):
                     "branch": pa.array([], type=pa.int32()),
                 }
             )
+            if hot_ref is None:
+                return out
+            empty64 = pa.array([], type=pa.int64())
+            out = out.append_column("salt", empty64)
+            out = out.append_column("gkey", empty64)
+            return out.append_column("pkey", empty64)
         all_keys = np.concatenate(keys_parts).view(np.int64)
         all_vsigs = [v for part in vsig_parts for v in part]
-        return pa.table(
+        url_arr = pa.concat_arrays(
+            [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u for u in urls_parts]
+        )
+        out = pa.table(
             {
                 "key": pa.array(all_keys, type=pa.int64()),
-                "url": pa.concat_arrays(
-                    [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u for u in urls_parts]
-                ),
+                "url": url_arr,
                 "vsig": pa.array(all_vsigs, type=pa.binary()),
                 "branch": pa.array(np.concatenate(branch_parts), type=pa.int32()),
             }
         )
+        if hot_ref is None:
+            return out
+        hot = _hot_array(ray.get(hot_ref))
+        salts, gkey, pkey = _salt_keys(all_keys, url_arr, hot, cfg, num_partitions)
+        out = out.append_column("salt", pa.array(salts, type=pa.int64()))
+        out = out.append_column("gkey", pa.array(gkey, type=pa.int64()))
+        return out.append_column("pkey", pa.array(pkey, type=pa.int64()))
 
     return expand
 
@@ -478,29 +555,33 @@ def unified_star_edges(
 ) -> "ray.data.Dataset":
     """Signature table → edges for all enabled star branches via one shuffle.
 
-    Same three-phase skew handling as :func:`salted_star_edges` (count pass →
-    salt → partition grouping → rep linking), shared across the branches.
+    Skew handling: hot-bucket detection from a SAMPLE of the signature table
+    (cheap — the expander runs over ``hot_sample_frac`` of the docs), then
+    ONE fused expand+salt pass feeds the partitioning sort directly: the
+    17+-rows/doc candidate set is never materialized as a standalone dataset
+    and never walked twice (the un-fused predecessor spent a full
+    materialization plus a 54M-row salting pass here at 1.2M docs).
     """
     P = default_partitions(cfg)
-    rows = sig_ds.map_batches(
-        make_unified_star_expander(cfg), batch_format="pyarrow"
+    hot_keys = hot_bucket_keys_from_sig(sig_ds, cfg)
+    hot_ref = ray.put(_hot_array(hot_keys))
+    salted = sig_ds.map_batches(
+        make_unified_star_expander(cfg, hot_ref=hot_ref, num_partitions=P),
+        batch_format="pyarrow",
     )
-    if cfg.materialize_candidate_rows:
-        rows = rows.materialize()  # expander runs once for both passes below
-    hot_keys = hot_bucket_keys(rows, cfg)
-    hot_ref = ray.put(hot_keys)
-    salted = rows.map_batches(make_salter(hot_ref, cfg, P), batch_format="pyarrow")
     grouped = partition_map(
         salted, P, make_unified_partition_grouper(cfg, emit_reps=bool(hot_keys))
     )
     grouped = grouped.materialize()
 
+    _method_lut = np.array(
+        [BRANCH_METHOD[i] for i in range(len(BRANCH_METHOD))], dtype=object
+    )
+
     def stamp(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["kind"], "edge"))
-        methods = pa.array(
-            [BRANCH_METHOD[int(b)] for b in t["branch"].to_pylist()],
-            type=pa.string(),
-        )
+        branch = t["branch"].to_numpy(zero_copy_only=False)
+        methods = pa.array(_method_lut[branch], type=pa.string())
         return pa.table(
             {"a": t["a"], "b": t["b"], "est": t["est"], "method": methods}
         )
