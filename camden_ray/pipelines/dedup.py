@@ -32,7 +32,6 @@ import ray.data
 
 from camden_ray.config import DedupConfig
 from camden_ray.sources.webtext import read_webtext
-from camden_ray.stages.candidates import simhash_edges
 from camden_ray.stages.cluster import (
     make_assigner,
     unionfind_table,
@@ -76,20 +75,26 @@ def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Datas
 
     The three star-shaped branches (exact / minhash / substring) share ONE
     unified shuffle (branch ids folded into the bucket-key space — see
-    candidates.unified_star_edges): one expander pass over the signature
+    candidates.unified_star_edges_uid): one expander pass over the signature
     table, one hot-key count pass, one groupby. SimHash keeps its own
     pigeonhole shuffle; the two run on a thread pool so their executions
-    overlap.
+    overlap. Both exchanges ship doc uids (int64), never url strings — the
+    union is resolved back to url pairs ONCE here (endpoint set is
+    edge-sized; candidates.resolve_edge_urls).
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    from camden_ray.stages.candidates import unified_star_edges
+    from camden_ray.stages.candidates import (
+        resolve_edge_urls,
+        simhash_edges_uid,
+        unified_star_edges_uid,
+    )
 
     builders = []
     if set(cfg.methods) & {"exact", "minhash", "substring"}:
-        builders.append(lambda: unified_star_edges(sig_ds, cfg).materialize())
+        builders.append(lambda: unified_star_edges_uid(sig_ds, cfg).materialize())
     if "simhash" in cfg.methods:
-        builders.append(lambda: simhash_edges(sig_ds, cfg).materialize())
+        builders.append(lambda: simhash_edges_uid(sig_ds, cfg).materialize())
     if not builders:
         raise ValueError("no methods enabled")
     if os.environ.get("CAMDEN_SEQ_BUILDERS"):
@@ -100,7 +105,7 @@ def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Datas
     edges = branches[0]
     for b in branches[1:]:
         edges = edges.union(b)
-    return edges
+    return resolve_edge_urls(edges, sig_ds, cfg)
 
 
 def refine_substring_edges(

@@ -9,27 +9,29 @@ Physical plan: bucket keys are NOT grouped one-group-per-call (millions of
 tiny buckets ⇒ per-group Python overhead dominates). Instead rows are hash-
 partitioned into ``num_partitions`` coarse partitions (``pkey = mix(gkey) %
 P``) and each partition is processed by ONE vectorized numpy pass
-(:func:`make_unified_partition_grouper`): lexsort by (gkey, url), group boundaries by
-run-length, star edges emitted via ``np.repeat`` — a Python loop touches only
-multi-member *candidate* buckets needing all-pairs verification.
+(:func:`make_unified_partition_grouper`): lexsort by (gkey, uid), group
+boundaries by run-length, star edges emitted via ``np.repeat`` — a Python
+loop touches only multi-member *candidate* buckets needing all-pairs
+verification. Candidate rows carry int64 doc uids, never url strings — the
+string payload made the dominant exchange ~25× slower (70.5 s → 2.8 s on
+54.6M rows / 32 CPUs); urls are resolved back only for emitted edges
+(:func:`resolve_edge_urls`).
 
 Skew handling is a separate explicit mechanism (not the partitioner): a
-partial-aggregated count pass finds buckets above ``bucket_cap``; their rows
-are salt-split into ``num_salts`` sub-buckets (salt = deterministic url hash)
+sampled count pass finds buckets above ``bucket_cap``; their rows are
+salt-split into ``num_salts`` sub-buckets (salt = deterministic uid mix)
 BEFORE partitioning, so no single reduce task owns a pathological bucket;
 sub-bucket hubs are then linked by a second (tiny) grouping pass keyed on the
-original bucket key.
+original bucket key (recovered via the broadcast salted-gkey map).
 
 Cost model: star emission is O(|bucket|) rows per bucket (never O(n²));
 all-pairs verification only for buckets ≤ ``allpairs_cap`` members.
 
-Edges schema (unified across methods):
+Public edges schema (unified across methods, post-resolution):
     a: string, b: string  (a < b), est: float64, method: string
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -123,44 +125,55 @@ def partition_map(
     )
 
 
-def _url_salts(urls: np.ndarray, num_salts: int) -> np.ndarray:
-    """Deterministic per-url salt (process-independent — never builtin hash)."""
-    return np.fromiter(
-        (zlib.crc32(u.encode()) % num_salts for u in urls),
-        count=len(urls),
-        dtype=np.int64,
-    )
+_UID_SALT_MIX = np.uint64(0xFF51AFD7ED558CCD)
 
 
 def _salt_keys(
     keys: np.ndarray,
-    url_col: "pa.Array",
+    uids: np.ndarray,
     hot: np.ndarray,
     cfg: DedupConfig,
     P: int,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized (salt, gkey, pkey) for candidate rows.
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (gkey, pkey) for candidate rows.
 
-    ``keys`` is int64 (bucket keys), ``hot`` a sorted uint64 array of hot
-    bucket keys. Membership is one ``np.isin`` pass (the per-row Python
-    ``int(k) in set`` predecessor cost ~14 s over the 54M-row candidate set);
-    the crc32 salting loop touches only rows of hot buckets.
+    ``keys``/``uids`` are int64 (bucket keys / doc ids), ``hot`` a sorted
+    uint64 array of hot bucket keys. Membership is one ``np.isin`` pass (the
+    per-row Python ``int(k) in set`` predecessor cost ~14 s over the 54M-row
+    candidate set); the sub-bucket salt is a mix of the doc uid — fully
+    vectorized, deterministic across processes.
     """
-    n = len(keys)
-    salts = np.full(n, -1, dtype=np.int64)
-    if len(hot):
-        mask = np.isin(keys.view(np.uint64), hot)
-        if mask.any():
-            urls = np.asarray(url_col.take(pa.array(np.flatnonzero(mask))).to_pylist(), dtype=object)
-            salts[mask] = _url_salts(urls, int(cfg.num_salts))
     gkey = keys.view(np.uint64).copy()
-    m = salts >= 0
-    if m.any():
-        gkey[m] = mix64(
-            gkey[m] ^ ((salts[m].view(np.uint64) + np.uint64(1)) * _SALT_MIX)
-        )
+    if len(hot):
+        mask = np.isin(gkey, hot)
+        if mask.any():
+            salts = mix64(uids[mask].view(np.uint64) ^ _UID_SALT_MIX) % np.uint64(
+                cfg.num_salts
+            )
+            gkey[mask] = mix64(gkey[mask] ^ ((salts + np.uint64(1)) * _SALT_MIX))
     pkey = (mix64(gkey ^ _PKEY_MIX) % np.uint64(P)).view(np.int64)
-    return salts, gkey.view(np.int64), pkey
+    return gkey.view(np.int64), pkey
+
+
+def salted_gkey_map(
+    hot_keys: frozenset[int] | np.ndarray, cfg: DedupConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted salted-gkey u64 array, aligned original keys i64).
+
+    Enumerates mix(key, salt) for every (hot key × salt) — |hot|·num_salts
+    entries, tiny — so the partition grouper can recognize salted sub-buckets
+    (emit a rep row) and recover the ORIGINAL bucket key for the re-link
+    pass without any per-row salt/key columns travelling through the shuffle
+    (those two int64 columns were ~30% of the exchange payload).
+    """
+    hot = _hot_array(hot_keys)
+    if not len(hot):
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    s = np.arange(int(cfg.num_salts), dtype=np.uint64) + np.uint64(1)
+    gk = mix64(hot[:, None] ^ (s[None, :] * _SALT_MIX)).reshape(-1)
+    orig = np.repeat(hot.view(np.int64), int(cfg.num_salts))
+    order = np.argsort(gk)
+    return gk[order], orig[order]
 
 
 def _count_hot(sample_rows: "ray.data.Dataset", threshold: float) -> frozenset[int]:
@@ -222,32 +235,6 @@ def _hot_array(hot: frozenset[int] | np.ndarray) -> np.ndarray:
     return np.sort(np.fromiter((k for k in hot), dtype=np.int64, count=len(hot)).view(np.uint64))
 
 
-def make_salter(hot_ref: "ray.ObjectRef", cfg: DedupConfig, num_partitions: int):
-    """map_batches fn: add (salt, gkey, pkey) columns.
-
-    salt  = deterministic url-hash sub-bucket for rows of hot keys (−1 else);
-    gkey  = key, or mix(key, salt) for hot rows — the logical bucket id;
-    pkey  = mix(gkey) % P — the coarse reduce partition.
-
-    (Standalone pass; the production star path computes the same columns
-    inside the expander — see :func:`make_unified_star_expander`.)
-    """
-    P = int(num_partitions)
-
-    def add_salt(t: pa.Table) -> pa.Table:
-        hot = _hot_array(ray.get(hot_ref))
-        keys = t["key"].to_numpy(zero_copy_only=False)
-        url_col = t["url"]
-        if isinstance(url_col, pa.ChunkedArray):
-            url_col = url_col.combine_chunks()
-        salts, gkey, pkey = _salt_keys(keys, url_col, hot, cfg, P)
-        out = t.append_column("salt", pa.array(salts, type=pa.int64()))
-        out = out.append_column("gkey", pa.array(gkey, type=pa.int64()))
-        return out.append_column("pkey", pa.array(pkey, type=pa.int64()))
-
-    return add_salt
-
-
 # ---------------------------------------------------------------------------
 # Unified star path: exact + minhash + substring in ONE shuffle
 # ---------------------------------------------------------------------------
@@ -274,11 +261,18 @@ def make_unified_star_expander(
     (one partitioning key reused — SURVEY.md 'minimize shuffles') while their
     buckets can never collide.
 
-    Row schema: key:int64, url:string, vsig:binary (b"" unless minhash),
-    branch:int32. With ``hot_ref``/``num_partitions`` set the expander ALSO
-    emits (salt, gkey, pkey) — the skew-salting pass fused in, so the
-    candidate row set goes straight into the partitioning sort with no
-    intermediate materialization or second full pass.
+    Docs are carried as their int64 ``uid`` (the signature table's url key
+    hash), NOT the url string: the candidate row set is the engine's largest
+    exchange (~45 rows/doc at default config) and shipping ~50-byte urls on
+    every row made the partitioning sort ~25× slower than the skinny int
+    layout (measured 70.5 s vs 2.8 s on the same 54.6M rows at 32 CPUs).
+    Urls are resolved back only for the emitted edges (:func:`resolve_edge_urls`).
+
+    Base row schema (sampling/counting mode): key:int64, uid:int64,
+    vsig:binary (b"" unless minhash), branch:int32. With ``hot_ref``/
+    ``num_partitions`` set, (key is replaced by) gkey and pkey are emitted —
+    the skew-salting pass fused in, so candidate rows go straight into the
+    partitioning sort with no intermediate materialization or second pass.
     """
     from camden_ray.functions.hashing import band_hashes
 
@@ -290,17 +284,15 @@ def make_unified_star_expander(
     def expand(t: pa.Table) -> pa.Table:
         n = len(t)
         keys_parts: list[np.ndarray] = []
-        urls_parts: list[pa.Array] = []
+        uid_parts: list[np.ndarray] = []
         vsig_parts: list[list[bytes]] = []
         branch_parts: list[np.ndarray] = []
-        url_col = t["url"]
-        if isinstance(url_col, pa.ChunkedArray):
-            url_col = url_col.combine_chunks()
+        uid_col = t["uid"].to_numpy(zero_copy_only=False)
 
         if "exact" in methods:
             dig = t["digest"].to_numpy(zero_copy_only=False).view(np.uint64)
             keys_parts.append(mix64(dig ^ _BRANCH_SALTS[0]))
-            urls_parts.append(url_col)
+            uid_parts.append(uid_col)
             vsig_parts.append([b""] * n)
             branch_parts.append(np.zeros(n, dtype=np.int32))
 
@@ -320,9 +312,7 @@ def make_unified_star_expander(
             )
             keys = mix64((bh ^ band_salt[None, :]) ^ _BRANCH_SALTS[1]).reshape(-1)
             keys_parts.append(keys)
-            urls_parts.append(
-                url_col.take(np.repeat(np.arange(n), nb))
-            )
+            uid_parts.append(np.repeat(uid_col, nb))
             vsig = [qs[i * vp : (i + 1) * vp] for i in range(n)]
             vsig_parts.append([vsig[i] for i in range(n) for _ in range(nb)])
             branch_parts.append(np.ones(n * nb, dtype=np.int32))
@@ -332,47 +322,53 @@ def make_unified_star_expander(
             if isinstance(lg, pa.ChunkedArray):
                 lg = lg.combine_chunks()
             flat = lg.flatten().to_numpy(zero_copy_only=False).view(np.uint64)
-            parent = lg.value_parent_indices()
+            parent = lg.value_parent_indices().to_numpy(zero_copy_only=False)
             keys_parts.append(mix64(flat ^ _BRANCH_SALTS[2]))
-            urls_parts.append(url_col.take(parent))
+            uid_parts.append(uid_col[parent])
             vsig_parts.append([b""] * len(flat))
             branch_parts.append(np.full(len(flat), 2, dtype=np.int32))
 
         if not keys_parts:
-            out = pa.table(
-                {
-                    "key": pa.array([], type=pa.int64()),
-                    "url": pa.array([], type=pa.string()),
+            empty64 = pa.array([], type=pa.int64())
+            cols = {
+                "key": empty64,
+                "uid": empty64,
+                "vsig": pa.array([], type=pa.binary()),
+                "branch": pa.array([], type=pa.int32()),
+            }
+            if hot_ref is not None:
+                cols = {
+                    "gkey": empty64,
+                    "uid": empty64,
                     "vsig": pa.array([], type=pa.binary()),
                     "branch": pa.array([], type=pa.int32()),
+                    "pkey": empty64,
+                }
+            return pa.table(cols)
+        all_keys = np.concatenate(keys_parts).view(np.int64)
+        all_uids = np.concatenate(uid_parts)
+        all_vsigs = [v for part in vsig_parts for v in part]
+        all_branch = np.concatenate(branch_parts)
+        if hot_ref is None:
+            return pa.table(
+                {
+                    "key": pa.array(all_keys, type=pa.int64()),
+                    "uid": pa.array(all_uids, type=pa.int64()),
+                    "vsig": pa.array(all_vsigs, type=pa.binary()),
+                    "branch": pa.array(all_branch, type=pa.int32()),
                 }
             )
-            if hot_ref is None:
-                return out
-            empty64 = pa.array([], type=pa.int64())
-            out = out.append_column("salt", empty64)
-            out = out.append_column("gkey", empty64)
-            return out.append_column("pkey", empty64)
-        all_keys = np.concatenate(keys_parts).view(np.int64)
-        all_vsigs = [v for part in vsig_parts for v in part]
-        url_arr = pa.concat_arrays(
-            [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u for u in urls_parts]
-        )
-        out = pa.table(
+        hot = _hot_array(ray.get(hot_ref))
+        gkey, pkey = _salt_keys(all_keys, all_uids, hot, cfg, num_partitions)
+        return pa.table(
             {
-                "key": pa.array(all_keys, type=pa.int64()),
-                "url": url_arr,
+                "gkey": pa.array(gkey, type=pa.int64()),
+                "uid": pa.array(all_uids, type=pa.int64()),
                 "vsig": pa.array(all_vsigs, type=pa.binary()),
-                "branch": pa.array(np.concatenate(branch_parts), type=pa.int32()),
+                "branch": pa.array(all_branch, type=pa.int32()),
+                "pkey": pa.array(pkey, type=pa.int64()),
             }
         )
-        if hot_ref is None:
-            return out
-        hot = _hot_array(ray.get(hot_ref))
-        salts, gkey, pkey = _salt_keys(all_keys, url_arr, hot, cfg, num_partitions)
-        out = out.append_column("salt", pa.array(salts, type=pa.int64()))
-        out = out.append_column("gkey", pa.array(gkey, type=pa.int64()))
-        return out.append_column("pkey", pa.array(pkey, type=pa.int64()))
 
     return expand
 
@@ -405,8 +401,8 @@ def _empty_grouped_table() -> pa.Table:
         {
             "key": pa.array([], type=pa.int64()),
             "kind": pa.array([], type=pa.string()),
-            "a": pa.array([], type=pa.string()),
-            "b": pa.array([], type=pa.string()),
+            "a": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
             "est": pa.array([], type=pa.float64()),
             "branch": pa.array([], type=pa.int32()),
             "vsig": pa.array([], type=pa.binary()),
@@ -414,17 +410,22 @@ def _empty_grouped_table() -> pa.Table:
     )
 
 
-def make_unified_partition_grouper(cfg: DedupConfig, emit_reps: bool):
+def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None):
     """Partition grouper over mixed-branch rows (buckets are branch-pure —
     branch ids are baked into the keys).
 
-    Arrow-native hot path: within-partition ordering via ``pc.sort_indices``
-    + ``take`` (C), group boundaries and star-edge index math in numpy over
-    zero-copy int columns, verification signatures reinterpreted straight
-    from the Arrow binary buffer (:func:`_binary_matrix`), and url strings
-    only ever gathered by ``take`` for the (few) emitted edges — the 18M-row
-    partition input never materializes a Python object per cell (the
-    pandas-based predecessor spent ~70% of its time doing exactly that).
+    Arrow/numpy-native hot path: within-partition ordering via
+    ``pc.sort_indices`` + ``take`` (C), group boundaries and star-edge index
+    math in numpy over zero-copy int columns, verification signatures
+    reinterpreted straight from the Arrow binary buffer
+    (:func:`_binary_matrix`). Rows carry doc uids (int64), not urls — the
+    emitted edges are uid pairs, canonical ``a < b`` by construction (hubs
+    are per-bucket min uid under the (gkey, uid) sort).
+
+    ``salted_map`` — (sorted salted-gkey u64 array, aligned original keys)
+    from :func:`salted_gkey_map` — identifies salted sub-buckets: each gets a
+    "rep" row (hub uid + vsig + ORIGINAL bucket key) so the re-link pass can
+    join sub-hubs of the same hot bucket. No per-row salt/key columns.
 
     Output adds a ``branch`` column so edges can be method-stamped after the
     shuffle.
@@ -432,22 +433,21 @@ def make_unified_partition_grouper(cfg: DedupConfig, emit_reps: bool):
     tau = cfg.jaccard_threshold - cfg.verify_margin
     vp = cfg.verify_perms
     vw = vp  # vsig byte width: 1 quantized byte per verification component
+    if salted_map is None:
+        salted_map = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+    salted_gkeys, salted_orig = salted_map
 
     def grouper(t: pa.Table) -> pa.Table:
         n = len(t)
         if n == 0:
             return _empty_grouped_table()
         order = pc.sort_indices(
-            t, sort_keys=[("gkey", "ascending"), ("url", "ascending")]
+            t, sort_keys=[("gkey", "ascending"), ("uid", "ascending")]
         )
         t = t.take(order).combine_chunks()
         g = t["gkey"].to_numpy()
-        keys = t["key"].to_numpy()
-        salts = t["salt"].to_numpy()
         branch = t["branch"].to_numpy()
-        urls = t["url"]
-        if isinstance(urls, pa.ChunkedArray):
-            urls = urls.combine_chunks()
+        uids = t["uid"].to_numpy()
 
         starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
         sizes = np.diff(np.r_[starts, n])
@@ -511,10 +511,10 @@ def make_unified_partition_grouper(cfg: DedupConfig, emit_reps: bool):
             tables.append(
                 pa.table(
                     {
-                        "key": pa.array(keys[bi], type=pa.int64()),
+                        "key": pa.array(np.zeros(ne, dtype=np.int64)),
                         "kind": pa.array(["edge"] * ne, type=pa.string()),
-                        "a": urls.take(pa.array(ai)),
-                        "b": urls.take(pa.array(bi)),
+                        "a": pa.array(uids[ai], type=pa.int64()),
+                        "b": pa.array(uids[bi], type=pa.int64()),
                         "est": pa.array(ee, type=pa.float64()),
                         "branch": pa.array(branch[bi], type=pa.int32()),
                         "vsig": pa.array([b""] * ne, type=pa.binary()),
@@ -522,17 +522,25 @@ def make_unified_partition_grouper(cfg: DedupConfig, emit_reps: bool):
                 )
             )
 
-        if emit_reps:
-            rep_idx = starts[salts[starts] >= 0]
-            if len(rep_idx):
+        if len(salted_gkeys):
+            sg = g[starts].view(np.uint64)
+            pos = np.searchsorted(salted_gkeys, sg)
+            pos_c = np.minimum(pos, len(salted_gkeys) - 1)
+            is_salted = (pos < len(salted_gkeys)) & (salted_gkeys[pos_c] == sg)
+            rep_gi = np.flatnonzero(is_salted)
+            if len(rep_gi):
+                rep_idx = starts[rep_gi]
+                orig_keys = salted_orig[pos_c[rep_gi]]
                 ri = pa.array(rep_idx)
                 tables.append(
                     pa.table(
                         {
-                            "key": pa.array(keys[rep_idx], type=pa.int64()),
+                            "key": pa.array(orig_keys, type=pa.int64()),
                             "kind": pa.array(["rep"] * len(rep_idx), type=pa.string()),
-                            "a": urls.take(ri),
-                            "b": pa.array([""] * len(rep_idx), type=pa.string()),
+                            "a": pa.array(uids[rep_idx], type=pa.int64()),
+                            "b": pa.array(
+                                np.zeros(len(rep_idx), dtype=np.int64)
+                            ),
                             "est": pa.array(
                                 np.zeros(len(rep_idx)), type=pa.float64()
                             ),
@@ -550,10 +558,26 @@ def make_unified_partition_grouper(cfg: DedupConfig, emit_reps: bool):
     return grouper
 
 
-def unified_star_edges(
+_METHOD_LUT = np.array(
+    [BRANCH_METHOD[i] for i in range(len(BRANCH_METHOD))], dtype=object
+)
+
+
+def _stamp_edges(t: pa.Table) -> pa.Table:
+    """grouped rows → uid-pair edge rows with the method name stamped on."""
+    t = t.filter(pc.equal(t["kind"], "edge"))
+    branch = t["branch"].to_numpy(zero_copy_only=False)
+    methods = pa.array(_METHOD_LUT[branch], type=pa.string())
+    return pa.table(
+        {"a": t["a"], "b": t["b"], "est": t["est"], "method": methods}
+    )
+
+
+def unified_star_edges_uid(
     sig_ds: "ray.data.Dataset", cfg: DedupConfig
 ) -> "ray.data.Dataset":
-    """Signature table → edges for all enabled star branches via one shuffle.
+    """Signature table → uid-pair edges for all enabled star branches via one
+    shuffle.
 
     Skew handling: hot-bucket detection from a SAMPLE of the signature table
     (cheap — the expander runs over ``hot_sample_frac`` of the docs), then
@@ -565,28 +589,16 @@ def unified_star_edges(
     P = default_partitions(cfg)
     hot_keys = hot_bucket_keys_from_sig(sig_ds, cfg)
     hot_ref = ray.put(_hot_array(hot_keys))
+    smap = salted_gkey_map(hot_keys, cfg)
     salted = sig_ds.map_batches(
         make_unified_star_expander(cfg, hot_ref=hot_ref, num_partitions=P),
         batch_format="pyarrow",
     )
     grouped = partition_map(
-        salted, P, make_unified_partition_grouper(cfg, emit_reps=bool(hot_keys))
+        salted, P, make_unified_partition_grouper(cfg, salted_map=smap)
     )
     grouped = grouped.materialize()
-
-    _method_lut = np.array(
-        [BRANCH_METHOD[i] for i in range(len(BRANCH_METHOD))], dtype=object
-    )
-
-    def stamp(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["kind"], "edge"))
-        branch = t["branch"].to_numpy(zero_copy_only=False)
-        methods = pa.array(_method_lut[branch], type=pa.string())
-        return pa.table(
-            {"a": t["a"], "b": t["b"], "est": t["est"], "method": methods}
-        )
-
-    edges = grouped.map_batches(stamp, batch_format="pyarrow")
+    edges = grouped.map_batches(_stamp_edges, batch_format="pyarrow")
     if not hot_keys:
         return edges  # no skew detected → no salted sub-buckets to re-link
 
@@ -594,22 +606,27 @@ def unified_star_edges(
         t = t.filter(pc.equal(t["kind"], "rep"))
         return pa.table(
             {
-                "key": t["key"],
-                "url": t["a"],
+                "gkey": t["key"],  # original (pre-salt) bucket key
+                "uid": t["a"],
                 "vsig": t["vsig"],
                 "branch": t["branch"],
-                "salt": pa.array([-1] * len(t), type=pa.int64()),
-                "gkey": t["key"],
                 "pkey": pa.array([0] * len(t), type=pa.int64()),
             }
         )
 
     rep_rows = grouped.map_batches(rep_rows_fn, batch_format="pyarrow")
     rep_grouped = partition_map(
-        rep_rows, 1, make_unified_partition_grouper(cfg, emit_reps=False)
+        rep_rows, 1, make_unified_partition_grouper(cfg, salted_map=None)
     )
-    rep_edges = rep_grouped.map_batches(stamp, batch_format="pyarrow")
+    rep_edges = rep_grouped.map_batches(_stamp_edges, batch_format="pyarrow")
     return edges.union(rep_edges)
+
+
+def unified_star_edges(
+    sig_ds: "ray.data.Dataset", cfg: DedupConfig
+) -> "ray.data.Dataset":
+    """url-pair view of :func:`unified_star_edges_uid` (public edge schema)."""
+    return resolve_edge_urls(unified_star_edges_uid(sig_ds, cfg), sig_ds, cfg)
 
 
 def make_simhash_expander(cfg: DedupConfig):
@@ -643,14 +660,11 @@ def make_simhash_expander(cfg: DedupConfig):
                     keys[:, i * B + j] = mix64(
                         (block << np.uint64(20)) ^ sub ^ (tbl * _SALT_MIX)
                     )
-        url_col = t["url"]
-        if isinstance(url_col, pa.ChunkedArray):
-            url_col = url_col.combine_chunks()
-        rep_idx = np.repeat(np.arange(n, dtype=np.int64), B * B)
+        uid_col = t["uid"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
-                "url": url_col.take(pa.array(rep_idx)),
+                "uid": pa.array(np.repeat(uid_col, B * B), type=pa.int64()),
                 "simhash": pa.array(np.repeat(sh.view(np.int64), B * B), type=pa.int64()),
             }
         )
@@ -685,8 +699,8 @@ def make_simhash_partition_grouper(cfg: DedupConfig):
     def grouper(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
-                "a": pa.array([], type=pa.string()),
-                "b": pa.array([], type=pa.string()),
+                "a": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
                 "est": pa.array([], type=pa.float64()),
             }
         )
@@ -698,15 +712,13 @@ def make_simhash_partition_grouper(cfg: DedupConfig):
             sort_keys=[
                 ("gkey", "ascending"),
                 ("simhash", "ascending"),
-                ("url", "ascending"),
+                ("uid", "ascending"),
             ],
         )
         t = t.take(order).combine_chunks()
         g = t["gkey"].to_numpy()
         shs = t["simhash"].to_numpy().view(np.uint64)
-        urls = t["url"]
-        if isinstance(urls, pa.ChunkedArray):
-            urls = urls.combine_chunks()
+        uids = t["uid"].to_numpy()
         starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
         sizes = np.diff(np.r_[starts, n])
 
@@ -729,13 +741,12 @@ def make_simhash_partition_grouper(cfg: DedupConfig):
         ii = np.concatenate(ii_all)
         jj = np.concatenate(jj_all)
         hv = np.concatenate(hv_all).astype(np.float64)
-        ua = urls.take(pa.array(ii))
-        ub = urls.take(pa.array(jj))
-        # canonical a < b ordering without touching Python strings
+        ua, ub = uids[ii], uids[jj]
+        # canonical a < b ordering (int uids)
         return pa.table(
             {
-                "a": pc.min_element_wise(ua, ub),
-                "b": pc.max_element_wise(ua, ub),
+                "a": pa.array(np.minimum(ua, ub), type=pa.int64()),
+                "b": pa.array(np.maximum(ua, ub), type=pa.int64()),
                 "est": pa.array(1.0 - hv / bits, type=pa.float64()),
             }
         )
@@ -743,7 +754,10 @@ def make_simhash_partition_grouper(cfg: DedupConfig):
     return grouper
 
 
-def simhash_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
+def simhash_edges_uid(
+    sig_ds: "ray.data.Dataset", cfg: DedupConfig
+) -> "ray.data.Dataset":
+    """Signature table → uid-pair simhash edges (pigeonhole shuffle)."""
     P = np.uint64(default_partitions(cfg))
     rows = sig_ds.map_batches(make_simhash_expander(cfg), batch_format="pyarrow")
 
@@ -763,3 +777,199 @@ def simhash_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dat
         return t.append_column("method", pa.array(["simhash"] * len(t), type=pa.string()))
 
     return grouped.map_batches(stamp, batch_format="pyarrow")
+
+
+def simhash_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
+    """url-pair view of :func:`simhash_edges_uid` (public edge schema)."""
+    return resolve_edge_urls(simhash_edges_uid(sig_ds, cfg), sig_ds, cfg)
+
+
+# ---------------------------------------------------------------------------
+# uid → url edge resolution
+# ---------------------------------------------------------------------------
+
+
+def resolve_edge_urls(
+    edges: "ray.data.Dataset",
+    sig_ds: "ray.data.Dataset",
+    cfg: DedupConfig,
+    endpoint_cap: int | None = None,
+) -> "ray.data.Dataset":
+    """uid-pair edges → url-pair edges (the public EDGE_SCHEMA).
+
+    The endpoint set is EDGE-sized (≪ corpus): distinct endpoint uids are
+    collected on the driver (ints only), broadcast once to semi-join the
+    signature table down to the referenced (uid, url) rows, and the edge
+    batches are mapped through a sorted-array ``searchsorted`` gather.
+    Output pairs are re-canonicalized to ``a < b`` BY URL so the public edge
+    schema keeps its deterministic ordering contract.
+
+    Above ``endpoint_cap`` distinct endpoints (default: the same
+    driver-memory bar as ``driver_unionfind_max_edges``) the driver
+    collection is skipped and resolution runs as two co-hash-partitioned
+    searchsorted merges against the full (uid, url) table — zero driver
+    state, two extra candidate-sized shuffles.
+    """
+    cap = endpoint_cap if endpoint_cap is not None else cfg.driver_unionfind_max_edges
+    P = default_partitions(cfg)
+
+    uid_chunks: list[np.ndarray] = []
+    n_seen = 0
+    over = False
+    for b in edges.select_columns(["a", "b"]).iter_batches(
+        batch_size=1 << 18, batch_format="pyarrow"
+    ):
+        ab = np.concatenate(
+            [
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        uid_chunks.append(np.unique(ab))
+        n_seen += len(ab)
+        if n_seen > cap:
+            over = True
+            break
+    if over:
+        return _resolve_edges_copartition(edges, sig_ds, P)
+
+    if not uid_chunks:
+        need = np.empty(0, dtype=np.int64)
+    else:
+        need = np.unique(np.concatenate(uid_chunks))
+    need_ref = ray.put(need)
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = np.isin(t["uid"].to_numpy(zero_copy_only=False), ray.get(need_ref))
+        mt = t.filter(pa.array(m))
+        return pa.table({"uid": mt["uid"], "url": mt["url"]})
+
+    tabs = ray.get(
+        sig_ds.select_columns(["uid", "url"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    tabs = [t for t in tabs if t.num_rows]
+    if tabs:
+        lk = pa.concat_tables(tabs).combine_chunks()
+        # deterministic under a (vanishingly unlikely) uid collision: sort by
+        # (uid, url) and keep the first url per uid
+        order = pc.sort_indices(
+            lk, sort_keys=[("uid", "ascending"), ("url", "ascending")]
+        )
+        lk = lk.take(order)
+        uids = lk["uid"].to_numpy()
+        first = np.r_[True, uids[1:] != uids[:-1]]
+        lk = lk.filter(pa.array(first))
+        uids = lk["uid"].to_numpy()
+        urls = lk["url"].combine_chunks() if isinstance(lk["url"], pa.ChunkedArray) else lk["url"]
+    else:
+        uids = np.empty(0, dtype=np.int64)
+        urls = pa.array([], type=pa.string())
+    lut_ref = ray.put(pa.table({"uid": pa.array(uids, type=pa.int64()), "url": urls}))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        lut = ray.get(lut_ref)  # zero-copy Arrow from the local object store
+        lu = lut["uid"].to_numpy()
+        lurl = lut["url"]
+        if isinstance(lurl, pa.ChunkedArray):
+            lurl = lurl.combine_chunks()
+        ia = np.searchsorted(lu, t["a"].to_numpy(zero_copy_only=False))
+        ib = np.searchsorted(lu, t["b"].to_numpy(zero_copy_only=False))
+        ua = lurl.take(pa.array(ia))
+        ub = lurl.take(pa.array(ib))
+        return pa.table(
+            {
+                "a": pc.min_element_wise(ua, ub),
+                "b": pc.max_element_wise(ua, ub),
+                "est": t["est"],
+                "method": t["method"],
+            }
+        )
+
+    return edges.map_batches(resolve, batch_format="pyarrow")
+
+
+def _resolve_edges_copartition(
+    edges: "ray.data.Dataset", sig_ds: "ray.data.Dataset", P: int
+) -> "ray.data.Dataset":
+    """Scale-path resolution: attach endpoint urls with two co-partitioned
+    searchsorted merges (no driver-side endpoint set)."""
+
+    dims = sig_ds.select_columns(["uid", "url"])
+
+    def attach(rows: "ray.data.Dataset", key: str, out: str) -> "ray.data.Dataset":
+        def tag_fact(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False)
+            pk = (mix64(k.view(np.uint64) ^ _PKEY_MIX) % np.uint64(P)).view(np.int64)
+            cols = {c: t[c] for c in t.column_names}
+            cols["__k"] = t[key]
+            cols["__url"] = pa.nulls(len(t), type=pa.string())
+            cols["__is_dim"] = pa.array(np.zeros(len(t), dtype=bool))
+            cols["pkey"] = pa.array(pk, type=pa.int64())
+            return pa.table(cols)
+
+        fact_schema: list = []
+
+        def tag_dim(t: pa.Table) -> pa.Table:
+            k = t["uid"].to_numpy(zero_copy_only=False)
+            pk = (mix64(k.view(np.uint64) ^ _PKEY_MIX) % np.uint64(P)).view(np.int64)
+            cols = {}
+            for name, typ in fact_schema:
+                cols[name] = pa.nulls(len(t), type=typ)
+            cols["__k"] = t["uid"]
+            cols["__url"] = t["url"]
+            cols["__is_dim"] = pa.array(np.ones(len(t), dtype=bool))
+            cols["pkey"] = pa.array(pk, type=pa.int64())
+            return pa.table(cols)
+
+        # fact columns (minus the tag columns) for dim-side null fill
+        sch = rows.schema()
+        fact_schema.extend(zip(sch.names, sch.types))
+
+        def merge(t: pa.Table) -> pa.Table:
+            is_dim = t["__is_dim"].to_numpy(zero_copy_only=False)
+            k = t["__k"].to_numpy(zero_copy_only=False)
+            dk = k[is_dim]
+            order = np.argsort(dk, kind="stable")
+            dk = dk[order]
+            durl = t["__url"].filter(pa.array(is_dim)).take(pa.array(order))
+            ft = t.filter(pa.array(~is_dim))
+            fk = k[~is_dim]
+            if len(dk) == 0:
+                ft = ft.slice(0, 0)
+                attached = pa.array([], type=pa.string())
+            else:
+                pos = np.searchsorted(dk, fk)
+                ok = pos < len(dk)
+                pos_c = np.minimum(pos, len(dk) - 1)
+                ok &= dk[pos_c] == fk
+                ft = ft.filter(pa.array(ok))
+                attached = durl.take(pa.array(pos_c[ok]))
+            cols = {
+                name: ft[name] for name, _ in fact_schema if name != "pkey"
+            }
+            cols[out] = attached
+            return pa.table(cols)
+
+        rows_tagged = rows.map_batches(tag_fact, batch_format="pyarrow").union(
+            dims.map_batches(tag_dim, batch_format="pyarrow")
+        )
+        return partition_map(rows_tagged.repartition(P), P, merge)
+
+    with_a = attach(edges, "a", "__a_url")
+    with_b = attach(with_a, "b", "__b_url")
+
+    def finish(t: pa.Table) -> pa.Table:
+        ua = t["__a_url"]
+        ub = t["__b_url"]
+        return pa.table(
+            {
+                "a": pc.min_element_wise(ua, ub),
+                "b": pc.max_element_wise(ua, ub),
+                "est": t["est"],
+                "method": t["method"],
+            }
+        )
+
+    return with_b.map_batches(finish, batch_format="pyarrow")

@@ -26,6 +26,7 @@ from camden_ray.config import DedupConfig
 from camden_ray.functions.hashing import (
     TokenHasher,
     digest_column_u64,
+    hash_string_column,
     minhash_params,
     rolling_lgram_hashes,
     shingle_hashes,
@@ -33,7 +34,7 @@ from camden_ray.functions.hashing import (
 )
 from camden_ray.functions.text import tokenize
 
-SIG_COLUMNS = ["url", "digest", "sig", "simhash", "lgrams"]
+SIG_COLUMNS = ["url", "uid", "digest", "sig", "simhash", "lgrams"]
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -157,6 +158,14 @@ class SignatureActor:
         return pa.table(
             {
                 "url": batch.column("url"),
+                # uid: vectorized 64-bit url key hash — the doc's int identity
+                # through every candidate shuffle (string urls are resolved
+                # back only for the emitted edges; shipping them per candidate
+                # row made the star exchange ~25x slower, see candidates.py)
+                "uid": pa.array(
+                    hash_string_column(batch.column("url")).view(np.int64),
+                    type=pa.int64(),
+                ),
                 "digest": pa.array(digests.view(np.int64), type=pa.int64()),
                 "sig": pa.array(sig_bytes, type=pa.binary()),
                 "simhash": pa.array(simhash.view(np.int64), type=pa.int64()),

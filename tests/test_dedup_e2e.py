@@ -117,3 +117,28 @@ def test_parallel_equals_sequential(webtext_path, dedup_result):
     )
     b = res_seq["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_edge_resolution_copartition_matches_broadcast(webtext_path):
+    """resolve_edge_urls: the zero-driver-state co-partition fallback
+    (endpoint_cap=0 forces it) produces the same url-pair edge set as the
+    broadcast path."""
+    from camden_ray.pipelines.dedup import signature_table
+    from camden_ray.stages.candidates import (
+        resolve_edge_urls,
+        unified_star_edges_uid,
+    )
+    from camden_ray.sources.webtext import read_webtext
+
+    cfg = DedupConfig()
+    ds = read_webtext(webtext_path, columns=["url", "html"], min_text_chars=0)
+    sig = signature_table(ds, cfg, extract=True).materialize()
+    uid_edges = unified_star_edges_uid(sig, cfg).materialize()
+
+    def pairs(ds_):
+        df = ds_.to_pandas()[["a", "b", "method"]]
+        return set(map(tuple, df.itertuples(index=False)))
+
+    broad = pairs(resolve_edge_urls(uid_edges, sig, cfg))
+    copart = pairs(resolve_edge_urls(uid_edges, sig, cfg, endpoint_cap=0))
+    assert broad and broad == copart
