@@ -110,13 +110,16 @@ def run_headline(fixture_dir: str, num_cpus: int) -> dict:
     from camden_ray.pipelines.dedup import run_dedup
 
     data_dir = os.path.join(fixture_dir, "webtext")
-    # actor-pool floor: start at half the CPUs so the pool doesn't ramp from
-    # 1; ceiling reserves ~1/8 of the CPUs for read/shuffle tasks (a pool
-    # equal to all CPUs starves the upstream read) — proportional so both
-    # scaling levels get the same CPU split.
+    # FIXED-size actor pool (int, not autoscaling bounds): the ramp from a
+    # small floor wasted a pool-warmup tail at every level. Reserve ~1/8 of
+    # the CPUs for read/shuffle tasks (a pool equal to all CPUs starves the
+    # upstream read) — proportional so both scaling levels get the same CPU
+    # split. batch_size sized for the fixture's ~3 KB pages (~6 MB batches);
+    # the conservative 256-row default targets real ~100 KB web pages.
     reserve = max(1, num_cpus // 8)
-    pool = (max(1, num_cpus // 2), max(2, num_cpus - reserve))
-    cfg = DedupConfig(extract_concurrency=pool)
+    cfg = DedupConfig(
+        extract_concurrency=max(2, num_cpus - reserve), batch_size=2048
+    )
     with open(os.path.join(fixture_dir, "meta.json")) as f:
         meta = json.load(f)
     n_docs = meta["n"]

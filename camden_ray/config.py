@@ -72,7 +72,9 @@ class DedupConfig:
     batch_size: int = 256         # rows per map_batches call (html is wide;
                                   # small batches keep the actor pool saturated
                                   # and batch × concurrency inside worker heap)
-    extract_concurrency: tuple[int, int] = (1, 8)  # actor-pool autoscale bounds
+    extract_concurrency: tuple[int, int] | int = (1, 8)
+    # signature actor pool: (min, max) autoscale bounds, or an int for a
+    # FIXED-size pool (no ramp — preferred for throughput-measured runs)
     shuffle_partitions: int = 0   # 0 = size from data (see rows_per_partition)
     # Push-based shuffle for the sort/repartition exchanges (Ray Data's
     # large-shuffle path: pipelined merge instead of map_blocks × P pull

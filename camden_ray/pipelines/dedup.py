@@ -25,6 +25,7 @@ import os
 import time
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -42,7 +43,10 @@ from camden_ray.state.checkpoint import Checkpointer, input_fingerprint
 
 
 def signature_table(
-    ds: "ray.data.Dataset", cfg: DedupConfig, extract: bool = True
+    ds: "ray.data.Dataset",
+    cfg: DedupConfig,
+    extract: bool = True,
+    coalesce: bool = True,
 ) -> "ray.data.Dataset":
     """text/html rows → compact signature table (url, digest, sig, simhash, lgrams).
 
@@ -62,6 +66,10 @@ def signature_table(
         concurrency=cfg.extract_concurrency,
         num_cpus=1,
     )
+    if not coalesce:
+        # caller already shaped the input block count (e.g. run_dedup reads
+        # with override_num_blocks=P) — skip the extra barrier + copy
+        return out
     # Coalesce: the signature table inherits one block per input file; web
     # corpora arrive as thousands of small shards, and every downstream
     # shuffle pays per-block scheduling cost × output partitions (measured
@@ -70,22 +78,21 @@ def signature_table(
     return out.repartition(default_partitions(cfg))
 
 
-def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
-    """Union of verified candidate edges from every enabled method.
+def build_edges_uid(
+    sig_ds: "ray.data.Dataset", cfg: DedupConfig
+) -> "ray.data.Dataset":
+    """Union of verified candidate UID-pair edges from every enabled method.
 
     The three star-shaped branches (exact / minhash / substring) share ONE
     unified shuffle (branch ids folded into the bucket-key space — see
     candidates.unified_star_edges_uid): one expander pass over the signature
     table, one hot-key count pass, one groupby. SimHash keeps its own
     pigeonhole shuffle; the two run on a thread pool so their executions
-    overlap. Both exchanges ship doc uids (int64), never url strings — the
-    union is resolved back to url pairs ONCE here (endpoint set is
-    edge-sized; candidates.resolve_edge_urls).
+    overlap. Both exchanges ship doc uids (int64), never url strings.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     from camden_ray.stages.candidates import (
-        resolve_edge_urls,
         simhash_edges_uid,
         unified_star_edges_uid,
     )
@@ -105,7 +112,15 @@ def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Datas
     edges = branches[0]
     for b in branches[1:]:
         edges = edges.union(b)
-    return resolve_edge_urls(edges, sig_ds, cfg)
+    return edges
+
+
+def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Dataset":
+    """url-pair view of :func:`build_edges_uid` (public edge schema; the
+    endpoint set is edge-sized — candidates.resolve_edge_urls)."""
+    from camden_ray.stages.candidates import resolve_edge_urls
+
+    return resolve_edge_urls(build_edges_uid(sig_ds, cfg), sig_ds, cfg)
 
 
 def refine_substring_edges(
@@ -124,9 +139,13 @@ def refine_substring_edges(
     unions the pair either way) — so it is dropped, not re-proved. What
     remains is exactly the set a coarse L-gram collision could have faked.
     Only the endpoint docs of that residual set are (re-)extracted — the
-    endpoint url set is broadcast once to prefilter the corpus read, so the
+    endpoint uid set is broadcast once to prefilter the corpus read, so the
     verification pass touches O(uncorroborated candidates), not O(corpus).
+
+    Runs entirely in uid space (``edges`` are int64 uid pairs): the anti-join
+    and the pair/text co-shuffle move only ints, never url strings.
     """
+    from camden_ray.functions.hashing import hash_string_column
     from camden_ray.stages.spanverify import (
         antijoin_pairs,
         pull_needs_csr,
@@ -157,15 +176,18 @@ def refine_substring_edges(
     if n_sub == 0:
         return others
 
-    # ONE driver pass builds the needs CSR; its url list doubles as the
-    # corpus-read prefilter (only candidate-endpoint docs are re-extracted)
+    # ONE driver pass builds the needs CSR (uid-keyed); the uid list doubles
+    # as the corpus-read prefilter (only candidate-endpoint docs are
+    # (re-)extracted — uids are recomputed per batch, a vectorized hash)
     csr = pull_needs_csr(sub, default_partitions(cfg))
     texts = input_ds
     if csr is not None:
-        need_ref = ray.put(csr[0])
+        need_ref = ray.put(np.sort(csr[0].to_numpy(zero_copy_only=False)))
 
         def prefilter(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(t["url"], value_set=ray.get(need_ref)))
+            uid = hash_string_column(t["url"]).view(np.int64)
+            need = ray.get(need_ref)
+            return t.filter(pa.array(np.isin(uid, need)))
 
         texts = texts.map_batches(prefilter, batch_format="pyarrow")
     if extract:
@@ -177,7 +199,19 @@ def refine_substring_edges(
         texts = texts.map_batches(
             extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size
         )
-    texts = texts.select_columns(["url", "text"])
+
+    def key_by_uid(t: pa.Table) -> pa.Table:
+        # spanverify join-key column: the doc uid (same id-space as pairs)
+        return pa.table(
+            {
+                "url": pa.array(
+                    hash_string_column(t["url"]).view(np.int64), type=pa.int64()
+                ),
+                "text": t["text"],
+            }
+        )
+
+    texts = texts.map_batches(key_by_uid, batch_format="pyarrow")
 
     t0 = time.monotonic()
     verified = verify_span_edges(sub, texts, cfg, needs_csr=csr).materialize()
@@ -224,6 +258,7 @@ def run_dedup(
 
         DataContext.get_current().use_push_based_shuffle = True
 
+    coalesce = True
     if not cfg.shuffle_partitions:
         # Freeze a DATA-sized reduce-partition count for the whole run (see
         # config.rows_per_partition): every default_partitions(cfg) call
@@ -238,6 +273,15 @@ def run_dedup(
         except Exception:
             n_in = 0
         cfg = replace(cfg, shuffle_partitions=partitions_for(cfg, n_in))
+        if input_ds is None:
+            # re-shape the read to P blocks up front: the signature table then
+            # needs no coalescing repartition (one barrier + full copy saved)
+            ds = read_webtext(
+                input_path, columns=columns, langs=cfg.langs,
+                min_text_chars=0 if extract else cfg.min_text_chars,
+                override_num_blocks=cfg.shuffle_partitions,
+            )
+            coalesce = False
 
     ckpt = Checkpointer(out_dir, cfg) if out_dir else None
     in_fp = input_fingerprint(input_path) if isinstance(input_path, (str, list)) and input_path else "adhoc"
@@ -245,25 +289,31 @@ def run_dedup(
     timings: dict[str, float] = {}
 
     def _edges(sig: "ray.data.Dataset") -> "ray.data.Dataset":
+        from camden_ray.stages.candidates import resolve_edge_urls
+
         t0 = time.monotonic()
-        e = build_edges(sig, cfg).materialize()
+        e = build_edges_uid(sig, cfg).materialize()
         timings["edges"] = round(time.monotonic() - t0, 3)
         if "substring" in cfg.methods and cfg.verify_substring_spans:
             t0 = time.monotonic()
             e = refine_substring_edges(e, ds, cfg, extract, timings=timings)
             timings["span_verify"] = round(time.monotonic() - t0, 3)
+        # urls re-enter the dataflow only HERE, for the final edge set
+        t0 = time.monotonic()
+        e = resolve_edge_urls(e, sig, cfg)
+        timings["edge_resolve"] = round(time.monotonic() - t0, 3)
         return e
 
     if ckpt:
         sig_ds, sig_fp = ckpt.run_stage(
-            "signatures", in_fp, lambda: signature_table(ds, cfg, extract=extract)
+            "signatures", in_fp, lambda: signature_table(ds, cfg, extract=extract, coalesce=coalesce)
         )
         edges, edge_fp = ckpt.run_stage("edges", sig_fp, lambda: _edges(sig_ds))
     else:
         # no checkpoint dir: materialize the compact signature table once so
         # the four candidate branches don't re-execute extraction per branch
         t0 = time.monotonic()
-        sig_ds = signature_table(ds, cfg, extract=extract).materialize()
+        sig_ds = signature_table(ds, cfg, extract=extract, coalesce=coalesce).materialize()
         timings["signatures"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         edges = _edges(sig_ds).materialize()

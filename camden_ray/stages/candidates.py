@@ -285,7 +285,10 @@ def make_unified_star_expander(
         n = len(t)
         keys_parts: list[np.ndarray] = []
         uid_parts: list[np.ndarray] = []
-        vsig_parts: list[list[bytes]] = []
+        # vsig parts as (row_count, byte_width, data) — the Arrow binary
+        # column is assembled from ONE buffer + vectorized offsets below
+        # (building 45+ Python bytes objects per doc dominated this stage)
+        vsig_parts: list[tuple[int, int, bytes | None]] = []
         branch_parts: list[np.ndarray] = []
         uid_col = t["uid"].to_numpy(zero_copy_only=False)
 
@@ -293,7 +296,7 @@ def make_unified_star_expander(
             dig = t["digest"].to_numpy(zero_copy_only=False).view(np.uint64)
             keys_parts.append(mix64(dig ^ _BRANCH_SALTS[0]))
             uid_parts.append(uid_col)
-            vsig_parts.append([b""] * n)
+            vsig_parts.append((n, 0, None))
             branch_parts.append(np.zeros(n, dtype=np.int32))
 
         if "minhash" in methods and n:
@@ -306,15 +309,14 @@ def make_unified_star_expander(
             # estimate by ~1/256 per disagreeing slot (negligible vs the
             # sampling noise of vp slots) and shrinks the dominant shuffle
             # payload 8x vs shipping full u64 components.
-            qs = (sigs[:, :vp] & np.uint64(0xFF)).astype(np.uint8).tobytes()
+            qsm = (sigs[:, :vp] & np.uint64(0xFF)).astype(np.uint8)  # (n, vp)
             band_salt = mix64(
                 (np.arange(nb, dtype=np.uint64) + np.uint64(1)) * _SALT_MIX
             )
             keys = mix64((bh ^ band_salt[None, :]) ^ _BRANCH_SALTS[1]).reshape(-1)
             keys_parts.append(keys)
             uid_parts.append(np.repeat(uid_col, nb))
-            vsig = [qs[i * vp : (i + 1) * vp] for i in range(n)]
-            vsig_parts.append([vsig[i] for i in range(n) for _ in range(nb)])
+            vsig_parts.append((n * nb, vp, np.repeat(qsm, nb, axis=0).tobytes()))
             branch_parts.append(np.ones(n * nb, dtype=np.int32))
 
         if "substring" in methods:
@@ -325,7 +327,7 @@ def make_unified_star_expander(
             parent = lg.value_parent_indices().to_numpy(zero_copy_only=False)
             keys_parts.append(mix64(flat ^ _BRANCH_SALTS[2]))
             uid_parts.append(uid_col[parent])
-            vsig_parts.append([b""] * len(flat))
+            vsig_parts.append((len(flat), 0, None))
             branch_parts.append(np.full(len(flat), 2, dtype=np.int32))
 
         if not keys_parts:
@@ -347,14 +349,27 @@ def make_unified_star_expander(
             return pa.table(cols)
         all_keys = np.concatenate(keys_parts).view(np.int64)
         all_uids = np.concatenate(uid_parts)
-        all_vsigs = [v for part in vsig_parts for v in part]
         all_branch = np.concatenate(branch_parts)
+
+        # single-buffer binary column: vectorized offsets, no Python objects
+        total = sum(c for c, _, _ in vsig_parts)
+        widths = np.concatenate(
+            [np.full(c, w, dtype=np.int32) for c, w, _ in vsig_parts]
+        )
+        offsets = np.empty(total + 1, dtype=np.int32)
+        offsets[0] = 0
+        np.cumsum(widths, out=offsets[1:])
+        data = b"".join(d for _, _, d in vsig_parts if d)
+        vsig_arr = pa.Array.from_buffers(
+            pa.binary(), total, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+        )
+
         if hot_ref is None:
             return pa.table(
                 {
                     "key": pa.array(all_keys, type=pa.int64()),
                     "uid": pa.array(all_uids, type=pa.int64()),
-                    "vsig": pa.array(all_vsigs, type=pa.binary()),
+                    "vsig": vsig_arr,
                     "branch": pa.array(all_branch, type=pa.int32()),
                 }
             )
@@ -364,7 +379,7 @@ def make_unified_star_expander(
             {
                 "gkey": pa.array(gkey, type=pa.int64()),
                 "uid": pa.array(all_uids, type=pa.int64()),
-                "vsig": pa.array(all_vsigs, type=pa.binary()),
+                "vsig": vsig_arr,
                 "branch": pa.array(all_branch, type=pa.int32()),
                 "pkey": pa.array(pkey, type=pa.int64()),
             }

@@ -54,14 +54,35 @@ _PPK_MIX = np.uint64(0x9E6C63D0762C23C5)
 _URL_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
+def _key_type(ds: "ray.data.Dataset"):
+    """pyarrow type of the pair key column 'a', normalized — the ray Schema
+    wrapper reports numpy/python types for non-Arrow-backed datasets."""
+    t = dict(zip(ds.schema().names, ds.schema().types))["a"]
+    if isinstance(t, pa.DataType):
+        return t
+    if np.issubdtype(np.dtype(t) if not isinstance(t, type) else t, np.integer):
+        return pa.int64()
+    return pa.string()
+
+
+def _ids_any(col) -> np.ndarray:
+    """64-bit ids of a key column: int64 columns ARE their ids (uid mode —
+    no hashing), string columns get the vectorized url key hash."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).view(np.uint64)
+    return hash_string_column(col)
+
+
 def _url_pkey(urls: "pa.Array", P: int) -> np.ndarray:
-    ids = hash_string_column(urls)
+    ids = _ids_any(urls)
     return (mix64(ids ^ _URL_MIX) % np.uint64(P)).view(np.int64)
 
 
 def _pair_ppk(a: "pa.Array", b: "pa.Array", P: int) -> np.ndarray:
-    ida = hash_string_column(a)
-    idb = hash_string_column(b)
+    ida = _ids_any(a)
+    idb = _ids_any(b)
     return (mix64(ida ^ idb ^ _PPK_MIX) % np.uint64(P)).view(np.int64)
 
 
@@ -82,8 +103,8 @@ def antijoin_pairs(
 
     def tag(is_right: bool):
         def f(t: pa.Table) -> pa.Table:
-            ida = hash_string_column(t["a"])
-            idb = hash_string_column(t["b"])
+            ida = _ids_any(t["a"])
+            idb = _ids_any(t["b"])
             # symmetric pair digest: (a,b) and (b,a) collide by construction
             pk = mix64(mix64(ida) ^ mix64(idb))
             return pa.table(
@@ -134,7 +155,8 @@ def needed_url_array(
     array for broadcast prefiltering — or None when the set exceeds ``cap``
     (caller then skips the broadcast filter; the co-shuffle semi-join still
     handles the subset selection correctly, just with more data movement)."""
-    urls: set[str] = set()
+    urls: set = set()
+    key_type = _key_type(pairs)
     for b in pairs.select_columns(["a", "b"]).iter_batches(
         batch_size=262144, batch_format="pyarrow"
     ):
@@ -142,7 +164,7 @@ def needed_url_array(
         urls.update(b["b"].to_pylist())
         if len(urls) > cap:
             return None
-    return pa.array(sorted(urls), type=pa.string())
+    return pa.array(sorted(urls), type=key_type)
 
 
 def pull_needs_csr(pairs: "ray.data.Dataset", num_partitions: int, cap: int = 50_000_000):
@@ -168,7 +190,7 @@ def pull_needs_csr(pairs: "ray.data.Dataset", num_partitions: int, cap: int = 50
             return None
     if n == 0:
         return (
-            pa.array([], type=pa.string()),
+            pa.array([], type=_key_type(pairs)),
             np.zeros(1, dtype=np.int64),
             np.empty(0, dtype=np.int64),
         )
@@ -201,13 +223,16 @@ def pair_texts_partitions(
 ) -> "ray.data.Dataset":
     """Co-locate each candidate pair with both endpoint texts.
 
-    ``pairs``: (a, b [, carry...]); ``texts``: (url, text). Returns a Dataset
-    whose partitions (grouped by ``ppk``) contain, per pair, rows
-    kind="pair" (a, b, carry) and kind="text" (url→a slot, text→b slot) for
-    every referenced url — ready for a per-partition verification
-    ``map_groups``. ``carry`` columns must be float64.
+    ``pairs``: (a, b [, carry...]); ``texts``: (url, text) where the ``url``
+    column is the JOIN KEY in the same id-space as the pair endpoints —
+    url strings, or int64 uids (uid mode: no string ever enters the pair
+    shuffles). Returns a Dataset whose partitions (grouped by ``ppk``)
+    contain, per pair, rows kind=0 (a, b, carry) and kind=1 (key→a slot,
+    text column) for every referenced doc — ready for a per-partition
+    verification pass. ``carry`` columns must be float64.
     """
     P = num_partitions
+    key_type = _key_type(pairs)
 
     def pair_rows(t: pa.Table) -> pa.Table:
         ppk = _pair_ppk(t["a"], t["b"], P)
@@ -216,6 +241,7 @@ def pair_texts_partitions(
             "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
             "a": t["a"],
             "b": t["b"],
+            "text": pa.nulls(len(t), type=pa.string()),
         }
         for c in carry:
             cols[c] = t[c]
@@ -254,7 +280,7 @@ def pair_texts_partitions(
             if total == 0:
                 return pa.table(
                     {"ppk": pa.array([], type=pa.int64()),
-                     "url": pa.array([], type=pa.string()),
+                     "url": pa.array([], type=t["url"].type),
                      "text": pa.array([], type=pa.string())}
                 )
             row_rep = np.repeat(np.arange(len(t), dtype=np.int64), counts)
@@ -282,7 +308,8 @@ def pair_texts_partitions(
             "ppk": t["ppk"],
             "kind": pa.array(np.ones(len(t), dtype=np.int8)),
             "a": t["url"],
-            "b": t["text"],
+            "b": pa.nulls(len(t), type=key_type),
+            "text": t["text"],
         }
         for c in carry:
             cols[c] = pa.nulls(len(t), type=pa.float64())
@@ -356,7 +383,7 @@ def _partition_pairs_and_texts(t: pa.Table):
     is_pair = kind == 0
     pt = t.filter(pa.array(is_pair))
     tt = t.filter(pa.array(~is_pair))
-    texts = dict(zip(tt["a"].to_pylist(), tt["b"].to_pylist()))
+    texts = dict(zip(tt["a"].to_pylist(), tt["text"].to_pylist()))
     return pt, texts
 
 
@@ -378,6 +405,7 @@ def verify_span_edges(
     P = default_partitions(cfg)
     L = cfg.lgram_tokens
     seed = cfg.seed
+    key_type = _key_type(pairs)
 
     rows = pair_texts_partitions(pairs, texts, P, needs_csr=needs_csr)
 
@@ -401,8 +429,8 @@ def verify_span_edges(
                 gram_cache[u] = g
             return g
 
-        keep_a: list[str] = []
-        keep_b: list[str] = []
+        keep_a: list = []
+        keep_b: list = []
         est: list[float] = []
         for a, b in zip(pt["a"].to_pylist(), pt["b"].to_pylist()):
             ga, gb = grams(a), grams(b)
@@ -433,8 +461,8 @@ def verify_span_edges(
                 est.append(min(1.0, len(common) / max(1, min(len(ga), len(gb)))))
         return pa.table(
             {
-                "a": pa.array(keep_a, type=pa.string()),
-                "b": pa.array(keep_b, type=pa.string()),
+                "a": pa.array(keep_a, type=key_type),
+                "b": pa.array(keep_b, type=key_type),
                 "est": pa.array(est, type=pa.float64()),
                 "method": pa.array(["substring"] * len(keep_a), type=pa.string()),
             }
@@ -460,6 +488,7 @@ def verify_jaccard_pairs(
 
     P = default_partitions(cfg)
     k = cfg.shingle_k
+    key_type = _key_type(pairs)
 
     rows = pair_texts_partitions(pairs, texts, P, needs_csr=needs_csr)
 
@@ -475,10 +504,10 @@ def verify_jaccard_pairs(
                 shingle_cache[u] = s
             return s
 
-        keep_a: list[str] = []
-        keep_b: list[str] = []
+        keep_a: list = []
+        keep_b: list = []
         jac: list[int] = []
-        seen: set[tuple[str, str]] = set()
+        seen: set = set()
         for a, b in zip(pt["a"].to_pylist(), pt["b"].to_pylist()):
             if (a, b) in seen:
                 continue
@@ -492,8 +521,8 @@ def verify_jaccard_pairs(
                 jac.append(int(np.trunc(j * 100_000 + 0.5)))
         return pa.table(
             {
-                "a": pa.array(keep_a, type=pa.string()),
-                "b": pa.array(keep_b, type=pa.string()),
+                "a": pa.array(keep_a, type=key_type),
+                "b": pa.array(keep_b, type=key_type),
                 "jaccard_fp": pa.array(jac, type=pa.int64()),
             }
         )
