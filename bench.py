@@ -99,9 +99,12 @@ def bench_fixture_dir(n_docs: int, seed: int = 42) -> str:
 def run_headline(fixture_dir: str, num_cpus: int) -> dict:
     """The timed headline job: full dedup over the webtext fixture.
 
-    A tiny warmup dedup runs first (outside the timed region) so worker
-    process spawn and module imports — one-time cluster warmup costs, not
-    steady-state throughput — don't land in the measurement.
+    A warmup dedup on a SEPARATE small fixture runs first (outside the timed
+    region) so worker-process spawn, module imports and the shuffle
+    machinery's first-execution costs — one-time cluster warmup, not
+    steady-state throughput — don't land in the measurement. 20k docs (not
+    500): the big-exchange code paths only warm up with multi-block sorts
+    (measured ~10 s first-run penalty on the candidate shuffle otherwise).
     """
     import pyarrow.parquet as pq
 
@@ -124,7 +127,7 @@ def run_headline(fixture_dir: str, num_cpus: int) -> dict:
         meta = json.load(f)
     n_docs = meta["n"]
 
-    warm_dir = ensure_fixture(500)
+    warm_dir = bench_fixture_dir(20_000)
     run_dedup(os.path.join(warm_dir, "webtext"), cfg, extract=True)
 
     t0 = time.monotonic()
@@ -155,6 +158,7 @@ def run_headline(fixture_dir: str, num_cpus: int) -> dict:
         "recall": round(recall, 4),
         "edges": res["stats"]["edges"],
         "clusters_nontrivial": res["stats"]["clusters_nontrivial"],
+        "stage_timings": res["timings"],
     }
 
 
@@ -209,6 +213,7 @@ def main() -> int:
         "recall": head["recall"],
         "edges": head["edges"],
         "clusters_nontrivial": head["clusters_nontrivial"],
+        "stage_timings": head["stage_timings"],
     }
     print(json.dumps(out))
 
@@ -227,9 +232,13 @@ def scaling_main(args) -> int:
     hypervisor CPU-steal variance between identical runs).
     """
     # N vs 4N per the BASELINE.md protocol: 8 and 32 CPUs, best of
-    # ``repeats`` runs per level (co-tenant CPU-steal variance).
+    # ``repeats`` runs per level (co-tenant CPU-steal variance). 3M docs:
+    # the fixed per-run floor (driver union-find, hot-sample pull, stage
+    # startup) must be amortized by real work for the ratio to measure the
+    # ENGINE rather than the floor — matching the 100-TB regime where
+    # per-node work is orders of magnitude larger still.
     lo_cpus, hi_cpus = args.scaling_lo, args.scaling_hi
-    n = args.fixture_n if args.fixture_n != 100_000 else 1_200_000
+    n = args.fixture_n if args.fixture_n != 100_000 else 3_000_000
     fixture_dir = bench_fixture_dir(n)  # pre-generate ONCE
     repeats = args.repeats
 
@@ -271,8 +280,16 @@ def scaling_main(args) -> int:
         "num_cpus": hi_cpus,
         "docs": hi["docs"],
         "levels": {
-            str(lo_cpus): {"wall_s": lo["value"], "docs_per_sec": lo["docs_per_sec"]},
-            str(hi_cpus): {"wall_s": hi["value"], "docs_per_sec": hi["docs_per_sec"]},
+            str(lo_cpus): {
+                "wall_s": lo["value"],
+                "docs_per_sec": lo["docs_per_sec"],
+                "stage_timings": lo.get("stage_timings"),
+            },
+            str(hi_cpus): {
+                "wall_s": hi["value"],
+                "docs_per_sec": hi["docs_per_sec"],
+                "stage_timings": hi.get("stage_timings"),
+            },
         },
         "recall": hi["recall"],
     }

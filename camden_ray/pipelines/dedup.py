@@ -87,11 +87,13 @@ def build_edges_uid(
     unified shuffle (branch ids folded into the bucket-key space — see
     candidates.unified_star_edges_uid): one expander pass over the signature
     table, one hot-key count pass, one groupby. SimHash keeps its own
-    pigeonhole shuffle; the two run on a thread pool so their executions
-    overlap. Both exchanges ship doc uids (int64), never url strings.
+    pigeonhole shuffle. Branches run SEQUENTIALLY by default — each shuffle
+    already saturates the cluster, and two concurrent streaming executions
+    contend for the same slots (measured: threaded overlap was equal-or-
+    slower at both 8 and 32 CPUs); set CAMDEN_THREADED_BUILDERS=1 to overlap
+    anyway (can help when one branch is driver-bound). Both exchanges ship
+    doc uids (int64), never url strings.
     """
-    from concurrent.futures import ThreadPoolExecutor
-
     from camden_ray.stages.candidates import (
         simhash_edges_uid,
         unified_star_edges_uid,
@@ -104,11 +106,13 @@ def build_edges_uid(
         builders.append(lambda: simhash_edges_uid(sig_ds, cfg).materialize())
     if not builders:
         raise ValueError("no methods enabled")
-    if os.environ.get("CAMDEN_SEQ_BUILDERS"):
-        branches = [b() for b in builders]
-    else:
+    if os.environ.get("CAMDEN_THREADED_BUILDERS"):
+        from concurrent.futures import ThreadPoolExecutor
+
         with ThreadPoolExecutor(max_workers=len(builders)) as pool:
             branches = [f.result() for f in [pool.submit(b) for b in builders]]
+    else:
+        branches = [b() for b in builders]
     edges = branches[0]
     for b in branches[1:]:
         edges = edges.union(b)
