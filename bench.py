@@ -223,20 +223,60 @@ def main() -> int:
     return 0
 
 
+def measure_cpu_ceiling(lo_cpus: int, hi_cpus: int) -> dict:
+    """The sandbox's raw parallel-scaling ceiling at the two levels.
+
+    Runs a fixed batch of identical pure-Python CPU-bound Ray tasks (no
+    engine code) in fresh processes at each level and reports throughput.
+    On this shared VM, per-core throughput measurably DROPS as active-core
+    count rises (hypervisor steal + host frequency behavior: a fixed-work
+    task ran 1.4x slower with 31 busy neighbors) — an artifact a fixed-size
+    multi-node cluster does not have (N and 4N nodes run the same per-core
+    conditions). The ceiling is what an EMBARRASSINGLY PARALLEL job scales
+    at here; the engine cannot honestly be asked to beat it.
+    """
+    prog = (
+        "import ray,sys,time;"
+        "k=int(sys.argv[1]);"
+        "ray.init(address='local',num_cpus=k,include_dashboard=False,"
+        "logging_level='ERROR');"
+        "f=ray.remote(num_cpus=1)(lambda n:sum(i*i%1000003 for i in range(n)));"
+        "ray.get([f.remote(1000) for _ in range(k)]);"
+        "t=time.monotonic();"
+        "ray.get([f.remote(3000000) for _ in range(128)]);"
+        "print(128/(time.monotonic()-t))"
+    )
+
+    def level(cpus: int) -> float:
+        p = subprocess.run(
+            [sys.executable, "-c", prog, str(cpus)],
+            capture_output=True,
+            text=True,
+        )
+        return float(p.stdout.strip().splitlines()[-1])
+
+    lo, hi = level(lo_cpus), level(hi_cpus)
+    return {
+        "lo_tasks_per_sec": round(lo, 1),
+        "hi_tasks_per_sec": round(hi, 1),
+        "ceiling_efficiency": round((hi / lo) / (hi_cpus / lo_cpus), 3),
+    }
+
+
 def scaling_main(args) -> int:
     """North_rule scaling evidence: same job, fresh processes, 8 vs 32 CPUs.
 
     Uses a larger fixture than the default bench (compute must dominate the
     fixed per-run orchestration cost for the ratio to mean anything) and
-    takes the best of ``repeats`` runs per level (this sandbox shows
-    hypervisor CPU-steal variance between identical runs).
+    takes the best of ``repeats`` runs per level. Levels are INTERLEAVED
+    (lo, hi, lo, hi, ...) because this sandbox's co-tenant load drifts on a
+    tens-of-minutes timescale (identical raw-CPU probes measured 75% apart
+    an hour apart): running all-lo-then-all-hi would bias the ratio with
+    whatever the neighbors were doing, interleaving makes the drift
+    symmetric. A raw-CPU ceiling probe (:func:`measure_cpu_ceiling`) brackets
+    the pipeline runs so the JSON also records what PERFECT parallelism
+    scales at on this box at measurement time.
     """
-    # N vs 4N per the BASELINE.md protocol: 8 and 32 CPUs, best of
-    # ``repeats`` runs per level (co-tenant CPU-steal variance). 3M docs:
-    # the fixed per-run floor (driver union-find, hot-sample pull, stage
-    # startup) must be amortized by real work for the ratio to measure the
-    # ENGINE rather than the floor — matching the 100-TB regime where
-    # per-node work is orders of magnitude larger still.
     lo_cpus, hi_cpus = args.scaling_lo, args.scaling_hi
     n = args.fixture_n if args.fixture_n != 100_000 else 3_000_000
     fixture_dir = bench_fixture_dir(n)  # pre-generate ONCE
@@ -265,12 +305,14 @@ def scaling_main(args) -> int:
         line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
-    def best_of(cpus: int) -> dict:
-        runs = [run_level(cpus) for _ in range(repeats)]
-        return max(runs, key=lambda r: r["docs_per_sec"])
-
-    lo = best_of(lo_cpus)
-    hi = best_of(hi_cpus)
+    ceiling = measure_cpu_ceiling(lo_cpus, hi_cpus)
+    lo_runs: list[dict] = []
+    hi_runs: list[dict] = []
+    for _ in range(repeats):
+        lo_runs.append(run_level(lo_cpus))
+        hi_runs.append(run_level(hi_cpus))
+    lo = max(lo_runs, key=lambda r: r["docs_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["docs_per_sec"])
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cpus / lo_cpus)
     out = {
         "metric": f"scaling_efficiency_{lo_cpus}_to_{hi_cpus}_cpus",
@@ -283,14 +325,20 @@ def scaling_main(args) -> int:
             str(lo_cpus): {
                 "wall_s": lo["value"],
                 "docs_per_sec": lo["docs_per_sec"],
+                "all_docs_per_sec": [r["docs_per_sec"] for r in lo_runs],
                 "stage_timings": lo.get("stage_timings"),
             },
             str(hi_cpus): {
                 "wall_s": hi["value"],
                 "docs_per_sec": hi["docs_per_sec"],
+                "all_docs_per_sec": [r["docs_per_sec"] for r in hi_runs],
                 "stage_timings": hi.get("stage_timings"),
             },
         },
+        "cpu_ceiling": ceiling,
+        "efficiency_vs_ceiling": round(
+            eff / max(1e-9, ceiling["ceiling_efficiency"]), 3
+        ),
         "recall": hi["recall"],
     }
     print(json.dumps(out))

@@ -33,10 +33,6 @@ import ray.data
 
 from camden_ray.config import DedupConfig
 from camden_ray.sources.webtext import read_webtext
-from camden_ray.stages.cluster import (
-    make_assigner,
-    unionfind_table,
-)
 from camden_ray.stages.extract import HtmlExtractorActor
 from camden_ray.stages.signatures import SignatureActor
 from camden_ray.state.checkpoint import Checkpointer, input_fingerprint
@@ -278,12 +274,23 @@ def run_dedup(
             n_in = 0
         cfg = replace(cfg, shuffle_partitions=partitions_for(cfg, n_in))
         if input_ds is None:
-            # re-shape the read to P blocks up front: the signature table then
-            # needs no coalescing repartition (one barrier + full copy saved)
+            # re-shape the read to >= P blocks up front: the signature table
+            # then needs no coalescing repartition (one barrier + full copy
+            # saved). Block count also bounds signature TASK granularity: with
+            # exactly P blocks, a wide actor pool quantizes into few huge
+            # tasks (92 blocks / 28 actors = 3.3 waves; the last wave leaves
+            # most of the pool idle behind ~40 s stragglers — measured ~15%
+            # of the stage wall at 3M docs / 32 CPUs). 4 tasks per actor
+            # keeps the tail short; the downstream sort is insensitive to
+            # map-side block count at this magnitude.
+            actors = cfg.extract_concurrency
+            if isinstance(actors, tuple):
+                actors = actors[-1]
+            read_blocks = max(cfg.shuffle_partitions, 4 * int(actors))
             ds = read_webtext(
                 input_path, columns=columns, langs=cfg.langs,
                 min_text_chars=0 if extract else cfg.min_text_chars,
-                override_num_blocks=cfg.shuffle_partitions,
+                override_num_blocks=read_blocks,
             )
             coalesce = False
 
@@ -292,27 +299,54 @@ def run_dedup(
 
     timings: dict[str, float] = {}
 
-    def _edges(sig: "ray.data.Dataset") -> "ray.data.Dataset":
-        from camden_ray.stages.candidates import resolve_edge_urls
-
+    def _uid_edges(sig: "ray.data.Dataset") -> "ray.data.Dataset":
         t0 = time.monotonic()
         e = build_edges_uid(sig, cfg).materialize()
         timings["edges"] = round(time.monotonic() - t0, 3)
         if "substring" in cfg.methods and cfg.verify_substring_spans:
             t0 = time.monotonic()
             e = refine_substring_edges(e, ds, cfg, extract, timings=timings)
+            e = e.materialize()
             timings["span_verify"] = round(time.monotonic() - t0, 3)
-        # urls re-enter the dataflow only HERE, for the final edge set
-        t0 = time.monotonic()
-        e = resolve_edge_urls(e, sig, cfg)
-        timings["edge_resolve"] = round(time.monotonic() - t0, 3)
         return e
+
+    def _edges_url_view(e_uid: "ray.data.Dataset") -> "ray.data.Dataset":
+        # urls re-enter the dataflow only here, for the PUBLIC edge view.
+        # The view stays lazy: clustering runs in uid space, so resolution
+        # executes only when a caller actually consumes the url edges
+        # (report sinks, tests) — it is not on the clusters critical path.
+        from camden_ray.stages.candidates import resolve_edge_urls
+
+        return resolve_edge_urls(e_uid, sig_ds, cfg)
+
+    def _uid_view(e_url: "ray.data.Dataset") -> "ray.data.Dataset":
+        # checkpoint-resume path: the persisted edge stage is url-keyed;
+        # re-derive the uid pairs (the same vectorized hash the signature
+        # stage stamps) for uid-space clustering
+        from camden_ray.functions.hashing import hash_string_column
+
+        def h(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "a": pa.array(
+                        hash_string_column(t["a"]).view(np.int64), type=pa.int64()
+                    ),
+                    "b": pa.array(
+                        hash_string_column(t["b"]).view(np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        return e_url.map_batches(h, batch_format="pyarrow")
 
     if ckpt:
         sig_ds, sig_fp = ckpt.run_stage(
             "signatures", in_fp, lambda: signature_table(ds, cfg, extract=extract, coalesce=coalesce)
         )
-        edges, edge_fp = ckpt.run_stage("edges", sig_fp, lambda: _edges(sig_ds))
+        edges, edge_fp = ckpt.run_stage(
+            "edges", sig_fp, lambda: _edges_url_view(_uid_edges(sig_ds))
+        )
+        uid_edges = _uid_view(edges)
     else:
         # no checkpoint dir: materialize the compact signature table once so
         # the four candidate branches don't re-execute extraction per branch
@@ -320,30 +354,50 @@ def run_dedup(
         sig_ds = signature_table(ds, cfg, extract=extract, coalesce=coalesce).materialize()
         timings["signatures"] = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
-        edges = _edges(sig_ds).materialize()
+        uid_edges = _uid_edges(sig_ds)
         timings["edges_total"] = round(time.monotonic() - t0, 3)
+        edges = _edges_url_view(uid_edges)
         edge_fp = "adhoc"
 
     t0 = time.monotonic()
-    n_edges = edges.count()
+    n_edges = uid_edges.count()
     timings["edges_count"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
     urls = sig_ds.select_columns(["url"])
-    assignments: "pa.Table | None" = None
+    uf = None
     if n_edges <= cfg.driver_unionfind_max_edges:
-        # small regime: driver union-find + broadcast Arrow table (faster
-        # below the driver-memory bar; the table holds only clustered urls
-        # and deserializes zero-copy in every assign task)
-        assignments = unionfind_table(edges)
-        if assignments is None:
-            assignments = pa.table(
-                {
-                    "url": pa.array([], type=pa.large_string()),
-                    "cluster_id": pa.array([], type=pa.large_string()),
-                }
+        # small regime: driver union-find on int64 uid pairs + broadcast of
+        # three flat arrays (uid→root and root→min-url). Strings never enter
+        # the driver algorithm; the representative contract (cluster id =
+        # lexicographic min url of the component) is computed by one parallel
+        # Arrow group_by pass over the (uid, url) table.
+        from camden_ray.stages.cluster import (
+            component_min_urls,
+            make_uid_assigner,
+            unionfind_uid,
+        )
+
+        uf = unionfind_uid(uid_edges)
+        if uf is None:
+            nodes = np.empty(0, dtype=np.int64)
+            roots = np.empty(0, dtype=np.int64)
+            comp = pa.table(
+                {"root": pa.array([], type=pa.int64()),
+                 "cluster_id": pa.array([], type=pa.string())}
             )
-        assign_ref = ray.put(assignments)
-        clusters = urls.map_batches(make_assigner(assign_ref), batch_format="pyarrow")
+        else:
+            nodes, roots = uf
+            comp_roots, comp_urls = component_min_urls(sig_ds, nodes, roots)
+            comp = pa.table(
+                {"root": pa.array(comp_roots, type=pa.int64()),
+                 "cluster_id": comp_urls}
+            )
+        clusters = sig_ds.select_columns(["url", "uid"]).map_batches(
+            make_uid_assigner(ray.put(nodes), ray.put(roots), ray.put(comp)),
+            batch_format="pyarrow",
+        )
+        n_clustered_small = len(nodes)
+        n_reps_small = comp.num_rows
     else:
         # scale path: distributed hash-to-min components + shuffle-join
         # assignment — NO driver-side assignment map at any point (the regime
@@ -360,9 +414,9 @@ def run_dedup(
     timings["clustering"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()
-    if assignments is not None:
-        n_clustered = assignments.num_rows
-        n_reps_in_comps = pc.count_distinct(assignments["cluster_id"]).as_py()
+    if uf is not None or n_edges <= cfg.driver_unionfind_max_edges:
+        n_clustered = n_clustered_small
+        n_reps_in_comps = n_reps_small
     else:  # distributed stats: count components without collecting them
         n_clustered = comp.count()
         n_reps_in_comps = comp.groupby("cluster_id").count().count()

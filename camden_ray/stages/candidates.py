@@ -88,6 +88,37 @@ def partitions_for(cfg: DedupConfig, n_rows: int) -> int:
     return max(cpus, -(-n_rows // max(1, cfg.rows_per_partition)))
 
 
+@ray.remote(num_cpus=1)
+def _split_by_pkey(t: "pa.Table", P: int, key: str):
+    """One exchange map task: order the block by its partition key and return
+    P zero-copy slices (Ray's Arrow serializer IPC-truncates slices, so each
+    return ships only its own rows)."""
+    if len(t) == 0:
+        return tuple(t.slice(0, 0) for _ in range(P))
+    order = pc.sort_indices(t[key])
+    t = t.take(order).combine_chunks()
+    pk = t[key].to_numpy()
+    bounds = np.searchsorted(pk, np.arange(P + 1))
+    return tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P))
+
+
+@ray.remote(num_cpus=1)
+def _reduce_partition(fn, batch_format: str, *slices):
+    """One exchange reduce task: concatenate this partition's slices and apply
+    ``fn`` to the whole partition."""
+    parts = [s for s in slices if s.num_rows]
+    if parts:
+        t = pa.concat_tables(parts)
+    else:
+        # all-empty partition: pick a slice that still carries the pipeline
+        # schema (union stages can emit schemaless empty blocks)
+        t = max(slices, key=lambda s: s.num_columns)
+    if batch_format == "pandas":
+        out = fn(t.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+    return fn(t)
+
+
 def partition_map(
     ds: "ray.data.Dataset",
     P: int,
@@ -101,15 +132,25 @@ def partition_map(
     This replaces ``groupby(key).map_groups(fn)`` on coarse partition keys:
     Ray's sort-based groupby quantile-samples boundaries, which collapse on a
     low-cardinality key (P distinct values → skewed reduce blocks, empty
-    partitions, and an expensive re-merge). An explicit-boundary sort places
-    each key in exactly one reduce partition — perfectly hash-balanced, no
-    sampling pass — and each reduce partition arrives as exactly ONE block
-    (sort_task_spec.reduce merges to a single block), so ``batch_size=None``
-    hands ``fn`` complete partitions. Measured 4–20× faster than the groupby
-    path on the 54M-row candidate shuffle.
+    partitions, and an expensive re-merge).
 
-    Scale note: one partition = one block, so P must keep partitions under
-    the object-store block budget — size P ∝ data volume via
+    Physical plan: a RAW map/reduce hash exchange — each input block is
+    ordered by ``key`` once and returned as P zero-copy slices
+    (``num_returns=P``), each reduce task concatenates its slice set and runs
+    ``fn`` on the complete partition. This replaced the explicit-boundary
+    ``Dataset.sort``: Ray's sort machinery went superlinear in ROW COUNT on
+    the candidate exchange (48M rows ≈ 4 s but 136M rows ≈ 39 s at 32 CPUs,
+    payload-width-independent — push-based and hash-shuffle strategies
+    measured worse still), while the raw exchange is one C-speed
+    sort+slice per map block and one concat per reduce partition. Slices are
+    plasma objects, so a multi-node cluster moves each slice exactly once
+    (the same map→reduce network pattern as any MR shuffle).
+
+    Scale notes: object count is blocks × P — callers keep input block
+    counts at O(P) (the engine reads and repartitions to ~P blocks), so the
+    exchange creates O(P²) small objects, fine for P ≲ 1k per job. One
+    partition = one reduce output block, so P must keep partitions under the
+    object-store block budget — size P ∝ data volume via
     ``cfg.shuffle_partitions`` when 4×CPUs isn't enough.
 
     ``fn`` MUST tolerate an empty batch: a ``key`` value with no rows still
@@ -120,9 +161,18 @@ def partition_map(
         return ds.repartition(1).map_batches(
             fn, batch_format=batch_format, batch_size=None
         )
-    return ds.sort(key, boundaries=list(range(1, P))).map_batches(
-        fn, batch_format=batch_format, batch_size=None
-    )
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        return ds.map_batches(fn, batch_format=batch_format, batch_size=None)
+    sliced = [_split_by_pkey.options(num_returns=P).remote(b, P, key) for b in blocks]
+    # ship fn through the object store ONCE (closures capture config and the
+    # salted-key map — pickling them per reduce task is P redundant copies)
+    fn_ref = ray.put(fn)
+    outs = [
+        _reduce_partition.remote(fn_ref, batch_format, *[s[i] for s in sliced])
+        for i in range(P)
+    ]
+    return ray.data.from_arrow_refs(outs)
 
 
 _UID_SALT_MIX = np.uint64(0xFF51AFD7ED558CCD)
@@ -177,17 +227,34 @@ def salted_gkey_map(
 
 
 def _count_hot(sample_rows: "ray.data.Dataset", threshold: float) -> frozenset[int]:
-    chunks = [
-        b["key"].to_numpy(zero_copy_only=False)
-        for b in sample_rows.select_columns(["key"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
+    # per-block partial (key, count) aggregates computed IN the cluster, then
+    # a parallel block fetch — the driver merges pre-uniqued partials instead
+    # of streaming every sampled key serially (iter_batches on the raw sample
+    # was a fixed ~6 s driver section at 3M docs / 10% sample)
+    def partial(t: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(t["key"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"key": pa.array(uniq, type=pa.int64()),
+             "cnt": pa.array(cnt.astype(np.int64), type=pa.int64())}
         )
-    ]
-    if not chunks:
+
+    tabs = ray.get(
+        sample_rows.select_columns(["key"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
         return frozenset()
-    keys = np.concatenate(chunks)
-    uniq, cnt = np.unique(keys, return_counts=True)
-    return frozenset(int(k) for k in uniq[cnt >= threshold])
+    merged = pa.concat_tables(tabs)
+    keys = merged["key"].to_numpy(zero_copy_only=False)
+    cnts = merged["cnt"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    keys, cnts = keys[order], cnts[order]
+    starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+    totals = np.add.reduceat(cnts, starts)
+    hot = keys[starts][totals >= threshold]
+    return frozenset(int(k) for k in hot)
 
 
 def hot_bucket_keys(rows: "ray.data.Dataset", cfg: DedupConfig) -> frozenset[int]:
@@ -269,26 +336,27 @@ def make_unified_star_expander(
     Urls are resolved back only for the emitted edges (:func:`resolve_edge_urls`).
 
     Base row schema (sampling/counting mode): key:int64, uid:int64,
-    vsig:binary (b"" unless minhash), branch:int32. With ``hot_ref``/
-    ``num_partitions`` set, (key is replaced by) gkey and pkey are emitted —
-    the skew-salting pass fused in, so candidate rows go straight into the
-    partitioning sort with no intermediate materialization or second pass.
+    branch:int8. With ``hot_ref``/``num_partitions`` set, (key is replaced
+    by) gkey and pkey are emitted — the skew-salting pass fused in, so
+    candidate rows go straight into the partitioning exchange with no
+    intermediate materialization or second pass.
+
+    Candidate rows are SKINNY (17 B + pkey): the minhash verification
+    sketches do NOT travel with the rows — the grouper gathers them by uid
+    from the broadcast sidecar (:func:`build_vsig_sidecar`). Shipping the
+    per-row sketch was 64 B on each of ~16 band rows per doc (~45 % of the
+    exchange payload) for data that exists once per doc.
     """
     from camden_ray.functions.hashing import band_hashes
 
     nb = cfg.num_bands
     npms = cfg.num_perms
-    vp = cfg.verify_perms
     methods = cfg.methods
 
     def expand(t: pa.Table) -> pa.Table:
         n = len(t)
         keys_parts: list[np.ndarray] = []
         uid_parts: list[np.ndarray] = []
-        # vsig parts as (row_count, byte_width, data) — the Arrow binary
-        # column is assembled from ONE buffer + vectorized offsets below
-        # (building 45+ Python bytes objects per doc dominated this stage)
-        vsig_parts: list[tuple[int, int, bytes | None]] = []
         branch_parts: list[np.ndarray] = []
         uid_col = t["uid"].to_numpy(zero_copy_only=False)
 
@@ -296,28 +364,20 @@ def make_unified_star_expander(
             dig = t["digest"].to_numpy(zero_copy_only=False).view(np.uint64)
             keys_parts.append(mix64(dig ^ _BRANCH_SALTS[0]))
             uid_parts.append(uid_col)
-            vsig_parts.append((n, 0, None))
-            branch_parts.append(np.zeros(n, dtype=np.int32))
+            branch_parts.append(np.zeros(n, dtype=np.int8))
 
         if "minhash" in methods and n:
             # reinterpret the Arrow binary buffer directly — no per-row
             # Python bytes objects (same zero-copy trick as _binary_matrix)
             sigs = _binary_matrix(t["sig"], npms * 8).view(np.uint64)
             bh = band_hashes(sigs, nb)  # (n, nb)
-            # verification sketch: low byte of each of the first vp minhash
-            # components. A 1-byte component only inflates the agreement
-            # estimate by ~1/256 per disagreeing slot (negligible vs the
-            # sampling noise of vp slots) and shrinks the dominant shuffle
-            # payload 8x vs shipping full u64 components.
-            qsm = (sigs[:, :vp] & np.uint64(0xFF)).astype(np.uint8)  # (n, vp)
             band_salt = mix64(
                 (np.arange(nb, dtype=np.uint64) + np.uint64(1)) * _SALT_MIX
             )
             keys = mix64((bh ^ band_salt[None, :]) ^ _BRANCH_SALTS[1]).reshape(-1)
             keys_parts.append(keys)
             uid_parts.append(np.repeat(uid_col, nb))
-            vsig_parts.append((n * nb, vp, np.repeat(qsm, nb, axis=0).tobytes()))
-            branch_parts.append(np.ones(n * nb, dtype=np.int32))
+            branch_parts.append(np.ones(n * nb, dtype=np.int8))
 
         if "substring" in methods:
             lg = t["lgrams"]
@@ -327,50 +387,27 @@ def make_unified_star_expander(
             parent = lg.value_parent_indices().to_numpy(zero_copy_only=False)
             keys_parts.append(mix64(flat ^ _BRANCH_SALTS[2]))
             uid_parts.append(uid_col[parent])
-            vsig_parts.append((len(flat), 0, None))
-            branch_parts.append(np.full(len(flat), 2, dtype=np.int32))
+            branch_parts.append(np.full(len(flat), 2, dtype=np.int8))
 
         if not keys_parts:
             empty64 = pa.array([], type=pa.int64())
-            cols = {
-                "key": empty64,
-                "uid": empty64,
-                "vsig": pa.array([], type=pa.binary()),
-                "branch": pa.array([], type=pa.int32()),
-            }
+            empty8 = pa.array([], type=pa.int8())
             if hot_ref is not None:
-                cols = {
-                    "gkey": empty64,
-                    "uid": empty64,
-                    "vsig": pa.array([], type=pa.binary()),
-                    "branch": pa.array([], type=pa.int32()),
-                    "pkey": empty64,
-                }
-            return pa.table(cols)
+                return pa.table(
+                    {"gkey": empty64, "uid": empty64, "branch": empty8,
+                     "pkey": empty64}
+                )
+            return pa.table({"key": empty64, "uid": empty64, "branch": empty8})
         all_keys = np.concatenate(keys_parts).view(np.int64)
         all_uids = np.concatenate(uid_parts)
         all_branch = np.concatenate(branch_parts)
-
-        # single-buffer binary column: vectorized offsets, no Python objects
-        total = sum(c for c, _, _ in vsig_parts)
-        widths = np.concatenate(
-            [np.full(c, w, dtype=np.int32) for c, w, _ in vsig_parts]
-        )
-        offsets = np.empty(total + 1, dtype=np.int32)
-        offsets[0] = 0
-        np.cumsum(widths, out=offsets[1:])
-        data = b"".join(d for _, _, d in vsig_parts if d)
-        vsig_arr = pa.Array.from_buffers(
-            pa.binary(), total, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
-        )
 
         if hot_ref is None:
             return pa.table(
                 {
                     "key": pa.array(all_keys, type=pa.int64()),
                     "uid": pa.array(all_uids, type=pa.int64()),
-                    "vsig": vsig_arr,
-                    "branch": pa.array(all_branch, type=pa.int32()),
+                    "branch": pa.array(all_branch, type=pa.int8()),
                 }
             )
         hot = _hot_array(ray.get(hot_ref))
@@ -379,13 +416,57 @@ def make_unified_star_expander(
             {
                 "gkey": pa.array(gkey, type=pa.int64()),
                 "uid": pa.array(all_uids, type=pa.int64()),
-                "vsig": vsig_arr,
-                "branch": pa.array(all_branch, type=pa.int32()),
+                "branch": pa.array(all_branch, type=pa.int8()),
                 "pkey": pa.array(pkey, type=pa.int64()),
             }
         )
 
     return expand
+
+
+def build_vsig_sidecar(
+    sig_ds: "ray.data.Dataset", cfg: DedupConfig
+) -> "ray.ObjectRef":
+    """Broadcast verification-sketch sidecar: ``(uid_sorted, qmat)`` where
+    ``qmat[i]`` is the quantized minhash sketch (low byte of the first
+    ``verify_perms`` components) of ``uid_sorted[i]``.
+
+    Built in one parallel pass over the signature table (per-block sketch
+    matrices assembled from the Arrow buffers, no Python objects), merged and
+    sorted on the driver, ``ray.put`` once — every grouper task reads it
+    zero-copy from the local object store and gathers only the rows of
+    multi-member verified buckets. vp=64 → 64 B/doc: ~190 MB at 3M docs,
+    ~6 GB at 100M docs/node — within a worker node's store. Beyond that
+    regime the sketches must co-shuffle as a (uid, vsig) table joined onto
+    candidate pairs (pair-sized exchange) instead of a broadcast; the
+    grouper's bucket logic is unchanged either way.
+    """
+    vp = cfg.verify_perms
+    npms = cfg.num_perms
+
+    def partial(t: pa.Table) -> pa.Table:
+        sigs = _binary_matrix(t["sig"], npms * 8).view(np.uint64)
+        q = (sigs[:, :vp] & np.uint64(0xFF)).astype(np.uint8)
+        offsets = np.arange(len(t) + 1, dtype=np.int32) * vp
+        qa = pa.Array.from_buffers(
+            pa.binary(), len(t),
+            [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(q.tobytes())],
+        )
+        return pa.table({"uid": t["uid"], "q": qa})
+
+    tabs = ray.get(
+        sig_ds.select_columns(["uid", "sig"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return ray.put((np.empty(0, dtype=np.int64), np.empty((0, vp), dtype=np.uint8)))
+    big = pa.concat_tables(tabs).combine_chunks()
+    uids = big["uid"].to_numpy()
+    order = np.argsort(uids, kind="stable")
+    qmat = _binary_matrix(big["q"], vp)[order]
+    return ray.put((uids[order], np.ascontiguousarray(qmat)))
 
 
 def _binary_matrix(arr: "pa.Array", width: int) -> np.ndarray:
@@ -419,35 +500,38 @@ def _empty_grouped_table() -> pa.Table:
             "a": pa.array([], type=pa.int64()),
             "b": pa.array([], type=pa.int64()),
             "est": pa.array([], type=pa.float64()),
-            "branch": pa.array([], type=pa.int32()),
-            "vsig": pa.array([], type=pa.binary()),
+            "branch": pa.array([], type=pa.int8()),
         }
     )
 
 
-def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None):
+def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None, vsig_ref=None):
     """Partition grouper over mixed-branch rows (buckets are branch-pure —
     branch ids are baked into the keys).
 
     Arrow/numpy-native hot path: within-partition ordering via
     ``pc.sort_indices`` + ``take`` (C), group boundaries and star-edge index
-    math in numpy over zero-copy int columns, verification signatures
-    reinterpreted straight from the Arrow binary buffer
-    (:func:`_binary_matrix`). Rows carry doc uids (int64), not urls — the
-    emitted edges are uid pairs, canonical ``a < b`` by construction (hubs
-    are per-bucket min uid under the (gkey, uid) sort).
+    math in numpy over zero-copy int columns. Rows carry doc uids (int64),
+    not urls — the emitted edges are uid pairs, canonical ``a < b`` by
+    construction (hubs are per-bucket min uid under the (gkey, uid) sort).
+
+    Verification sketches come from the broadcast ``vsig_ref`` sidecar
+    (:func:`build_vsig_sidecar`): the grouper gathers sketch rows by uid ONLY
+    for rows sitting in multi-member verified buckets (actual band
+    collisions — rare vs rows), instead of every candidate row shipping its
+    sketch through the exchange. ``vsig_ref=None`` ⇒ minhash buckets cannot
+    be verified (only valid when the minhash branch is disabled).
 
     ``salted_map`` — (sorted salted-gkey u64 array, aligned original keys)
     from :func:`salted_gkey_map` — identifies salted sub-buckets: each gets a
-    "rep" row (hub uid + vsig + ORIGINAL bucket key) so the re-link pass can
-    join sub-hubs of the same hot bucket. No per-row salt/key columns.
+    "rep" row (hub uid + ORIGINAL bucket key) so the re-link pass can join
+    sub-hubs of the same hot bucket (gathering sketches from the same
+    sidecar). No per-row salt/key columns.
 
     Output adds a ``branch`` column so edges can be method-stamped after the
     shuffle.
     """
     tau = cfg.jaccard_threshold - cfg.verify_margin
-    vp = cfg.verify_perms
-    vw = vp  # vsig byte width: 1 quantized byte per verification component
     if salted_map is None:
         salted_map = (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
     salted_gkeys, salted_orig = salted_map
@@ -475,12 +559,17 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None):
         b_parts: list[np.ndarray] = []   # member/dst row indices
         est_parts: list[np.ndarray] = []
 
-        if vmask.any():
-            vidx = np.cumsum(vmask) - 1  # row index → minhash-subset index
-            vs = _binary_matrix(t["vsig"].filter(pa.array(vmask)), vw)
-            vm = np.flatnonzero(is_member & vmask)
+        multi = np.repeat(sizes >= 2, sizes)
+        vsel = vmask & multi
+        if vsel.any():
+            us, qm = ray.get(vsig_ref)  # zero-copy from local object store
+            ridx = np.flatnonzero(vsel)
+            qrows = qm[np.searchsorted(us, uids[ridx])]
+            lookup = np.full(n, -1, dtype=np.int64)
+            lookup[ridx] = np.arange(len(ridx))
+            vm = np.flatnonzero(is_member & vsel)
             vh = hub_per_row[vm]
-            est = (vs[vidx[vm]] == vs[vidx[vh]]).mean(axis=1)
+            est = (qrows[lookup[vm]] == qrows[lookup[vh]]).mean(axis=1)
             ok = est >= tau
             a_parts.append(vh[ok])
             b_parts.append(vm[ok])
@@ -496,7 +585,7 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None):
             ee2: list[float] = []
             for gi in small:
                 lo = starts[gi]
-                gvs = vs[vidx[lo] : vidx[lo] + sizes[gi]]
+                gvs = qrows[lookup[lo : lo + sizes[gi]]]
                 pe = (gvs[:, None, :] == gvs[None, :, :]).mean(axis=2)
                 ii, jj = np.nonzero(np.triu(pe >= tau, k=1))
                 for i, j in zip(ii.tolist(), jj.tolist()):
@@ -531,8 +620,7 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None):
                         "a": pa.array(uids[ai], type=pa.int64()),
                         "b": pa.array(uids[bi], type=pa.int64()),
                         "est": pa.array(ee, type=pa.float64()),
-                        "branch": pa.array(branch[bi], type=pa.int32()),
-                        "vsig": pa.array([b""] * ne, type=pa.binary()),
+                        "branch": pa.array(branch[bi], type=pa.int8()),
                     }
                 )
             )
@@ -546,7 +634,6 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None):
             if len(rep_gi):
                 rep_idx = starts[rep_gi]
                 orig_keys = salted_orig[pos_c[rep_gi]]
-                ri = pa.array(rep_idx)
                 tables.append(
                     pa.table(
                         {
@@ -559,8 +646,9 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None):
                             "est": pa.array(
                                 np.zeros(len(rep_idx)), type=pa.float64()
                             ),
-                            "branch": pa.array(branch[rep_idx], type=pa.int32()),
-                            "vsig": t["vsig"].take(ri),
+                            "branch": pa.array(
+                                branch[rep_idx].astype(np.int8), type=pa.int8()
+                            ),
                         }
                     )
                 )
@@ -605,12 +693,16 @@ def unified_star_edges_uid(
     hot_keys = hot_bucket_keys_from_sig(sig_ds, cfg)
     hot_ref = ray.put(_hot_array(hot_keys))
     smap = salted_gkey_map(hot_keys, cfg)
+    vsig_ref = (
+        build_vsig_sidecar(sig_ds, cfg) if "minhash" in cfg.methods else None
+    )
     salted = sig_ds.map_batches(
         make_unified_star_expander(cfg, hot_ref=hot_ref, num_partitions=P),
         batch_format="pyarrow",
     )
     grouped = partition_map(
-        salted, P, make_unified_partition_grouper(cfg, salted_map=smap)
+        salted, P,
+        make_unified_partition_grouper(cfg, salted_map=smap, vsig_ref=vsig_ref),
     )
     grouped = grouped.materialize()
     edges = grouped.map_batches(_stamp_edges, batch_format="pyarrow")
@@ -623,7 +715,6 @@ def unified_star_edges_uid(
             {
                 "gkey": t["key"],  # original (pre-salt) bucket key
                 "uid": t["a"],
-                "vsig": t["vsig"],
                 "branch": t["branch"],
                 "pkey": pa.array([0] * len(t), type=pa.int64()),
             }
@@ -631,7 +722,8 @@ def unified_star_edges_uid(
 
     rep_rows = grouped.map_batches(rep_rows_fn, batch_format="pyarrow")
     rep_grouped = partition_map(
-        rep_rows, 1, make_unified_partition_grouper(cfg, salted_map=None)
+        rep_rows, 1,
+        make_unified_partition_grouper(cfg, salted_map=None, vsig_ref=vsig_ref),
     )
     rep_edges = rep_grouped.map_batches(_stamp_edges, batch_format="pyarrow")
     return edges.union(rep_edges)

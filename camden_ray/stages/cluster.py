@@ -119,6 +119,150 @@ def unionfind_table(edges: "ray.data.Dataset") -> "pa.Table | None":
     return pa.table({"url": nodes, "cluster_id": reps})
 
 
+def unionfind_uid(edges_uid: "ray.data.Dataset") -> "tuple | None":
+    """Driver union-find over int64 uid-pair edges (the pre-resolution edge
+    space): returns ``(nodes, roots)`` — sorted uid array and, aligned, each
+    uid's component root uid — or ``None`` when there are no edges.
+
+    This is the fast small-regime path: staying in uid space avoids the
+    string unique/index_in/rank machinery of :func:`unionfind_table` (~10 s
+    driver-serial at 8M edges vs ~2 s here) and lets the public url-edge
+    resolution stay lazy. Root identity is min-uid (arbitrary but
+    deterministic); the REPRESENTATIVE contract (cluster id = lexicographic
+    min url) is restored by :func:`component_min_urls`, which scans actual
+    member urls. A 64-bit uid collision can only merge two clusters, never
+    split one — the same documented mode as the distributed path.
+    """
+    import numpy as np
+
+    tables = ray.get(edges_uid.select_columns(["a", "b"]).to_arrow_refs())
+    a_parts = [t["a"].to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
+    b_parts = [t["b"].to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
+    if not a_parts:
+        return None
+    a = np.concatenate(a_parts)
+    b = np.concatenate(b_parts)
+    nodes = np.unique(np.concatenate([a, b]))
+    ei = np.searchsorted(nodes, a)
+    ej = np.searchsorted(nodes, b)
+    # min-label propagation with a ONE-TIME edge-endpoint sort: each round is
+    # a fancy gather + np.minimum.reduceat segment-min (~100M elem/s) instead
+    # of np.minimum.at scatter (~10M elem/s — was the driver-serial hot spot)
+    src = np.concatenate([ei, ej])
+    order = np.argsort(src, kind="stable")
+    src_sorted = src[order]
+    dst_perm = np.concatenate([ej, ei])[order]
+    starts = np.flatnonzero(np.r_[True, src_sorted[1:] != src_sorted[:-1]])
+    seg_nodes = src_sorted[starts]
+    lab = np.arange(len(nodes))
+    while True:
+        old = lab
+        segmin = np.minimum.reduceat(lab[dst_perm], starts)
+        lab = lab.copy()
+        lab[seg_nodes] = np.minimum(lab[seg_nodes], segmin)
+        lab = np.minimum(lab, lab[lab])  # pointer jumping
+        if np.array_equal(lab, old):
+            break
+    while True:
+        nxt = lab[lab]
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return nodes, nodes[lab]
+
+
+def component_min_urls(
+    sig_ds: "ray.data.Dataset", nodes, roots
+) -> "tuple":
+    """Per-component lexicographic-min url: ``(comp_roots, comp_urls)``.
+
+    One parallel pass over the (uid, url) table: each block computes a
+    per-root partial min via Arrow's native group_by, the driver merges the
+    (component-count-sized) partials. Broadcast side is two int64 arrays.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    nodes_ref = ray.put(nodes)
+    roots_ref = ray.put(roots)
+
+    def partial(t: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        rt = ray.get(roots_ref)
+        uid = t["uid"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(nd, uid)
+        ok = pos < len(nd)
+        pos_c = np.minimum(pos, max(0, len(nd) - 1))
+        ok &= nd[pos_c] == uid
+        sub = pa.table(
+            {"root": pa.array(rt[pos_c[ok]], type=pa.int64()),
+             "url": t["url"].filter(pa.array(ok))}
+        )
+        return sub.group_by("root").aggregate([("url", "min")])
+
+    tabs = ray.get(
+        sig_ds.select_columns(["uid", "url"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+    merged = pa.concat_tables(tabs).group_by("root").aggregate([("url_min", "min")])
+    order = pc.sort_indices(merged["root"])
+    merged = merged.take(order)
+    return (
+        merged["root"].to_numpy(zero_copy_only=False),
+        merged["url_min_min"].combine_chunks(),
+    )
+
+
+def make_uid_assigner(nodes_ref, roots_ref, comp_ref):
+    """map_batches fn over (url, uid) rows → (url, cluster_id,
+    is_representative). All lookups are int64 searchsorted against
+    zero-copy broadcast arrays; the only string op is one ``take`` on the
+    component-min-url array."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cache: list = []
+
+    def assign(t: pa.Table) -> pa.Table:
+        if not cache:
+            comp = ray.get(comp_ref)
+            cache.append(
+                (ray.get(nodes_ref), ray.get(roots_ref),
+                 comp["root"].to_numpy(zero_copy_only=False),
+                 comp["cluster_id"].combine_chunks())
+            )
+        nd, rt, comp_roots, comp_urls = cache[0]
+        uid = t["uid"].to_numpy(zero_copy_only=False)
+        url = t["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        if len(nd) == 0:
+            cid = url
+            ok = np.zeros(len(t), dtype=bool)
+        else:
+            pos = np.searchsorted(nd, uid)
+            ok = pos < len(nd)
+            pos_c = np.minimum(pos, len(nd) - 1)
+            ok &= nd[pos_c] == uid
+            ci = np.searchsorted(comp_roots, rt[pos_c])
+            ci = np.minimum(ci, max(0, len(comp_roots) - 1))
+            taken = comp_urls.take(pa.array(ci))
+            cid = pc.if_else(pa.array(ok), taken, url)
+        return pa.table(
+            {
+                "url": url,
+                "cluster_id": cid,
+                "is_representative": pc.equal(cid, url),
+            }
+        )
+
+    return assign
+
+
 def unionfind_assignments(edges: "ray.data.Dataset") -> dict[str, str]:
     """Dict view of :func:`unionfind_table` (url → cluster_id).
 
