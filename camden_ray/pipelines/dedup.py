@@ -33,7 +33,6 @@ import ray.data
 
 from camden_ray.config import DedupConfig
 from camden_ray.sources.webtext import read_webtext
-from camden_ray.stages.extract import HtmlExtractorActor
 from camden_ray.stages.signatures import SignatureActor
 from camden_ray.state.checkpoint import Checkpointer, input_fingerprint
 
@@ -125,27 +124,25 @@ def build_edges(sig_ds: "ray.data.Dataset", cfg: DedupConfig) -> "ray.data.Datas
 
 def refine_substring_edges(
     edges: "ray.data.Dataset",
-    input_ds: "ray.data.Dataset",
+    sig_ds: "ray.data.Dataset",
     cfg: DedupConfig,
-    extract: bool,
     timings: dict | None = None,
 ) -> "ray.data.Dataset":
     """Suffix-array refinement (SURVEY.md §8 TODO 3): re-verify substring
-    candidate edges against the actual token streams.
+    candidate edges against the actual token-hash streams.
 
     Only UNCORROBORATED substring pairs are verified: a pair that is also an
     exact / minhash / simhash edge is already content-verified by that
     method, and its substring copy is redundant for clustering (union-find
     unions the pair either way) — so it is dropped, not re-proved. What
     remains is exactly the set a coarse L-gram collision could have faked.
-    Only the endpoint docs of that residual set are (re-)extracted — the
-    endpoint uid set is broadcast once to prefilter the corpus read, so the
-    verification pass touches O(uncorroborated candidates), not O(corpus).
 
-    Runs entirely in uid space (``edges`` are int64 uid pairs): the anti-join
-    and the pair/text co-shuffle move only ints, never url strings.
+    Verification streams come from the signature table's ``th`` column (the
+    per-doc token-hash array the signature pass already computed) — no
+    document is re-read, re-extracted or re-tokenized. Runs entirely in uid
+    space (``edges`` are int64 uid pairs): the anti-join and the pair/stream
+    co-shuffle move only ints and hash arrays, never url strings or text.
     """
-    from camden_ray.functions.hashing import hash_string_column
     from camden_ray.stages.spanverify import (
         antijoin_pairs,
         pull_needs_csr,
@@ -176,45 +173,17 @@ def refine_substring_edges(
     if n_sub == 0:
         return others
 
-    # ONE driver pass builds the needs CSR (uid-keyed); the uid list doubles
-    # as the corpus-read prefilter (only candidate-endpoint docs are
-    # (re-)extracted — uids are recomputed per batch, a vectorized hash)
+    # ONE driver pass builds the needs CSR (uid-keyed); the replicate pass
+    # ships each referenced doc's token-hash stream to exactly the
+    # partitions whose pairs need it
     csr = pull_needs_csr(sub, default_partitions(cfg))
-    texts = input_ds
-    if csr is not None:
-        need_ref = ray.put(np.sort(csr[0].to_numpy(zero_copy_only=False)))
-
-        def prefilter(t: pa.Table) -> pa.Table:
-            uid = hash_string_column(t["url"]).view(np.int64)
-            need = ray.get(need_ref)
-            return t.filter(pa.array(np.isin(uid, need)))
-
-        texts = texts.map_batches(prefilter, batch_format="pyarrow")
-    if extract:
-        # stateless tasks, not an actor pool: the candidate subset is small
-        # and pool spin-up would dominate; the parser is cheap to build
-        def extract_batch(t: pa.Table) -> pa.Table:
-            return HtmlExtractorActor()(t)
-
-        texts = texts.map_batches(
-            extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size
-        )
-
-    def key_by_uid(t: pa.Table) -> pa.Table:
-        # spanverify join-key column: the doc uid (same id-space as pairs)
-        return pa.table(
-            {
-                "url": pa.array(
-                    hash_string_column(t["url"]).view(np.int64), type=pa.int64()
-                ),
-                "text": t["text"],
-            }
-        )
-
-    texts = texts.map_batches(key_by_uid, batch_format="pyarrow")
+    ths = sig_ds.select_columns(["uid", "th"]).map_batches(
+        lambda t: pa.table({"url": t["uid"], "text": t["th"]}),
+        batch_format="pyarrow",
+    )
 
     t0 = time.monotonic()
-    verified = verify_span_edges(sub, texts, cfg, needs_csr=csr).materialize()
+    verified = verify_span_edges(sub, ths, cfg, needs_csr=csr).materialize()
     if os.environ.get("CAMDEN_STAGE_STATS"):
         import sys as _sys
 
@@ -305,7 +274,7 @@ def run_dedup(
         timings["edges"] = round(time.monotonic() - t0, 3)
         if "substring" in cfg.methods and cfg.verify_substring_spans:
             t0 = time.monotonic()
-            e = refine_substring_edges(e, ds, cfg, extract, timings=timings)
+            e = refine_substring_edges(e, sig, cfg, timings=timings)
             e = e.materialize()
             timings["span_verify"] = round(time.monotonic() - t0, 3)
         return e
@@ -378,6 +347,7 @@ def run_dedup(
         )
 
         uf = unionfind_uid(uid_edges)
+        timings["unionfind"] = round(time.monotonic() - t0, 3)
         if uf is None:
             nodes = np.empty(0, dtype=np.int64)
             roots = np.empty(0, dtype=np.int64)
@@ -387,7 +357,9 @@ def run_dedup(
             )
         else:
             nodes, roots = uf
+            t1 = time.monotonic()
             comp_roots, comp_urls = component_min_urls(sig_ds, nodes, roots)
+            timings["comp_minurls"] = round(time.monotonic() - t1, 3)
             comp = pa.table(
                 {"root": pa.array(comp_roots, type=pa.int64()),
                  "cluster_id": comp_urls}

@@ -89,10 +89,18 @@ def partitions_for(cfg: DedupConfig, n_rows: int) -> int:
 
 
 @ray.remote(num_cpus=1)
-def _split_by_pkey(t: "pa.Table", P: int, key: str):
-    """One exchange map task: order the block by its partition key and return
-    P zero-copy slices (Ray's Arrow serializer IPC-truncates slices, so each
-    return ships only its own rows)."""
+def _split_by_pkey(t: "pa.Table", P: int, key: str, map_fn=None):
+    """One exchange map task: (optionally transform, then) order the block by
+    its partition key and return P zero-copy slices (Ray's Arrow serializer
+    IPC-truncates slices, so each return ships only its own rows).
+
+    ``map_fn`` fuses a row-expanding transform (e.g. the candidate-row
+    expander) into the exchange map side: the expanded rows go straight from
+    this task's heap into their slices, never materializing as a standalone
+    dataset (one full object-store round trip of the engine's largest
+    intermediate saved)."""
+    if map_fn is not None:
+        t = map_fn(t)
     if len(t) == 0:
         return tuple(t.slice(0, 0) for _ in range(P))
     order = pc.sort_indices(t[key])
@@ -125,6 +133,7 @@ def partition_map(
     fn,
     key: str = "pkey",
     batch_format: str = "pyarrow",
+    map_fn=None,
 ) -> "ray.data.Dataset":
     """Co-locate rows by a precomputed integer partition key in ``[0, P)`` and
     apply ``fn`` once per partition (whole-partition Arrow batches).
@@ -158,15 +167,23 @@ def partition_map(
     """
     P = int(P)
     if P <= 1:
+        if map_fn is not None:
+            ds = ds.map_batches(map_fn, batch_format="pyarrow")
         return ds.repartition(1).map_batches(
             fn, batch_format=batch_format, batch_size=None
         )
     blocks = ds.to_arrow_refs()
     if not blocks:
+        if map_fn is not None:
+            ds = ds.map_batches(map_fn, batch_format="pyarrow")
         return ds.map_batches(fn, batch_format=batch_format, batch_size=None)
-    sliced = [_split_by_pkey.options(num_returns=P).remote(b, P, key) for b in blocks]
-    # ship fn through the object store ONCE (closures capture config and the
-    # salted-key map — pickling them per reduce task is P redundant copies)
+    # ship fns through the object store ONCE (closures capture config and the
+    # salted-key map — pickling them per task is blocks/P redundant copies)
+    map_ref = ray.put(map_fn) if map_fn is not None else None
+    sliced = [
+        _split_by_pkey.options(num_returns=P).remote(b, P, key, map_ref)
+        for b in blocks
+    ]
     fn_ref = ray.put(fn)
     outs = [
         _reduce_partition.remote(fn_ref, batch_format, *[s[i] for s in sliced])
@@ -690,19 +707,29 @@ def unified_star_edges_uid(
     materialization plus a 54M-row salting pass here at 1.2M docs).
     """
     P = default_partitions(cfg)
-    hot_keys = hot_bucket_keys_from_sig(sig_ds, cfg)
+    # hot-bucket detection and the sidecar build are independent passes over
+    # the signature table — overlap them (each is cluster-tasks + a driver
+    # merge; two driver threads just interleave the waits)
+    if "minhash" in cfg.methods:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            hot_f = pool.submit(hot_bucket_keys_from_sig, sig_ds, cfg)
+            vsig_f = pool.submit(build_vsig_sidecar, sig_ds, cfg)
+            hot_keys = hot_f.result()
+            vsig_ref = vsig_f.result()
+    else:
+        hot_keys = hot_bucket_keys_from_sig(sig_ds, cfg)
+        vsig_ref = None
     hot_ref = ray.put(_hot_array(hot_keys))
     smap = salted_gkey_map(hot_keys, cfg)
-    vsig_ref = (
-        build_vsig_sidecar(sig_ds, cfg) if "minhash" in cfg.methods else None
-    )
-    salted = sig_ds.map_batches(
-        make_unified_star_expander(cfg, hot_ref=hot_ref, num_partitions=P),
-        batch_format="pyarrow",
-    )
+    # expander fused into the exchange map side (map_fn): the ~45-rows/doc
+    # candidate set goes straight from each map task's heap into its slices —
+    # it never exists as a materialized dataset (7.4 GB at 3M docs)
     grouped = partition_map(
-        salted, P,
+        sig_ds, P,
         make_unified_partition_grouper(cfg, salted_map=smap, vsig_ref=vsig_ref),
+        map_fn=make_unified_star_expander(cfg, hot_ref=hot_ref, num_partitions=P),
     )
     grouped = grouped.materialize()
     edges = grouped.map_batches(_stamp_edges, batch_format="pyarrow")
@@ -866,18 +893,20 @@ def simhash_edges_uid(
 ) -> "ray.data.Dataset":
     """Signature table → uid-pair simhash edges (pigeonhole shuffle)."""
     P = np.uint64(default_partitions(cfg))
-    rows = sig_ds.map_batches(make_simhash_expander(cfg), batch_format="pyarrow")
+    expander = make_simhash_expander(cfg)
 
-    def add_pkey(t: pa.Table) -> pa.Table:
+    def expand_with_pkey(t: pa.Table) -> pa.Table:
+        t = expander(t)
         k = t["key"].to_numpy(zero_copy_only=False).view(np.uint64)
         pkey = (mix64(k ^ _PKEY_MIX) % P).view(np.int64)
         t = t.append_column("gkey", t["key"])
         return t.append_column("pkey", pa.array(pkey, type=pa.int64()))
 
     grouped = partition_map(
-        rows.map_batches(add_pkey, batch_format="pyarrow"),
+        sig_ds,
         int(P),
         make_simhash_partition_grouper(cfg),
+        map_fn=expand_with_pkey,
     )
 
     def stamp(t: pa.Table) -> pa.Table:

@@ -34,7 +34,7 @@ from camden_ray.functions.hashing import (
 )
 from camden_ray.functions.text import tokenize
 
-SIG_COLUMNS = ["url", "uid", "digest", "sig", "simhash", "lgrams"]
+SIG_COLUMNS = ["url", "uid", "digest", "sig", "simhash", "lgrams", "th"]
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -99,10 +99,12 @@ class SignatureActor:
         shingle_chunks: list[np.ndarray] = []
         offsets = np.zeros(n, dtype=np.int64)
         lgram_values: list[np.ndarray] = []
+        th_values: list[np.ndarray] = []
         pos = 0
         for i, text in enumerate(texts):
             toks = tokenize(text) if text else []
             th = self.hasher.hash_tokens(toks)
+            th_values.append(th.view(np.int64))
             sh = shingle_hashes(th, cfg.shingle_k)
             if len(sh) == 0:
                 # short doc fallback: unigram "shingles" keep segments non-empty
@@ -170,6 +172,11 @@ class SignatureActor:
                 "sig": pa.array(sig_bytes, type=pa.binary()),
                 "simhash": pa.array(simhash.view(np.int64), type=pa.int64()),
                 "lgrams": pa.array(list(lgram_values), type=pa.list_(pa.int64())),
+                # full token-hash stream: lets the substring-span refinement
+                # verify candidate pairs on token-hash windows (a false span
+                # needs lgram_tokens simultaneous 64-bit collisions) without
+                # re-reading or re-extracting any document
+                "th": pa.array(list(th_values), type=pa.list_(pa.int64())),
             }
         )
 

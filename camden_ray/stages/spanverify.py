@@ -220,19 +220,23 @@ def pair_texts_partitions(
     num_partitions: int,
     carry: tuple[str, ...] = (),
     needs_csr=None,
+    text_type: "pa.DataType | None" = None,
 ) -> "ray.data.Dataset":
-    """Co-locate each candidate pair with both endpoint texts.
+    """Co-locate each candidate pair with both endpoint payloads.
 
     ``pairs``: (a, b [, carry...]); ``texts``: (url, text) where the ``url``
     column is the JOIN KEY in the same id-space as the pair endpoints —
     url strings, or int64 uids (uid mode: no string ever enters the pair
-    shuffles). Returns a Dataset whose partitions (grouped by ``ppk``)
-    contain, per pair, rows kind=0 (a, b, carry) and kind=1 (key→a slot,
-    text column) for every referenced doc — ready for a per-partition
-    verification pass. ``carry`` columns must be float64.
+    shuffles) — and ``text`` is any payload column (string text, or the
+    list<int64> token-hash stream; pass ``text_type``). Returns a Dataset
+    whose partitions (grouped by ``ppk``) contain, per pair, rows kind=0
+    (a, b, carry) and kind=1 (key→a slot, payload column) for every
+    referenced doc — ready for a per-partition verification pass. ``carry``
+    columns must be float64.
     """
     P = num_partitions
     key_type = _key_type(pairs)
+    text_type = text_type or pa.string()
 
     def pair_rows(t: pa.Table) -> pa.Table:
         ppk = _pair_ppk(t["a"], t["b"], P)
@@ -241,7 +245,7 @@ def pair_texts_partitions(
             "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
             "a": t["a"],
             "b": t["b"],
-            "text": pa.nulls(len(t), type=pa.string()),
+            "text": pa.nulls(len(t), type=text_type),
         }
         for c in carry:
             cols[c] = t[c]
@@ -281,7 +285,7 @@ def pair_texts_partitions(
                 return pa.table(
                     {"ppk": pa.array([], type=pa.int64()),
                      "url": pa.array([], type=t["url"].type),
-                     "text": pa.array([], type=pa.string())}
+                     "text": pa.array([], type=text_type)}
                 )
             row_rep = np.repeat(np.arange(len(t), dtype=np.int64), counts)
             cum0 = np.r_[0, np.cumsum(counts)[:-1]]
@@ -301,7 +305,7 @@ def pair_texts_partitions(
             .count()
             .select_columns(["url", "ppk"])
         )
-        text_rows = _coshuffle_semijoin(needs, texts, P)
+        text_rows = _coshuffle_semijoin(needs, texts, P, text_type)
 
     def as_text_kind(t: pa.Table) -> pa.Table:
         cols = {
@@ -325,11 +329,13 @@ def pair_texts_partitions(
 
 
 def _coshuffle_semijoin(
-    needs: "ray.data.Dataset", texts: "ray.data.Dataset", P: int
+    needs: "ray.data.Dataset", texts: "ray.data.Dataset", P: int,
+    text_type: "pa.DataType | None" = None,
 ) -> "ray.data.Dataset":
     """Fallback semi-join for needs maps too large to broadcast: co-hash-
     partition needs and texts on url, searchsorted merge per partition.
     Returns (ppk, url, text) — one row per (needing partition, url)."""
+    text_type = text_type or pa.string()
 
     def tag_need(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -337,7 +343,7 @@ def _coshuffle_semijoin(
                 "upk": pa.array(_url_pkey(t["url"], P), type=pa.int64()),
                 "url": t["url"],
                 "ppk": t["ppk"],
-                "text": pa.nulls(len(t), type=pa.string()),
+                "text": pa.nulls(len(t), type=text_type),
                 "is_text": pa.array(np.zeros(len(t), dtype=bool)),
             }
         )
@@ -389,43 +395,53 @@ def _partition_pairs_and_texts(t: pa.Table):
 
 def verify_span_edges(
     pairs: "ray.data.Dataset",
-    texts: "ray.data.Dataset",
+    ths: "ray.data.Dataset",
     cfg: DedupConfig,
     needs_csr=None,
 ) -> "ray.data.Dataset":
     """Substring-edge refinement: keep a pair iff the two token streams truly
     share a contiguous >= ``lgram_tokens``-token span.
 
-    Hash positions are found with the FULL (unwinnowed) rolling-gram arrays;
-    every hash match is confirmed by comparing the raw token windows, so a
-    64-bit collision cannot survive. Output schema matches the edge schema
-    (a, b, est, method='substring'); ``est`` = matched-span length / tokens.
+    ``ths``: (url, text) where ``text`` is each doc's FULL token-hash stream
+    (list<int64>, the signature stage's ``th`` column) — no document is ever
+    re-read or re-extracted. Hash positions are found with the full
+    (unwinnowed) rolling-gram arrays; every gram-hash match is confirmed by
+    comparing the per-token-hash windows, so a single 64-bit rolling-gram
+    collision cannot survive (a false span would need ``lgram_tokens``
+    simultaneous independent token-hash collisions). Output schema matches
+    the edge schema (a, b, est, method='substring'); ``est`` = matched-span
+    length / tokens.
     """
 
     P = default_partitions(cfg)
     L = cfg.lgram_tokens
-    seed = cfg.seed
     key_type = _key_type(pairs)
 
-    rows = pair_texts_partitions(pairs, texts, P, needs_csr=needs_csr)
+    rows = pair_texts_partitions(
+        pairs, ths, P, needs_csr=needs_csr, text_type=pa.list_(pa.int64())
+    )
 
     def verify(t: pa.Table) -> pa.Table:
         pt, tx = _partition_pairs_and_texts(t)
-        hasher = TokenHasher(seed=seed)
-        tok_cache: dict[str, list[str]] = {}
-        gram_cache: dict[str, np.ndarray] = {}
+        th_cache: dict = {}
+        gram_cache: dict = {}
 
-        def toks(u: str) -> list[str]:
-            v = tok_cache.get(u)
+        def th_arr(u) -> np.ndarray:
+            v = th_cache.get(u)
             if v is None:
-                v = tokenize(tx.get(u, "") or "")
-                tok_cache[u] = v
+                raw = tx.get(u)
+                v = (
+                    np.asarray(raw, dtype=np.int64).view(np.uint64)
+                    if raw is not None and len(raw)
+                    else np.empty(0, dtype=np.uint64)
+                )
+                th_cache[u] = v
             return v
 
-        def grams(u: str) -> np.ndarray:
+        def grams(u) -> np.ndarray:
             g = gram_cache.get(u)
             if g is None:
-                g = rolling_lgram_hashes(hasher.hash_tokens(toks(u)), L)
+                g = rolling_lgram_hashes(th_arr(u), L)
                 gram_cache[u] = g
             return g
 
@@ -439,16 +455,17 @@ def verify_span_edges(
             common = np.intersect1d(ga, gb)
             if not len(common):
                 continue
-            ta, tb = toks(a), toks(b)
+            ta, tb = th_arr(a), th_arr(b)
             verified = False
-            # confirm up to 4 distinct matching hash values on raw tokens
+            # confirm up to 4 distinct matching gram hashes on the token-hash
+            # windows themselves
             for hv in common[:4]:
                 pa_pos = np.flatnonzero(ga == hv)
                 pb_pos = np.flatnonzero(gb == hv)
                 for i in pa_pos[:2]:
                     wa = ta[i : i + L]
                     for j in pb_pos[:2]:
-                        if wa == tb[j : j + L]:
+                        if np.array_equal(wa, tb[j : j + L]):
                             verified = True
                             break
                     if verified:

@@ -15,6 +15,28 @@ def _texts_ds(d: dict[str, str]):
     )
 
 
+def _ths_ds(d: dict[str, str], seed: int = 42):
+    """(url, token-hash stream) view of text docs — the signature table's
+    ``th`` column shape that verify_span_edges consumes."""
+    import numpy as np
+
+    from camden_ray.functions.hashing import TokenHasher
+    from camden_ray.functions.text import tokenize
+
+    h = TokenHasher(seed=seed)
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "url": list(d),
+                "text": [
+                    h.hash_tokens(tokenize(v)).view(np.int64).tolist()
+                    for v in d.values()
+                ],
+            }
+        )
+    )
+
+
 def _pairs_ds(pairs):
     return ray.data.from_pandas(
         pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
@@ -34,7 +56,7 @@ def test_span_verify_keeps_true_span_drops_false_pair():
         "u://d": " ".join(f"d{i}" for i in range(150)),
     }
     pairs = _pairs_ds([("u://a", "u://b"), ("u://c", "u://d")])
-    out = verify_span_edges(pairs, _texts_ds(texts), DedupConfig()).to_pandas()
+    out = verify_span_edges(pairs, _ths_ds(texts), DedupConfig()).to_pandas()
     assert set(zip(out.a, out.b)) == {("u://a", "u://b")}
     assert (out.method == "substring").all()
 
@@ -48,7 +70,7 @@ def test_span_verify_just_below_threshold_refuted():
         "u://b": " ".join(span + [f"y{i}" for i in range(80)]),
     }
     pairs = _pairs_ds([("u://a", "u://b")])
-    out = verify_span_edges(pairs, _texts_ds(texts), cfg).to_pandas()
+    out = verify_span_edges(pairs, _ths_ds(texts), cfg).to_pandas()
     assert len(out) == 0
 
 
