@@ -135,7 +135,10 @@ def unionfind_uid(edges_uid: "ray.data.Dataset") -> "tuple | None":
     """
     import numpy as np
 
-    tables = ray.get(edges_uid.select_columns(["a", "b"]).to_arrow_refs())
+    # pull the materialized blocks directly — a select_columns projection
+    # would schedule a full task wave over ~300 blocks just to drop two
+    # small columns the driver can ignore for free
+    tables = ray.get(edges_uid.to_arrow_refs())
     a_parts = [t["a"].to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
     b_parts = [t["b"].to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
     if not a_parts:
