@@ -283,7 +283,12 @@ def scaling_main(args) -> int:
     repeats = args.repeats
 
     def run_level(cpus: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        # POLARS_MAX_THREADS: the driver union-find sorts via polars (multi-
+        # threaded); pin its pool to the level's CPU budget so the driver
+        # cannot out-parallelize the cluster size it claims to be running at
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(cpus), POLARS_MAX_THREADS=str(cpus)
+        )
         p = subprocess.run(
             [
                 sys.executable,

@@ -145,37 +145,52 @@ def unionfind_uid(edges_uid: "ray.data.Dataset") -> "tuple | None":
         return None
     a = np.concatenate(a_parts)
     b = np.concatenate(b_parts)
-    nodes = np.unique(np.concatenate([a, b]))
-    ei = np.searchsorted(nodes, a)
-    ej = np.searchsorted(nodes, b)
-    # min-label propagation with a ONE-TIME edge-endpoint sort: each round is
-    # a fancy gather + np.minimum.reduceat segment-min (~100M elem/s) instead
-    # of np.minimum.at scatter (~10M elem/s — was the driver-serial hot spot)
-    # int32 ids (node count < 2^31 by construction of the driver path) and
-    # default quicksort: stability is irrelevant for a segment-min, and the
-    # narrow dtype halves the sort's memory traffic (measured 3.0 s stable
-    # int64 vs 1.2 s quick int32 on the 16M-endpoint array)
-    src = np.concatenate([ei, ej]).astype(np.int32)
-    order = np.argsort(src)
-    src_sorted = src[order]
-    dst_perm = np.concatenate([ej, ei])[order]
-    starts = np.flatnonzero(np.r_[True, src_sorted[1:] != src_sorted[:-1]])
-    seg_nodes = src_sorted[starts]
-    lab = np.arange(len(nodes))
+    E = len(a)
+    # ONE sort of the 2E endpoint array replaces the previous three heavy
+    # passes (np.unique's sort + 2 searchsorteds + an edge argsort): node ids,
+    # the per-node segment layout AND each occurrence's partner index all fall
+    # out of the same permutation, because partner(position p) is exactly
+    # (p + E) mod 2E in the concatenated [a, b] layout. polars arg_sort is
+    # multi-threaded (bounded by POLARS_MAX_THREADS, which bench.py pins to
+    # the session CPU budget so the driver can't out-parallelize its level).
+    # Measured at 8M edges: 14 s (old) → ~2 s, and the sort now scales with
+    # cores instead of being numpy-single-threaded.
+    both = np.concatenate([a, b])
+    try:
+        import polars as pl
+
+        order = pl.Series(both).arg_sort().to_numpy()
+    except Exception:  # pragma: no cover - polars always present in CI
+        order = np.argsort(both)
+    sb = both[order]
+    change = np.r_[True, sb[1:] != sb[:-1]]
+    starts = np.flatnonzero(change)
+    nodes = sb[starts]
+    # int32 ids: E <= driver_unionfind_max_edges << 2^31, and the narrow
+    # dtype halves the scatter/gather memory traffic of the rounds
+    seg_id = (np.cumsum(change, dtype=np.int64) - 1).astype(np.int32)
+    inv = np.empty(2 * E, dtype=np.int32)
+    inv[order] = seg_id
+    partner = np.where(order < E, order + E, order - E)
+    dst_perm = inv[partner]  # partner dense id, in src-sorted segment order
+    # min-label propagation: per round one edge-sized gather + one
+    # np.minimum.reduceat segment-min, then a FULL pointer-jump fixpoint
+    # (node-sized gathers are ~100x cheaper than an extra edge-sized round,
+    # so full shortcutting per round minimizes the expensive outer rounds —
+    # star-shaped candidate edges converge in ~3)
+    lab = np.arange(len(nodes), dtype=np.int32)
     while True:
         old = lab
         segmin = np.minimum.reduceat(lab[dst_perm], starts)
-        lab = lab.copy()
-        lab[seg_nodes] = np.minimum(lab[seg_nodes], segmin)
-        lab = np.minimum(lab, lab[lab])  # pointer jumping
+        lab = np.minimum(lab, segmin)  # segment k IS node k: direct align
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
         if np.array_equal(lab, old):
             break
-    while True:
-        nxt = lab[lab]
-        if np.array_equal(nxt, lab):
-            break
-        lab = nxt
-    return nodes, nodes[lab]
+    return nodes, nodes[lab.astype(np.int64)]
 
 
 def component_min_urls(
