@@ -74,7 +74,7 @@ def signature_table(
 
 
 def build_edges_uid(
-    sig_ds: "ray.data.Dataset", cfg: DedupConfig
+    sig_ds: "ray.data.Dataset", cfg: DedupConfig, timings: dict | None = None
 ) -> "ray.data.Dataset":
     """Union of verified candidate UID-pair edges from every enabled method.
 
@@ -94,11 +94,25 @@ def build_edges_uid(
         unified_star_edges_uid,
     )
 
+    def timed(name, f):
+        def g():
+            t0 = time.monotonic()
+            out = f()
+            if timings is not None:
+                timings[name] = round(time.monotonic() - t0, 3)
+            return out
+
+        return g
+
     builders = []
     if set(cfg.methods) & {"exact", "minhash", "substring"}:
-        builders.append(lambda: unified_star_edges_uid(sig_ds, cfg).materialize())
+        builders.append(
+            timed("edges_star", lambda: unified_star_edges_uid(sig_ds, cfg).materialize())
+        )
     if "simhash" in cfg.methods:
-        builders.append(lambda: simhash_edges_uid(sig_ds, cfg).materialize())
+        builders.append(
+            timed("edges_simhash", lambda: simhash_edges_uid(sig_ds, cfg).materialize())
+        )
     if not builders:
         raise ValueError("no methods enabled")
     if os.environ.get("CAMDEN_THREADED_BUILDERS"):
@@ -270,7 +284,7 @@ def run_dedup(
 
     def _uid_edges(sig: "ray.data.Dataset") -> "ray.data.Dataset":
         t0 = time.monotonic()
-        e = build_edges_uid(sig, cfg).materialize()
+        e = build_edges_uid(sig, cfg, timings=timings).materialize()
         timings["edges"] = round(time.monotonic() - t0, 3)
         if "substring" in cfg.methods and cfg.verify_substring_spans:
             t0 = time.monotonic()

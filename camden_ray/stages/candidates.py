@@ -706,7 +706,13 @@ def unified_star_edges_uid(
     and never walked twice (the un-fused predecessor spent a full
     materialization plus a 54M-row salting pass here at 1.2M docs).
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _stats = _os.environ.get("CAMDEN_STAGE_STATS")
     P = default_partitions(cfg)
+    _t0 = _time.monotonic()
     # hot-bucket detection and the sidecar build are independent passes over
     # the signature table — overlap them (each is cluster-tasks + a driver
     # merge; two driver threads just interleave the waits)
@@ -721,6 +727,9 @@ def unified_star_edges_uid(
     else:
         hot_keys = hot_bucket_keys_from_sig(sig_ds, cfg)
         vsig_ref = None
+    if _stats:
+        print(f"== star: hot+vsig {_time.monotonic()-_t0:.2f}s", file=_sys.stderr)
+        _t0 = _time.monotonic()
     hot_ref = ray.put(_hot_array(hot_keys))
     smap = salted_gkey_map(hot_keys, cfg)
     # expander fused into the exchange map side (map_fn): the ~45-rows/doc
@@ -732,6 +741,8 @@ def unified_star_edges_uid(
         map_fn=make_unified_star_expander(cfg, hot_ref=hot_ref, num_partitions=P),
     )
     grouped = grouped.materialize()
+    if _stats:
+        print(f"== star: exchange {_time.monotonic()-_t0:.2f}s (P={P})", file=_sys.stderr)
     edges = grouped.map_batches(_stamp_edges, batch_format="pyarrow")
     if not hot_keys:
         return edges  # no skew detected → no salted sub-buckets to re-link
