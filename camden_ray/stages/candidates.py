@@ -89,20 +89,30 @@ def partitions_for(cfg: DedupConfig, n_rows: int) -> int:
 
 
 @ray.remote(num_cpus=1)
-def _split_by_pkey(t: "pa.Table", P: int, key: str, map_fn=None):
-    """One exchange map task: (optionally transform, then) order the block by
-    its partition key and return P zero-copy slices (Ray's Arrow serializer
-    IPC-truncates slices, so each return ships only its own rows).
+def _split_by_pkey(P: int, key: str, map_fn, *tabs: "pa.Table"):
+    """One exchange map task: concatenate this task's input blocks,
+    (optionally transform, then) order by the partition key and return P
+    zero-copy slices (Ray's Arrow serializer IPC-truncates slices, so each
+    return ships only its own rows).
+
+    Accepts MULTIPLE input blocks: partition_map groups upstream blocks into
+    ~P map tasks, so a union of many small block sets needs no driver-side
+    repartition barrier first and the exchange's object count stays ~P²
+    regardless of upstream block fragmentation.
 
     ``map_fn`` fuses a row-expanding transform (e.g. the candidate-row
     expander) into the exchange map side: the expanded rows go straight from
     this task's heap into their slices, never materializing as a standalone
     dataset (one full object-store round trip of the engine's largest
-    intermediate saved)."""
+    intermediate saved). map_fn runs per input block (not on the concat) so
+    its heap watermark matches the un-grouped behavior."""
     if map_fn is not None:
-        t = map_fn(t)
-    if len(t) == 0:
+        tabs = [map_fn(t) for t in tabs]
+    nonempty = [t for t in tabs if t.num_rows]
+    if not nonempty:
+        t = max(tabs, key=lambda s: s.num_columns)
         return tuple(t.slice(0, 0) for _ in range(P))
+    t = pa.concat_tables(nonempty) if len(nonempty) > 1 else nonempty[0]
     order = pc.sort_indices(t[key])
     t = t.take(order).combine_chunks()
     pk = t[key].to_numpy()
@@ -180,9 +190,23 @@ def partition_map(
     # ship fns through the object store ONCE (closures capture config and the
     # salted-key map — pickling them per task is blocks/P redundant copies)
     map_ref = ray.put(map_fn) if map_fn is not None else None
+    # group upstream blocks into ~max(P, cpus) map tasks: keeps the exchange's
+    # object count at ~P² even when the input arrives as hundreds of tiny
+    # blocks (union stages), replacing the driver-side repartition barrier +
+    # full extra copy callers used to need
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    target_maps = max(P, cpus)
+    if len(blocks) > target_maps:
+        per = -(-len(blocks) // target_maps)
+        groups = [blocks[i : i + per] for i in range(0, len(blocks), per)]
+    else:
+        groups = [[b] for b in blocks]
     sliced = [
-        _split_by_pkey.options(num_returns=P).remote(b, P, key, map_ref)
-        for b in blocks
+        _split_by_pkey.options(num_returns=P).remote(P, key, map_ref, *grp)
+        for grp in groups
     ]
     fn_ref = ray.put(fn)
     outs = [
@@ -460,8 +484,15 @@ def build_vsig_sidecar(
     """
     vp = cfg.verify_perms
     npms = cfg.num_perms
+    # fast path: the signature stage stamps the quantized sketch as its own
+    # `vsig` column, so this pass ships vp bytes/doc instead of num_perms*8
+    # (older persisted checkpoints lack the column — fall back to deriving
+    # the sketch from the full sig)
+    has_vsig = "vsig" in sig_ds.schema().names
 
     def partial(t: pa.Table) -> pa.Table:
+        if "vsig" in t.column_names:
+            return pa.table({"uid": t["uid"], "q": t["vsig"]})
         sigs = _binary_matrix(t["sig"], npms * 8).view(np.uint64)
         q = (sigs[:, :vp] & np.uint64(0xFF)).astype(np.uint8)
         offsets = np.arange(len(t) + 1, dtype=np.int32) * vp
@@ -472,7 +503,7 @@ def build_vsig_sidecar(
         return pa.table({"uid": t["uid"], "q": qa})
 
     tabs = ray.get(
-        sig_ds.select_columns(["uid", "sig"])
+        sig_ds.select_columns(["uid", "vsig" if has_vsig else "sig"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )
@@ -481,7 +512,12 @@ def build_vsig_sidecar(
         return ray.put((np.empty(0, dtype=np.int64), np.empty((0, vp), dtype=np.uint8)))
     big = pa.concat_tables(tabs).combine_chunks()
     uids = big["uid"].to_numpy()
-    order = np.argsort(uids, kind="stable")
+    try:
+        import polars as pl
+
+        order = pl.Series(uids).arg_sort().to_numpy()  # multi-threaded sort
+    except Exception:  # pragma: no cover - polars always present in CI
+        order = np.argsort(uids, kind="stable")
     qmat = _binary_matrix(big["q"], vp)[order]
     return ray.put((uids[order], np.ascontiguousarray(qmat)))
 
@@ -1102,7 +1138,7 @@ def _resolve_edges_copartition(
         rows_tagged = rows.map_batches(tag_fact, batch_format="pyarrow").union(
             dims.map_batches(tag_dim, batch_format="pyarrow")
         )
-        return partition_map(rows_tagged.repartition(P), P, merge)
+        return partition_map(rows_tagged, P, merge)
 
     with_a = attach(edges, "a", "__a_url")
     with_b = attach(with_a, "b", "__b_url")

@@ -34,7 +34,7 @@ from camden_ray.functions.hashing import (
 )
 from camden_ray.functions.text import tokenize
 
-SIG_COLUMNS = ["url", "uid", "digest", "sig", "simhash", "lgrams", "th"]
+SIG_COLUMNS = ["url", "uid", "digest", "sig", "vsig", "simhash", "lgrams", "th"]
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -157,6 +157,17 @@ class SignatureActor:
             simhash = np.empty(0, dtype=np.uint64)
 
         sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        # quantized verification sketch (low byte of the first verify_perms
+        # components): computed here for free — the sidecar broadcast pass
+        # then scans vp bytes/doc instead of the full num_perms*8 sig column
+        # (measured: the sidecar build was half the star-branch wall at 3M)
+        vp = cfg.verify_perms
+        q = (sigs[:, :vp] & np.uint64(0xFF)).astype(np.uint8)
+        voffsets = np.arange(n + 1, dtype=np.int32) * vp
+        vsig = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(voffsets.tobytes()), pa.py_buffer(q.tobytes())],
+        )
         return pa.table(
             {
                 "url": batch.column("url"),
@@ -170,6 +181,7 @@ class SignatureActor:
                 ),
                 "digest": pa.array(digests.view(np.int64), type=pa.int64()),
                 "sig": pa.array(sig_bytes, type=pa.binary()),
+                "vsig": vsig,
                 "simhash": pa.array(simhash.view(np.int64), type=pa.int64()),
                 "lgrams": pa.array(list(lgram_values), type=pa.list_(pa.int64())),
                 # full token-hash stream: lets the substring-span refinement

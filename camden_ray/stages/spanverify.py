@@ -143,9 +143,9 @@ def antijoin_pairs(
     rows = left.map_batches(tag(False), batch_format="pyarrow").union(
         right.map_batches(tag(True), batch_format="pyarrow")
     )
-    # coalesce: the union inherits the edge Datasets' block counts and the
-    # partitioning sort pays per-block scheduling cost × output partitions
-    return partition_map(rows.repartition(P), P, merge, key="ppk")
+    # no repartition needed: partition_map groups fragmented upstream blocks
+    # into ~P map tasks itself (the old pre-barrier paid a full extra copy)
+    return partition_map(rows, P, merge, key="ppk")
 
 
 def needed_url_array(
@@ -319,13 +319,11 @@ def pair_texts_partitions(
             cols[c] = pa.nulls(len(t), type=pa.float64())
         return pa.table(cols)
 
-    out = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
+    # no coalesce: the downstream partition_map groups fragmented upstream
+    # blocks into ~P map tasks itself
+    return pairs.map_batches(pair_rows, batch_format="pyarrow").union(
         text_rows.map_batches(as_text_kind, batch_format="pyarrow")
     )
-    # coalesce before the grouping shuffle: the union inherits hundreds of
-    # tiny blocks from upstream stages and every groupby pays per-block
-    # scheduling cost × output partitions (measured 5× on this exact stage)
-    return out.repartition(P)
 
 
 def _coshuffle_semijoin(
@@ -381,7 +379,7 @@ def _coshuffle_semijoin(
     rows = needs.map_batches(tag_need, batch_format="pyarrow").union(
         texts.map_batches(tag_text, batch_format="pyarrow")
     )
-    return partition_map(rows.repartition(P), P, attach_text, key="upk")
+    return partition_map(rows, P, attach_text, key="upk")
 
 
 def _partition_pairs_and_texts(t: pa.Table):
