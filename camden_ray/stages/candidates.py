@@ -198,7 +198,10 @@ def partition_map(
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    target_maps = max(P, cpus)
+    # 4×CPUs floor mirrors default_partitions' straggler logic: grouping must
+    # only collapse genuinely fragmented inputs (unions of hundreds of tiny
+    # blocks), never halve the map-wave parallelism of a well-shaped input
+    target_maps = max(P, 4 * cpus)
     if len(blocks) > target_maps:
         per = -(-len(blocks) // target_maps)
         groups = [blocks[i : i + per] for i in range(0, len(blocks), per)]
@@ -330,8 +333,14 @@ def hot_bucket_keys_from_sig(
     """
     frac = cfg.hot_sample_frac
     threshold = max(2.0, cfg.bucket_cap * frac / 2.0)
-    sample = sig_ds.random_sample(frac, seed=cfg.seed).map_batches(
-        make_unified_star_expander(cfg), batch_format="pyarrow"
+    # prune to the expander's inputs BEFORE sampling: the sample's row-take
+    # otherwise copies the wide token-hash streams (th: ~45x the key columns)
+    # just to drop them in the expander
+    cols = [c for c in ("uid", "digest", "sig", "lgrams") if c in sig_ds.schema().names]
+    sample = (
+        sig_ds.select_columns(cols)
+        .random_sample(frac, seed=cfg.seed)
+        .map_batches(make_unified_star_expander(cfg), batch_format="pyarrow")
     )
     return _count_hot(sample, threshold)
 
@@ -752,12 +761,19 @@ def unified_star_edges_uid(
     # hot-bucket detection and the sidecar build are independent passes over
     # the signature table — overlap them (each is cluster-tasks + a driver
     # merge; two driver threads just interleave the waits)
+    def _timed(name, f, *a):
+        t0 = _time.monotonic()
+        out = f(*a)
+        if _stats:
+            print(f"== star: {name} {_time.monotonic()-t0:.2f}s", file=_sys.stderr)
+        return out
+
     if "minhash" in cfg.methods:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            hot_f = pool.submit(hot_bucket_keys_from_sig, sig_ds, cfg)
-            vsig_f = pool.submit(build_vsig_sidecar, sig_ds, cfg)
+            hot_f = pool.submit(_timed, "hot", hot_bucket_keys_from_sig, sig_ds, cfg)
+            vsig_f = pool.submit(_timed, "vsig", build_vsig_sidecar, sig_ds, cfg)
             hot_keys = hot_f.result()
             vsig_ref = vsig_f.result()
     else:
