@@ -167,10 +167,14 @@ def refine_substring_edges(
         lambda t: t.filter(pc.equal(t["method"], "substring")),
         batch_format="pyarrow",
     ).select_columns(["a", "b"])
+    # NOT materialized: `edges` is already materialized by the caller, and the
+    # method filter is a trivial map — consuming it twice (antijoin right side
+    # + final union) re-runs the filter, which is cheaper than a full extra
+    # object-store copy of the edge set
     others = edges.map_batches(
         lambda t: t.filter(pc.not_equal(t["method"], "substring")),
         batch_format="pyarrow",
-    ).materialize()
+    )
 
     from camden_ray.stages.candidates import default_partitions
 

@@ -860,7 +860,7 @@ def make_simhash_expander(cfg: DedupConfig):
         uid_col = t["uid"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "key": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
+                "gkey": pa.array(keys.reshape(-1).view(np.int64), type=pa.int64()),
                 "uid": pa.array(np.repeat(uid_col, B * B), type=pa.int64()),
                 "simhash": pa.array(np.repeat(sh.view(np.int64), B * B), type=pa.int64()),
             }
@@ -960,9 +960,8 @@ def simhash_edges_uid(
 
     def expand_with_pkey(t: pa.Table) -> pa.Table:
         t = expander(t)
-        k = t["key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        k = t["gkey"].to_numpy(zero_copy_only=False).view(np.uint64)
         pkey = (mix64(k ^ _PKEY_MIX) % P).view(np.int64)
-        t = t.append_column("gkey", t["key"])
         return t.append_column("pkey", pa.array(pkey, type=pa.int64()))
 
     grouped = partition_map(
