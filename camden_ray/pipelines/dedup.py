@@ -350,7 +350,6 @@ def run_dedup(
     n_edges = uid_edges.count()
     timings["edges_count"] = round(time.monotonic() - t0, 3)
     t0 = time.monotonic()
-    urls = sig_ds.select_columns(["url"])
     uf = None
     if n_edges <= cfg.driver_unionfind_max_edges:
         # small regime: driver union-find on int64 uid pairs + broadcast of
@@ -391,16 +390,23 @@ def run_dedup(
     else:
         # scale path: distributed hash-to-min components + shuffle-join
         # assignment — NO driver-side assignment map at any point (the regime
-        # that triggers this path is exactly the one where it wouldn't fit)
+        # that triggers this path is exactly the one where it wouldn't fit).
+        # Runs directly on the candidate shuffles' int64 uid edges with the
+        # signature table as the (uid → url) dimension: the url-pair edge
+        # view is never materialized for clustering, and no url is re-hashed.
         from camden_ray.stages.candidates import default_partitions
         from camden_ray.stages.cluster import (
-            assign_clusters_distributed,
-            hash_to_min_components,
+            assign_clusters_distributed_uid,
+            hash_to_min_components_uid,
         )
 
         P = default_partitions(cfg)
-        comp = hash_to_min_components(edges, num_partitions=P).materialize()
-        clusters = assign_clusters_distributed(urls, comp, num_partitions=P)
+        comp = hash_to_min_components_uid(
+            uid_edges, sig_ds.select_columns(["uid", "url"]), num_partitions=P
+        ).materialize()
+        clusters = assign_clusters_distributed_uid(
+            sig_ds.select_columns(["url", "uid"]), comp, num_partitions=P
+        )
     timings["clustering"] = round(time.monotonic() - t0, 3)
 
     t0 = time.monotonic()

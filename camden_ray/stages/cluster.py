@@ -324,37 +324,94 @@ def _label_fingerprint(labels: "ray.data.Dataset") -> tuple[int, int]:
 def hash_to_min_components(
     edges: "ray.data.Dataset", max_iter: int = 30, num_partitions: int = 64
 ) -> "ray.data.Dataset":
-    """Distributed connected components over (a, b) string edges — the scale
-    path: NO driver-side state at any point; every step is a native shuffle.
-
-    Physical plan (int64 end-to-end; strings only enter at the edge of the
-    algorithm):
-
-    1. node id = 64-bit url key hash (``hash_string_column`` — vectorized,
-       deterministic across processes). A 64-bit collision (≈ n²/2⁶⁵) could only merge two
-       clusters, never split one.
-    2. min-label propagation (hash-to-min shape, Rastogi et al. 2013) on int
-       ids: L(v) ← min(L(v), min_{(u,v)∈E} L(u)) per round, implemented as a
-       coarse hash-partition co-locating each node's label row with its edge
-       rows, ONE numpy searchsorted pass per partition, then a NATIVE
-       groupby-Min. Rounds = O(component diameter); convergence detected by
-       an order-insensitive label fingerprint.
-    3. min-url fixup: join int labels back to urls, groupby(label)·Min(url)
-       gives each component its lexicographic-min-url cluster id (the same
-       representative contract as the driver union-find), joined back onto
-       members.
+    """Distributed connected components over (a, b) string edges — thin
+    wrapper around :func:`hash_to_min_components_uid`: node id = the same
+    64-bit url key hash the signature stage stamps as ``uid``
+    (``hash_string_column`` — vectorized, deterministic across processes;
+    a collision ≈ n²/2⁶⁵ could only merge two clusters, never split one).
+    The (uid → url) dimension is derived from the edge endpoints themselves.
 
     Returns Dataset (url, cluster_id) for every url appearing in an edge.
     """
     import numpy as np
 
-    from camden_ray.functions.hashing import hash_string_column, mix64
+    from camden_ray.functions.hashing import hash_string_column
+
+    def to_uid_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(
+                    hash_string_column(t["a"]).view(np.int64), type=pa.int64()
+                ),
+                "b": pa.array(
+                    hash_string_column(t["b"]).view(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    def to_node_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        urls = pa.concat_arrays([a, b])
+        ids = np.concatenate(
+            [hash_string_column(a).view(np.int64), hash_string_column(b).view(np.int64)]
+        )
+        return pa.table({"uid": pa.array(ids, type=pa.int64()), "url": urls})
+
+    e2 = edges.select_columns(["a", "b"])
+    # distinct (uid,url): all urls of one uid are identical, so Min is a dedup
+    node_urls = (
+        e2.map_batches(to_node_rows, batch_format="pyarrow")
+        .groupby("uid")
+        .aggregate(Min("url", alias_name="url"))
+    )
+    out = hash_to_min_components_uid(
+        e2.map_batches(to_uid_pairs, batch_format="pyarrow"),
+        node_urls,
+        max_iter=max_iter,
+        num_partitions=num_partitions,
+    )
+    return out.select_columns(["url", "cluster_id"])
+
+
+def hash_to_min_components_uid(
+    edges_uid: "ray.data.Dataset",
+    node_urls: "ray.data.Dataset",
+    max_iter: int = 30,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed connected components over int64 uid-pair edges — the scale
+    path: NO driver-side state at any point; every step is a native shuffle,
+    and url strings never enter the propagation (the pipeline feeds the
+    candidate shuffles' uid edges directly, so the url-pair edge view is
+    never even materialized for clustering).
+
+    ``node_urls``: (uid, url) dimension — the signature table in the
+    pipeline (already unique per uid), or an endpoint-derived dedup in the
+    string wrapper.
+
+    Physical plan:
+
+    1. min-label propagation (hash-to-min shape, Rastogi et al. 2013) on int
+       ids: L(v) ← min(L(v), min_{(u,v)∈E} L(u)) per round, implemented as a
+       coarse hash-partition co-locating each node's label row with its edge
+       rows, ONE numpy searchsorted pass per partition, then a NATIVE
+       groupby-Min. Rounds = O(component diameter); convergence detected by
+       an order-insensitive label fingerprint.
+    2. min-url fixup: join int labels to urls via ``node_urls``,
+       groupby(label)·Min(url) gives each component its lexicographic-min-url
+       cluster id (the same representative contract as the driver
+       union-find), joined back onto members.
+
+    Returns Dataset (uid, url, cluster_id) for every uid appearing in an
+    edge.
+    """
+    import numpy as np
+
+    from camden_ray.functions.hashing import mix64
 
     P = num_partitions
     PKEY_MIX = np.uint64(0xA24BAED4963EE407)
-
-    def _ids(col: pa.Array) -> np.ndarray:
-        return hash_string_column(col).view(np.int64)
 
     def _pkey(ids: np.ndarray) -> pa.Array:
         return pa.array(
@@ -362,10 +419,9 @@ def hash_to_min_components(
             type=pa.int64(),
         )
 
-    # --- 1. int-id directed graph + (nid,url) sidecar ----------------------
     def to_directed(t: pa.Table) -> pa.Table:
-        ida = _ids(t["a"])
-        idb = _ids(t["b"])
+        ida = t["a"].to_numpy(zero_copy_only=False)
+        idb = t["b"].to_numpy(zero_copy_only=False)
         src = np.concatenate([ida, idb])
         dst = np.concatenate([idb, ida])
         return pa.table(
@@ -376,23 +432,12 @@ def hash_to_min_components(
             }
         )
 
-    def to_node_rows(t: pa.Table) -> pa.Table:
-        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
-        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
-        urls = pa.concat_arrays([a, b])
-        return pa.table(
-            {"nid": pa.array(np.concatenate([_ids(a), _ids(b)]), type=pa.int64()),
-             "url": urls}
-        )
-
-    e2 = edges.select_columns(["a", "b"])
-    graph = e2.map_batches(to_directed, batch_format="pyarrow").materialize()
-    # distinct (nid,url): all urls of one nid are identical, so Min is a dedup
-    nodes = (
-        e2.map_batches(to_node_rows, batch_format="pyarrow")
-        .groupby("nid")
-        .aggregate(Min("url", alias_name="url"))
+    graph = (
+        edges_uid.select_columns(["a", "b"])
+        .map_batches(to_directed, batch_format="pyarrow")
+        .materialize()
     )
+    nodes = node_urls
 
     # --- 2. labels(node,label) init to min(node, neighbors) — native agg ---
     labels = (
@@ -473,8 +518,8 @@ def hash_to_min_components(
     # Two co-partition merges (NOT Dataset.join — chained join operators
     # mis-resolve key fields in ray 2.49; and this keeps the whole algorithm
     # on the one shuffle primitive the engine already relies on):
-    #   member(url, label) = labels ⨝ nodes on node==nid
-    #   out(url, cluster_id) = member ⨝ [groupby(label).Min(url)] on label
+    #   member(uid, url, label) = labels ⨝ node_urls on node==uid
+    #   out(uid, url, cluster_id) = member ⨝ [groupby(label).Min(url)]
     def lab_facts(t: pa.Table) -> pa.Table:
         return pa.table(
             {"k": t["node"], "ival": t["label"],
@@ -482,21 +527,21 @@ def hash_to_min_components(
         )
 
     def node_dims(t: pa.Table) -> pa.Table:
-        return pa.table({"k": t["nid"], "val": t["url"]})
+        return pa.table({"k": t["uid"], "val": t["url"]})
 
     member = _copartition_lookup(
         labels.map_batches(lab_facts, batch_format="pyarrow"),
         nodes.map_batches(node_dims, batch_format="pyarrow"),
         P,
     ).map_batches(
-        lambda t: pa.table({"url": t["val"], "label": t["ival"]}),
+        lambda t: pa.table({"uid": t["k"], "url": t["val"], "label": t["ival"]}),
         batch_format="pyarrow",
     ).materialize()
 
     reps = member.groupby("label").aggregate(Min("url", alias_name="cluster_id"))
 
     def mem_facts(t: pa.Table) -> pa.Table:
-        return pa.table({"k": t["label"], "ival": t["label"], "sval": t["url"]})
+        return pa.table({"k": t["label"], "ival": t["uid"], "sval": t["url"]})
 
     def rep_dims(t: pa.Table) -> pa.Table:
         return pa.table({"k": t["label"], "val": t["cluster_id"]})
@@ -506,7 +551,9 @@ def hash_to_min_components(
         reps.map_batches(rep_dims, batch_format="pyarrow"),
         P,
     ).map_batches(
-        lambda t: pa.table({"url": t["sval"], "cluster_id": t["val"]}),
+        lambda t: pa.table(
+            {"uid": t["ival"], "url": t["sval"], "cluster_id": t["val"]}
+        ),
         batch_format="pyarrow",
     )
 
@@ -577,6 +624,83 @@ def _copartition_lookup(
 
     rows = facts.map_batches(tag(False), batch_format="pyarrow").union(
         dims.map_batches(tag(True), batch_format="pyarrow")
+    )
+    return partition_map(rows, num_partitions, merge)
+
+
+def assign_clusters_distributed_uid(
+    url_uid: "ray.data.Dataset",
+    comp: "ray.data.Dataset",
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Scale-path cluster assignment on int64 uids: shuffle join, no driver
+    map, no string hashing (the corpus side already carries the uid the
+    signature stage stamped; ``comp`` is :func:`hash_to_min_components_uid`
+    output). Unmatched uids are singletons (cluster_id = own url).
+
+    Returns (url, cluster_id, is_representative).
+    """
+    import numpy as np
+
+    from camden_ray.functions.hashing import mix64
+
+    P = np.uint64(num_partitions)
+    LOOKUP_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def tag(is_dim: bool):
+        def f(t: pa.Table) -> pa.Table:
+            k = t["uid"].to_numpy(zero_copy_only=False).view(np.uint64)
+            pkey = (mix64(k ^ LOOKUP_MIX) % P).view(np.int64)
+            return pa.table(
+                {
+                    "k": t["uid"],
+                    "url": t["url"],
+                    "cid": t["cluster_id"] if is_dim else pa.nulls(len(t), type=pa.string()),
+                    "is_dim": pa.array(np.full(len(t), is_dim)),
+                    "pkey": pa.array(pkey, type=pa.int64()),
+                }
+            )
+
+        return f
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_dim = t["is_dim"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy()
+        dk = k[is_dim]
+        order = np.argsort(dk, kind="stable")
+        dk = dk[order]
+        dcid = t["cid"].filter(pa.array(is_dim)).take(pa.array(order))
+        fmask = ~is_dim
+        fk = k[fmask]
+        ft = t.filter(pa.array(fmask))
+        furl = ft["url"]
+        if isinstance(furl, pa.ChunkedArray):
+            furl = furl.combine_chunks()
+        if len(dk) == 0:
+            cid = furl  # no components in this partition: all singletons
+        else:
+            pos = np.searchsorted(dk, fk)
+            ok = pos < len(dk)
+            pos_c = np.minimum(pos, len(dk) - 1)
+            ok &= dk[pos_c] == fk
+            taken = dcid.take(pa.array(np.where(ok, pos_c, 0)))
+            if isinstance(taken, pa.ChunkedArray):
+                taken = taken.combine_chunks()
+            cid = pc.if_else(pa.array(ok), taken, furl)
+        return pa.table(
+            {
+                "url": furl,
+                "cluster_id": cid,
+                "is_representative": pc.equal(cid, furl),
+            }
+        )
+
+    rows = url_uid.map_batches(tag(False), batch_format="pyarrow").union(
+        comp.select_columns(["uid", "url", "cluster_id"]).map_batches(
+            tag(True), batch_format="pyarrow"
+        )
     )
     return partition_map(rows, num_partitions, merge)
 
