@@ -86,3 +86,35 @@ def test_lgrams_shared_span_detected():
 def test_short_docs_do_not_crash():
     out = _sig_table(["", "one", "two words", "a b c d e f"])
     assert len(out) == 4
+
+
+def test_vsig_column_matches_sig_derivation():
+    """The stamped vsig column must equal the sketch derived from the full
+    sig (the sidecar's fallback path for pre-vsig checkpoints)."""
+    cfg = DedupConfig()
+    out = _sig_table(["alpha beta gamma delta " * 10, "omega psi chi " * 8])
+    sigs = unpack_sigs(out["sig"].to_pylist(), cfg.num_perms)
+    want = (sigs[:, : cfg.verify_perms] & np.uint64(0xFF)).astype(np.uint8)
+    got = np.stack(
+        [np.frombuffer(v, dtype=np.uint8) for v in out["vsig"].to_pylist()]
+    )
+    assert np.array_equal(got, want)
+
+
+def test_vsig_sidecar_fallback_without_column(ray_session):
+    """build_vsig_sidecar must produce identical broadcast content whether
+    the signature table carries the vsig column (fast path) or not (resume
+    from a pre-vsig checkpoint)."""
+    import ray
+    import ray.data
+
+    from camden_ray.stages.candidates import build_vsig_sidecar
+
+    cfg = DedupConfig()
+    out = _sig_table(["doc one text " * 6, "doc two text " * 6, "three " * 9])
+    with_col = ray.data.from_arrow(out)
+    without_col = ray.data.from_arrow(out.drop_columns(["vsig"]))
+    u1, q1 = ray.get(build_vsig_sidecar(with_col, cfg))
+    u2, q2 = ray.get(build_vsig_sidecar(without_col, cfg))
+    assert np.array_equal(u1, u2)
+    assert np.array_equal(q1, q2)
