@@ -90,6 +90,15 @@ class DedupConfig:
     # was 2× slower than P=32 on the same 1.2M-doc input at 32 CPUs).
     rows_per_partition: int = 32768
 
+    # Above this many docs, the verification-sketch sidecar is NOT broadcast
+    # (vp bytes × docs would exceed a worker node's object store comfort —
+    # ~6 GB at 100M docs with vp=64); the expander instead ships each
+    # minhash row's sketch through the exchange (vp bytes on each of
+    # num_bands rows/doc — heavier payload, zero broadcast state) and the
+    # grouper verifies from the co-shuffled column. Identical edge output
+    # either way (tests force both modes).
+    vsig_broadcast_max_docs: int = 100_000_000
+
     # --- clustering ---
     # Above this, clustering switches to distributed hash-to-min label
     # propagation. The driver path is vectorized numpy/Arrow (~7M edges in

@@ -368,6 +368,7 @@ def make_unified_star_expander(
     cfg: DedupConfig,
     hot_ref: "ray.ObjectRef | None" = None,
     num_partitions: int | None = None,
+    carry_vsig: bool = False,
 ):
     """sig table → ONE keyed row set for every enabled star branch.
 
@@ -396,11 +397,18 @@ def make_unified_star_expander(
     from the broadcast sidecar (:func:`build_vsig_sidecar`). Shipping the
     per-row sketch was 64 B on each of ~16 band rows per doc (~45 % of the
     exchange payload) for data that exists once per doc.
+
+    ``carry_vsig=True`` is the >``vsig_broadcast_max_docs`` fallback: the
+    sidecar would not fit a node's object store, so each minhash row DOES
+    carry its doc's sketch (a ``vsig`` binary column; empty for
+    exact/substring rows) and the grouper verifies from the co-shuffled
+    column — heavier exchange, zero broadcast state, identical edges.
     """
     from camden_ray.functions.hashing import band_hashes
 
     nb = cfg.num_bands
     npms = cfg.num_perms
+    vp = cfg.verify_perms
     methods = cfg.methods
 
     def expand(t: pa.Table) -> pa.Table:
@@ -408,6 +416,8 @@ def make_unified_star_expander(
         keys_parts: list[np.ndarray] = []
         uid_parts: list[np.ndarray] = []
         branch_parts: list[np.ndarray] = []
+        width_parts: list[np.ndarray] = []  # per-row vsig byte widths
+        vsig_data: bytes = b""
         uid_col = t["uid"].to_numpy(zero_copy_only=False)
 
         if "exact" in methods:
@@ -415,6 +425,7 @@ def make_unified_star_expander(
             keys_parts.append(mix64(dig ^ _BRANCH_SALTS[0]))
             uid_parts.append(uid_col)
             branch_parts.append(np.zeros(n, dtype=np.int8))
+            width_parts.append(np.zeros(n, dtype=np.int32))
 
         if "minhash" in methods and n:
             # reinterpret the Arrow binary buffer directly — no per-row
@@ -428,6 +439,15 @@ def make_unified_star_expander(
             keys_parts.append(keys)
             uid_parts.append(np.repeat(uid_col, nb))
             branch_parts.append(np.ones(n * nb, dtype=np.int8))
+            if carry_vsig:
+                if "vsig" in t.column_names:
+                    qmat = _binary_matrix(t["vsig"], vp)
+                else:  # pre-vsig checkpoint: derive from the full signature
+                    qmat = (sigs[:, :vp] & np.uint64(0xFF)).astype(np.uint8)
+                vsig_data = np.repeat(qmat, nb, axis=0).tobytes()
+                width_parts.append(np.full(n * nb, vp, dtype=np.int32))
+            else:
+                width_parts.append(np.zeros(n * nb, dtype=np.int32))
 
         if "substring" in methods:
             lg = t["lgrams"]
@@ -438,19 +458,29 @@ def make_unified_star_expander(
             keys_parts.append(mix64(flat ^ _BRANCH_SALTS[2]))
             uid_parts.append(uid_col[parent])
             branch_parts.append(np.full(len(flat), 2, dtype=np.int8))
+            width_parts.append(np.zeros(len(flat), dtype=np.int32))
 
         if not keys_parts:
             empty64 = pa.array([], type=pa.int64())
             empty8 = pa.array([], type=pa.int8())
+            cols = {"uid": empty64, "branch": empty8}
+            if carry_vsig:
+                cols["vsig"] = pa.array([], type=pa.binary())
             if hot_ref is not None:
-                return pa.table(
-                    {"gkey": empty64, "uid": empty64, "branch": empty8,
-                     "pkey": empty64}
-                )
-            return pa.table({"key": empty64, "uid": empty64, "branch": empty8})
+                return pa.table({"gkey": empty64, **cols, "pkey": empty64})
+            return pa.table({"key": empty64, **cols})
         all_keys = np.concatenate(keys_parts).view(np.int64)
         all_uids = np.concatenate(uid_parts)
         all_branch = np.concatenate(branch_parts)
+        extra = {}
+        if carry_vsig:
+            widths = np.concatenate(width_parts)
+            offs = np.zeros(len(widths) + 1, dtype=np.int32)
+            np.cumsum(widths, out=offs[1:])
+            extra["vsig"] = pa.Array.from_buffers(
+                pa.binary(), len(widths),
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(vsig_data)],
+            )
 
         if hot_ref is None:
             return pa.table(
@@ -458,6 +488,7 @@ def make_unified_star_expander(
                     "key": pa.array(all_keys, type=pa.int64()),
                     "uid": pa.array(all_uids, type=pa.int64()),
                     "branch": pa.array(all_branch, type=pa.int8()),
+                    **extra,
                 }
             )
         hot = _hot_array(ray.get(hot_ref))
@@ -467,6 +498,7 @@ def make_unified_star_expander(
                 "gkey": pa.array(gkey, type=pa.int64()),
                 "uid": pa.array(all_uids, type=pa.int64()),
                 "branch": pa.array(all_branch, type=pa.int8()),
+                **extra,
                 "pkey": pa.array(pkey, type=pa.int64()),
             }
         )
@@ -563,7 +595,17 @@ def _empty_grouped_table() -> pa.Table:
             "b": pa.array([], type=pa.int64()),
             "est": pa.array([], type=pa.float64()),
             "branch": pa.array([], type=pa.int8()),
+            # hub sketch bytes for salted "rep" rows in co-shuffle (carry_vsig)
+            # mode — empty everywhere else (4 B offset/row, no data bytes)
+            "vsig": pa.array([], type=pa.binary()),
         }
+    )
+
+
+def _empty_binary(n: int) -> pa.Array:
+    offs = np.zeros(n + 1, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(b"")]
     )
 
 
@@ -623,10 +665,18 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None, vsig_ref=N
 
         multi = np.repeat(sizes >= 2, sizes)
         vsel = vmask & multi
+        row_vsig = vsig_ref is None and "vsig" in t.column_names
         if vsel.any():
-            us, qm = ray.get(vsig_ref)  # zero-copy from local object store
             ridx = np.flatnonzero(vsel)
-            qrows = qm[np.searchsorted(us, uids[ridx])]
+            if row_vsig:
+                # co-shuffle mode: sketches ride the rows (all selected rows
+                # are minhash rows, so widths are uniform vp)
+                qrows = _binary_matrix(
+                    t["vsig"].take(pa.array(ridx)), cfg.verify_perms
+                )
+            else:
+                us, qm = ray.get(vsig_ref)  # zero-copy from local object store
+                qrows = qm[np.searchsorted(us, uids[ridx])]
             lookup = np.full(n, -1, dtype=np.int64)
             lookup[ridx] = np.arange(len(ridx))
             vm = np.flatnonzero(is_member & vsel)
@@ -683,6 +733,7 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None, vsig_ref=N
                         "b": pa.array(uids[bi], type=pa.int64()),
                         "est": pa.array(ee, type=pa.float64()),
                         "branch": pa.array(branch[bi], type=pa.int8()),
+                        "vsig": _empty_binary(ne),
                     }
                 )
             )
@@ -696,6 +747,11 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None, vsig_ref=N
             if len(rep_gi):
                 rep_idx = starts[rep_gi]
                 orig_keys = salted_orig[pos_c[rep_gi]]
+                rep_vsig = (
+                    t["vsig"].take(pa.array(rep_idx))
+                    if row_vsig
+                    else _empty_binary(len(rep_idx))
+                )
                 tables.append(
                     pa.table(
                         {
@@ -711,6 +767,7 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None, vsig_ref=N
                             "branch": pa.array(
                                 branch[rep_idx].astype(np.int8), type=pa.int8()
                             ),
+                            "vsig": rep_vsig,
                         }
                     )
                 )
@@ -758,6 +815,15 @@ def unified_star_edges_uid(
     _stats = _os.environ.get("CAMDEN_STAGE_STATS")
     P = default_partitions(cfg)
     _t0 = _time.monotonic()
+    # sketch transport mode: broadcast sidecar (vp bytes/doc in every node's
+    # object store — the fast path) below vsig_broadcast_max_docs, per-row
+    # co-shuffle above it (no broadcast state; the exchange carries vp bytes
+    # on each minhash row instead)
+    try:
+        n_docs = sig_ds.count()
+    except Exception:
+        n_docs = 0
+    carry_vsig = "minhash" in cfg.methods and n_docs > cfg.vsig_broadcast_max_docs
     # hot-bucket detection and the sidecar build are independent passes over
     # the signature table — overlap them (each is cluster-tasks + a driver
     # merge; two driver threads just interleave the waits)
@@ -768,7 +834,7 @@ def unified_star_edges_uid(
             print(f"== star: {name} {_time.monotonic()-t0:.2f}s", file=_sys.stderr)
         return out
 
-    if "minhash" in cfg.methods:
+    if "minhash" in cfg.methods and not carry_vsig:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
@@ -790,7 +856,9 @@ def unified_star_edges_uid(
     grouped = partition_map(
         sig_ds, P,
         make_unified_partition_grouper(cfg, salted_map=smap, vsig_ref=vsig_ref),
-        map_fn=make_unified_star_expander(cfg, hot_ref=hot_ref, num_partitions=P),
+        map_fn=make_unified_star_expander(
+            cfg, hot_ref=hot_ref, num_partitions=P, carry_vsig=carry_vsig
+        ),
     )
     grouped = grouped.materialize()
     if _stats:
@@ -806,6 +874,9 @@ def unified_star_edges_uid(
                 "gkey": t["key"],  # original (pre-salt) bucket key
                 "uid": t["a"],
                 "branch": t["branch"],
+                # co-shuffle mode: the sub-hub's sketch rides its rep row so
+                # the re-link grouper can verify hub pairs without a sidecar
+                "vsig": t["vsig"],
                 "pkey": pa.array([0] * len(t), type=pa.int64()),
             }
         )

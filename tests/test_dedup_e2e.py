@@ -142,3 +142,21 @@ def test_edge_resolution_copartition_matches_broadcast(webtext_path):
     broad = pairs(resolve_edge_urls(uid_edges, sig, cfg))
     copart = pairs(resolve_edge_urls(uid_edges, sig, cfg, endpoint_cap=0))
     assert broad and broad == copart
+
+
+def test_vsig_coshuffle_matches_broadcast(webtext_path, dedup_result):
+    """Force the >vsig_broadcast_max_docs transport (sketches co-shuffled on
+    the candidate rows, no broadcast sidecar): the full pipeline must produce
+    the SAME clusters and stats as the broadcast-sidecar mode."""
+    res = run_dedup(
+        webtext_path,
+        DedupConfig(vsig_broadcast_max_docs=0),
+        extract=True,
+    )
+    a = (
+        dedup_result["clusters"].to_pandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    b = res["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+    assert res["stats"] == dedup_result["stats"]
