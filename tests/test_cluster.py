@@ -46,3 +46,48 @@ def test_hash_to_min_matches_unionfind():
         for r in b.to_dict("records")
     }
     assert got == want
+
+
+def test_unionfind_uid_random_graphs_match_reference():
+    """Randomized: the single-sort uid union-find must match a classic
+    pointer-chasing union-find on arbitrary edge multisets (self-loops,
+    duplicates, chains, stars)."""
+    import numpy as np
+
+    from camden_ray.stages.cluster import unionfind_uid
+
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        n_nodes = int(rng.integers(2, 400))
+        n_edges = int(rng.integers(1, 1200))
+        ids = np.unique(
+            rng.integers(-(2**62), 2**62, size=n_nodes * 2, dtype=np.int64)
+        )[:n_nodes]
+        n_nodes = len(ids)
+        a = ids[rng.integers(0, n_nodes, n_edges)]
+        b = ids[rng.integers(0, n_nodes, n_edges)]
+
+        # reference: dict union-find with min-root ordering
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                if ry < rx:
+                    rx, ry = ry, rx
+                parent[ry] = rx
+        seen = set(a.tolist()) | set(b.tolist())
+        want = {x: find(x) for x in seen}
+
+        ds = ray.data.from_pandas(pd.DataFrame({"a": a, "b": b}))
+        nodes, roots = unionfind_uid(ds)
+        got = dict(zip(nodes.tolist(), roots.tolist()))
+        assert got == want, f"trial {trial}: mismatch"
