@@ -196,6 +196,11 @@ def main() -> int:
     if args.scaling:
         return scaling_main(args)
 
+    # pin the in-process polars pool (driver union-find / sidecar sorts) to
+    # the claimed CPU level BEFORE polars is first imported — otherwise a
+    # --num-cpus 8 run would sort on all host cores and overstate docs/sec
+    os.environ.setdefault("POLARS_MAX_THREADS", str(args.num_cpus))
+
     fixture_dir = bench_fixture_dir(args.fixture_n)
     _init_ray(args.num_cpus)
     head = run_headline(fixture_dir, args.num_cpus)

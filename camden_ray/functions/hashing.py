@@ -228,3 +228,20 @@ def band_hashes(signatures: np.ndarray, num_bands: int) -> np.ndarray:
         for j in range(r):
             acc = acc * POLY_P + bands[:, :, j]
     return mix64(acc.reshape(-1)).reshape(n, num_bands)
+
+
+def parallel_argsort(arr: np.ndarray) -> np.ndarray:
+    """Multi-threaded argsort of a 1-D int array (polars ``arg_sort``, whose
+    thread pool is bounded by POLARS_MAX_THREADS — bench pins that to the
+    measured CPU level so a driver sort can't out-parallelize its claimed
+    cluster size), with a numpy fallback.
+
+    NOT stability-guaranteed across the two paths: callers must be
+    order-insensitive within equal keys (segment-min grouping, unique keys).
+    """
+    try:
+        import polars as pl
+
+        return pl.Series(arr).arg_sort().to_numpy()
+    except Exception:  # pragma: no cover - polars always present in CI
+        return np.argsort(arr, kind="stable")

@@ -465,7 +465,7 @@ def make_unified_star_expander(
             empty8 = pa.array([], type=pa.int8())
             cols = {"uid": empty64, "branch": empty8}
             if carry_vsig:
-                cols["vsig"] = pa.array([], type=pa.binary())
+                cols["vsig"] = pa.array([], type=pa.large_binary())
             if hot_ref is not None:
                 return pa.table({"gkey": empty64, **cols, "pkey": empty64})
             return pa.table({"key": empty64, **cols})
@@ -474,11 +474,15 @@ def make_unified_star_expander(
         all_branch = np.concatenate(branch_parts)
         extra = {}
         if carry_vsig:
+            # large_binary (int64 offsets): a map block of >2.1M docs would
+            # overflow int32 offsets (n*num_bands*verify_perms bytes) and
+            # silently corrupt the column — and the choice must be the same
+            # for every block or the reduce-side concat sees mixed schemas
             widths = np.concatenate(width_parts)
-            offs = np.zeros(len(widths) + 1, dtype=np.int32)
+            offs = np.zeros(len(widths) + 1, dtype=np.int64)
             np.cumsum(widths, out=offs[1:])
             extra["vsig"] = pa.Array.from_buffers(
-                pa.binary(), len(widths),
+                pa.large_binary(), len(widths),
                 [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(vsig_data)],
             )
 
@@ -553,26 +557,27 @@ def build_vsig_sidecar(
         return ray.put((np.empty(0, dtype=np.int64), np.empty((0, vp), dtype=np.uint8)))
     big = pa.concat_tables(tabs).combine_chunks()
     uids = big["uid"].to_numpy()
-    try:
-        import polars as pl
+    from camden_ray.functions.hashing import parallel_argsort
 
-        order = pl.Series(uids).arg_sort().to_numpy()  # multi-threaded sort
-    except Exception:  # pragma: no cover - polars always present in CI
-        order = np.argsort(uids, kind="stable")
+    order = parallel_argsort(uids)  # multi-threaded; uids unique
     qmat = _binary_matrix(big["q"], vp)[order]
     return ray.put((uids[order], np.ascontiguousarray(qmat)))
 
 
 def _binary_matrix(arr: "pa.Array", width: int) -> np.ndarray:
-    """Fixed-width BinaryArray → (n, width) uint8 matrix, zero-copy from
-    the Arrow data buffer (no per-cell Python bytes objects)."""
+    """Fixed-width Binary/LargeBinaryArray → (n, width) uint8 matrix,
+    zero-copy from the Arrow data buffer (no per-cell Python bytes objects)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
         return np.empty((0, width), dtype=np.uint8)
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
     offsets = arr.buffers()[1]
-    starts = np.frombuffer(offsets, dtype=np.int32, count=n + 1, offset=arr.offset * 4)
+    starts = np.frombuffer(
+        offsets, dtype=off_dtype, count=n + 1,
+        offset=arr.offset * np.dtype(off_dtype).itemsize,
+    )
     if starts[-1] - starts[0] != n * width:
         # mixed-width values (e.g. a cross-branch key collision placed an
         # empty vsig among minhash rows): safe per-value path, zero-padded
@@ -747,8 +752,10 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None, vsig_ref=N
             if len(rep_gi):
                 rep_idx = starts[rep_gi]
                 orig_keys = salted_orig[pos_c[rep_gi]]
+                # cast to plain binary to match the grouped schema (rep rows
+                # are hot-bucket hubs only — far under the int32 offset limit)
                 rep_vsig = (
-                    t["vsig"].take(pa.array(rep_idx))
+                    pc.cast(t["vsig"].take(pa.array(rep_idx)), pa.binary())
                     if row_vsig
                     else _empty_binary(len(rep_idx))
                 )
@@ -819,11 +826,12 @@ def unified_star_edges_uid(
     # object store — the fast path) below vsig_broadcast_max_docs, per-row
     # co-shuffle above it (no broadcast state; the exchange carries vp bytes
     # on each minhash row instead)
-    try:
-        n_docs = sig_ds.count()
-    except Exception:
-        n_docs = 0
-    carry_vsig = "minhash" in cfg.methods and n_docs > cfg.vsig_broadcast_max_docs
+    carry_vsig = False
+    if "minhash" in cfg.methods:  # short-circuit: don't execute a lazy
+        try:  # pipeline just to count docs when no sketches are needed
+            carry_vsig = sig_ds.count() > cfg.vsig_broadcast_max_docs
+        except Exception:
+            carry_vsig = False
     # hot-bucket detection and the sidecar build are independent passes over
     # the signature table — overlap them (each is cluster-tasks + a driver
     # merge; two driver threads just interleave the waits)

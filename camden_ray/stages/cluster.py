@@ -155,13 +155,10 @@ def unionfind_uid(edges_uid: "ray.data.Dataset") -> "tuple | None":
     # the session CPU budget so the driver can't out-parallelize its level).
     # Measured at 8M edges: 14 s (old) → ~2 s, and the sort now scales with
     # cores instead of being numpy-single-threaded.
-    both = np.concatenate([a, b])
-    try:
-        import polars as pl
+    from camden_ray.functions.hashing import parallel_argsort
 
-        order = pl.Series(both).arg_sort().to_numpy()
-    except Exception:  # pragma: no cover - polars always present in CI
-        order = np.argsort(both)
+    both = np.concatenate([a, b])
+    order = parallel_argsort(both)
     sb = both[order]
     change = np.r_[True, sb[1:] != sb[:-1]]
     starts = np.flatnonzero(change)
@@ -710,83 +707,27 @@ def assign_clusters_distributed(
     comp: "ray.data.Dataset",
     num_partitions: int = 64,
 ) -> "ray.data.Dataset":
-    """Scale-path cluster assignment: shuffle join instead of a broadcast map.
-
-    ``urls`` (url) LEFT-joined with ``comp`` (url, cluster_id) — the
-    hash-to-min output — by co-hash-partitioning both sides on the same
-    64-bit url key ids the propagation itself runs on (so this adds no new
-    collision mode), one numpy searchsorted pass per partition. Unmatched
-    urls are singletons (cluster_id = own url). NO driver-side assignment
-    map at any point — this is what makes the > ``driver_unionfind_max_edges``
-    regime actually distributed (the broadcast-dict path would have to hold
-    every clustered url in driver memory).
-
-    Returns (url, cluster_id, is_representative) — same schema/contract as
-    :func:`make_assigner`.
+    """String-keyed wrapper around :func:`assign_clusters_distributed_uid`:
+    derives the int64 key with the same vectorized url hash the propagation
+    runs on (no new collision mode). ``urls`` (url) LEFT-joined with ``comp``
+    (url, cluster_id); unmatched urls are singletons. Kept for callers that
+    only have the public string-keyed component output.
     """
     import numpy as np
 
-    from camden_ray.functions.hashing import hash_string_column, mix64
+    from camden_ray.functions.hashing import hash_string_column
 
-    P = np.uint64(num_partitions)
-    LOOKUP_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
-
-    def tag(is_dim: bool):
-        def f(t: pa.Table) -> pa.Table:
-            src = t["url"]
-            k = hash_string_column(src)
-            pkey = (mix64(k ^ LOOKUP_MIX) % P).view(np.int64)
-            return pa.table(
-                {
-                    "k": pa.array(k.view(np.int64), type=pa.int64()),
-                    "url": src,
-                    "cid": t["cluster_id"] if is_dim else pa.nulls(len(t), type=pa.string()),
-                    "is_dim": pa.array(np.full(len(t), is_dim)),
-                    "pkey": pa.array(pkey, type=pa.int64()),
-                }
-            )
-
-        return f
-
-    def merge(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        is_dim = t["is_dim"].to_numpy(zero_copy_only=False)
-        k = t["k"].to_numpy()
-        dk = k[is_dim]
-        order = np.argsort(dk, kind="stable")
-        dk = dk[order]
-        dcid = t["cid"].filter(pa.array(is_dim)).take(pa.array(order))
-        fmask = ~is_dim
-        fk = k[fmask]
-        ft = t.filter(pa.array(fmask))
-        furl = ft["url"]
-        if isinstance(furl, pa.ChunkedArray):
-            furl = furl.combine_chunks()
-        if len(dk) == 0:
-            cid = furl  # no components in this partition: all singletons
-        else:
-            pos = np.searchsorted(dk, fk)
-            ok = pos < len(dk)
-            pos_c = np.minimum(pos, len(dk) - 1)
-            ok &= dk[pos_c] == fk
-            # matched → component cluster id; unmatched → singleton (own url)
-            taken = dcid.take(pa.array(np.where(ok, pos_c, 0)))
-            if isinstance(taken, pa.ChunkedArray):
-                taken = taken.combine_chunks()
-            cid = pc.if_else(pa.array(ok), taken, furl)
-        return pa.table(
-            {
-                "url": furl,
-                "cluster_id": cid,
-                "is_representative": pc.equal(cid, furl),
-            }
+    def add_uid(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "uid",
+            pa.array(hash_string_column(t["url"]).view(np.int64), type=pa.int64()),
         )
 
-    rows = urls.map_batches(tag(False), batch_format="pyarrow").union(
-        comp.map_batches(tag(True), batch_format="pyarrow")
+    return assign_clusters_distributed_uid(
+        urls.map_batches(add_uid, batch_format="pyarrow"),
+        comp.map_batches(add_uid, batch_format="pyarrow"),
+        num_partitions=num_partitions,
     )
-    return partition_map(rows, num_partitions, merge)
 
 
 def make_assigner(assign_ref: "ray.ObjectRef"):
