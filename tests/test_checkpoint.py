@@ -50,3 +50,29 @@ def test_stage_fingerprint_chain(tmp_path):
 
 def test_input_fingerprint_tracks_files(webtext_path):
     assert input_fingerprint(webtext_path) == input_fingerprint(webtext_path)
+
+
+def test_resume_with_distributed_clustering(webtext_path, tmp_path):
+    """Checkpoint-resume composed with the forced scale path
+    (driver_unionfind_max_edges=0): the resumed run re-derives uid edges from
+    the persisted url-keyed edge stage and must cluster identically to a
+    fresh driver-path run."""
+    cols = ["url", "cluster_id", "is_representative"]
+
+    def clusters(r):
+        # checkpointed runs read back a hive-partition `stage` column
+        return r["clusters"].to_pandas()[cols].sort_values("url").reset_index(drop=True)
+
+    out = str(tmp_path / "run_dist")
+    cfg = DedupConfig(driver_unionfind_max_edges=0)
+    r1 = run_dedup(webtext_path, cfg, out_dir=out, extract=True)
+    c1 = clusters(r1)
+
+    # resume: signature + edge stages skipped, clustering recomputed on the
+    # uid view of the PERSISTED edges
+    r2 = run_dedup(webtext_path, cfg, out_dir=out, extract=True)
+    assert c1.equals(clusters(r2))
+
+    # and the scale path agrees with the driver union-find path end-to-end
+    r3 = run_dedup(webtext_path, DedupConfig(), extract=True)
+    assert c1.equals(clusters(r3))
