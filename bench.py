@@ -218,18 +218,47 @@ def main() -> int:
         "recall": head["recall"],
         "edges": head["edges"],
         "clusters_nontrivial": head["clusters_nontrivial"],
-        "stage_timings": head["stage_timings"],
     }
-    # carry the most recent committed `--scaling` measurement (written by
-    # scaling_main; a full two-level 3M-doc run takes ~20 min so it is not
-    # re-run inline here — the JSON records its own fixture/levels/ceiling)
+    if args.headline_only:
+        # internal mode: scaling_main parses this subprocess's full stdout
+        # (no tail limit) and records per-level stage timings from it
+        out["stage_timings"] = head["stage_timings"]
+    # carry a COMPACT summary of the most recent committed `--scaling`
+    # measurement (written by scaling_main; a full two-level multi-million-doc
+    # run takes ~20 min so it is not re-run inline here). Round 2 lesson: the
+    # driver records only a bounded tail of this line — embedding the full
+    # scaling JSON (levels, windows, stage timings) made the line exceed that
+    # tail and BENCH_r02.json came back `parsed: null`. The printed line stays
+    # compact; the full detail (stage timings + complete scaling record) is
+    # written to BENCH_DETAIL.json alongside SCALING.json.
+    scaling_full = None
     scaling_path = os.path.join(REPO, "SCALING.json")
     if os.path.exists(scaling_path):
         try:
             with open(scaling_path) as f:
-                out["scaling"] = json.load(f)
+                scaling_full = json.load(f)
         except Exception:
             pass
+    if scaling_full:
+        lv = scaling_full.get("levels", {})
+        out["scaling"] = {
+            "metric": scaling_full.get("metric"),
+            "value": scaling_full.get("value"),
+            "docs": scaling_full.get("docs"),
+            "recall": scaling_full.get("recall"),
+            "efficiency_vs_ceiling": scaling_full.get("efficiency_vs_ceiling"),
+            "levels_docs_per_sec": {
+                k: v.get("docs_per_sec") for k, v in lv.items()
+            },
+        }
+    if not args.headline_only:  # scaling subprocesses must not clobber it
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(
+                {**out, "stage_timings": head["stage_timings"],
+                 "scaling_full": scaling_full},
+                f, indent=1,
+            )
+            f.write("\n")
     print(json.dumps(out))
 
     import ray
