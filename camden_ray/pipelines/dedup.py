@@ -37,6 +37,30 @@ from camden_ray.stages.signatures import SignatureActor
 from camden_ray.state.checkpoint import Checkpointer, input_fingerprint
 
 
+class LazyResult(dict):
+    """run_dedup's result dict with deferred-construction values.
+
+    Some result views cost a corpus-scale pass just to CONSTRUCT (the url
+    edge view's endpoint resolution scans the signature table) — registering
+    them as thunks keeps that pass off the critical path of callers that
+    never read them. ``res["edges"]`` builds on first access and caches.
+    Note plain ``dict.get``/iteration do NOT trigger construction — public
+    callers use item access.
+    """
+
+    def __init__(self, base: dict, lazy: dict | None = None):
+        super().__init__(base)
+        self._lazy = dict(lazy or {})
+
+    def __getitem__(self, k):
+        if not super().__contains__(k) and k in self._lazy:
+            self[k] = self._lazy.pop(k)()
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        return super().__contains__(k) or k in self._lazy
+
+
 def signature_table(
     ds: "ray.data.Dataset",
     cfg: DedupConfig,
@@ -343,7 +367,11 @@ def run_dedup(
         t0 = time.monotonic()
         uid_edges = _uid_edges(sig_ds)
         timings["edges_total"] = round(time.monotonic() - t0, 3)
-        edges = _edges_url_view(uid_edges)
+        # DEFERRED: resolving uids back to urls costs an endpoint scan of the
+        # edge set plus a full (uid, url) pass over the signature table just
+        # to CONSTRUCT the view — clustering never needs it, so it runs only
+        # when a caller actually reads result["edges"] (LazyResult below).
+        edges = None
         edge_fp = "adhoc"
 
     t0 = time.monotonic()
@@ -442,9 +470,8 @@ def run_dedup(
         "clusters_nontrivial": n_reps_in_comps,
         "duplicates_removed": n_clustered - n_reps_in_comps,
     }
-    return {
+    base = {
         "clusters": clusters,
-        "edges": edges,
         "kept": kept,
         "removed": removed,
         "stats": stats,
@@ -453,3 +480,7 @@ def run_dedup(
         "timings": timings,
         "config": cfg,
     }
+    if edges is not None:  # checkpoint path: the url view is the persisted stage
+        base["edges"] = edges
+        return LazyResult(base)
+    return LazyResult(base, {"edges": lambda: _edges_url_view(uid_edges)})

@@ -555,13 +555,23 @@ def build_vsig_sidecar(
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
         return ray.put((np.empty(0, dtype=np.int64), np.empty((0, vp), dtype=np.uint8)))
-    big = pa.concat_tables(tabs).combine_chunks()
-    uids = big["uid"].to_numpy()
+    # assemble the (n, vp) matrix PER BLOCK, never concatenating the Arrow
+    # binary column across blocks: a driver-side concat+combine_chunks of the
+    # q column overflows binary's int32 offsets at 2 GiB (~33.5M docs at
+    # vp=64) — exactly the regime between there and vsig_broadcast_max_docs
+    # where the broadcast sidecar is still the chosen transport
+    uids = np.concatenate(
+        [t["uid"].to_numpy(zero_copy_only=False) for t in tabs]
+    )
+    qmat = (
+        np.concatenate([_binary_matrix(t["q"], vp) for t in tabs])
+        if len(tabs) > 1
+        else _binary_matrix(tabs[0]["q"], vp)
+    )
     from camden_ray.functions.hashing import parallel_argsort
 
     order = parallel_argsort(uids)  # multi-threaded; uids unique
-    qmat = _binary_matrix(big["q"], vp)[order]
-    return ray.put((uids[order], np.ascontiguousarray(qmat)))
+    return ray.put((uids[order], np.ascontiguousarray(qmat[order])))
 
 
 def _binary_matrix(arr: "pa.Array", width: int) -> np.ndarray:
@@ -681,7 +691,21 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None, vsig_ref=N
                 )
             else:
                 us, qm = ray.get(vsig_ref)  # zero-copy from local object store
-                qrows = qm[np.searchsorted(us, uids[ridx])]
+                pos = np.searchsorted(us, uids[ridx])
+                # hard membership check (mirrors component_min_urls / the
+                # copartition merges): a uid absent from the sidecar would
+                # otherwise raise IndexError past the end or SILENTLY verify
+                # against the wrong doc's sketch. The invariant (sidecar built
+                # from the same signature table) holds today; a caller passing
+                # a signature subset must fail loudly, not corrupt edges.
+                if len(pos) and (
+                    pos.max() >= len(us) or not np.array_equal(us[pos], uids[ridx])
+                ):
+                    raise ValueError(
+                        "vsig sidecar is missing candidate uids — it must be "
+                        "built from the same signature table as the exchange"
+                    )
+                qrows = qm[pos]
             lookup = np.full(n, -1, dtype=np.int64)
             lookup[ridx] = np.arange(len(ridx))
             vm = np.flatnonzero(is_member & vsel)
@@ -1093,6 +1117,12 @@ def resolve_edge_urls(
     uid_chunks: list[np.ndarray] = []
     n_seen = 0
     over = False
+    # endpoint-denominated cap: ``cap`` bounds EDGES for the driver union-find,
+    # and each edge contributes at most 2 distinct endpoints — so up to 2*cap
+    # unique endpoint uids are within the same driver-memory budget. The
+    # running bound sums per-batch UNIQUE counts (an upper bound on the global
+    # unique count), not raw occurrences: the old occurrence count tripped the
+    # scale path at cap/2 edges even when the endpoint set was tiny.
     for b in edges.select_columns(["a", "b"]).iter_batches(
         batch_size=1 << 18, batch_format="pyarrow"
     ):
@@ -1102,9 +1132,10 @@ def resolve_edge_urls(
                 b["b"].to_numpy(zero_copy_only=False),
             ]
         )
-        uid_chunks.append(np.unique(ab))
-        n_seen += len(ab)
-        if n_seen > cap:
+        chunk = np.unique(ab)
+        uid_chunks.append(chunk)
+        n_seen += len(chunk)
+        if n_seen > 2 * cap:
             over = True
             break
     if over:
