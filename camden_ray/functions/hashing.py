@@ -195,6 +195,96 @@ def rolling_lgram_hashes(token_hashes: np.ndarray, L: int) -> np.ndarray:
     return mix64(grams)
 
 
+def seg_positions(starts: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """``concatenate([arange(s, s+l) for s, l in zip(starts, seg_lens)])``
+    without the per-segment Python loop (one arange + a repeat'd shift)."""
+    total = int(seg_lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ends = np.cumsum(seg_lens)
+    r = np.arange(total, dtype=np.int64)
+    shift = np.repeat(starts - np.concatenate(([0], ends[:-1])), seg_lens)
+    return r + shift
+
+
+def batch_winnowed_lgrams(
+    th_flat: np.ndarray, lens: np.ndarray, off: np.ndarray, L: int, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowed L-gram fingerprints for a whole batch of documents in one
+    vectorized pass (value-identical to per-doc ``winnow(rolling_lgram_hashes)``
+    — asserted in tests/test_hashing.py).
+
+    ``th_flat`` is the batch's concatenated token-hash streams, ``lens`` the
+    per-doc token counts, ``off`` the (n+1) cumulative offsets. Returns
+    ``(values, counts)``: per-doc fingerprint arrays concatenated in doc
+    order (each doc's values sorted unique) and the per-doc counts.
+
+    Works because the rolling gram value P^(L-1+i)·(A[i+L]−A[i]) is
+    position-independent — computing it at GLOBAL flat indices yields the
+    exact per-doc values; only window/boundary masking differs. Measured
+    2.5× the per-doc loop at 1000-doc batches (the per-doc version pays ~8
+    small-array numpy calls per document).
+    """
+    n = len(lens)
+    T = len(th_flat)
+    # --- all L-gram hashes over the flat stream (invalid positions masked) ---
+    if T >= L:
+        m = T - L + 1
+        with np.errstate(over="ignore"):
+            pinv = np.empty(T + 1, dtype=U64)
+            pinv[0] = np.uint64(1)
+            np.multiply.accumulate(np.full(T, POLY_P_INV, dtype=U64), out=pinv[1:])
+            prefix = np.zeros(T + 1, dtype=U64)
+            np.cumsum(th_flat * pinv[:T], out=prefix[1:], dtype=U64)
+            p_pows = np.empty(m, dtype=U64)
+            p_pows[0] = np.uint64(pow(int(POLY_P), L - 1, 1 << 64))
+            if m > 1:
+                np.multiply.accumulate(np.full(m - 1, POLY_P, dtype=U64), out=p_pows[1:])
+                p_pows[1:] *= p_pows[0]
+            g_all = mix64(p_pows * (prefix[L : L + m] - prefix[:m]))
+    else:
+        g_all = np.empty(0, dtype=U64)
+    gm = np.maximum(lens - L + 1, 0)  # grams per doc
+    has = gm > 0
+    g = g_all[seg_positions(off[:-1][has], gm[has])]  # per-doc runs, contiguous
+    goff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(gm, out=goff[1:])
+
+    sel_vals: list[np.ndarray] = []
+    sel_seg: list[np.ndarray] = []
+    # --- docs with 1..w grams: the single segment min (winnow small case) ---
+    if has.any():
+        allmins = np.minimum.reduceat(g, goff[:-1][has])
+        small = gm[has] <= w
+        if small.any():
+            sel_vals.append(allmins[small])
+            sel_seg.append(np.where(has)[0][small])
+    # --- docs with > w grams: unique window minima (winnow general case) ---
+    big = gm > w
+    if big.any():
+        wm = np.lib.stride_tricks.sliding_window_view(g, w).min(axis=1)
+        bidx = np.where(big)[0]
+        wpos = seg_positions(goff[:-1][big], gm[big] - w + 1)
+        wseg = np.repeat(bidx, gm[bidx] - w + 1)
+        v = wm[wpos]
+        order = np.lexsort((v, wseg))
+        vs, ss = v[order], wseg[order]
+        keep = np.ones(len(vs), dtype=bool)
+        keep[1:] = (ss[1:] != ss[:-1]) | (vs[1:] != vs[:-1])
+        sel_vals.append(vs[keep])
+        sel_seg.append(ss[keep])
+    if sel_vals:
+        V = np.concatenate(sel_vals)
+        G = np.concatenate(sel_seg)
+        order = np.lexsort((V, G))
+        V, G = V[order], G[order]
+        counts = np.bincount(G, minlength=n)
+    else:
+        V = np.empty(0, dtype=U64)
+        counts = np.zeros(n, dtype=np.int64)
+    return V, counts
+
+
 def winnow(gram_hashes: np.ndarray, w: int) -> np.ndarray:
     """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03).
 

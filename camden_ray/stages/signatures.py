@@ -25,16 +25,23 @@ import pyarrow as pa
 from camden_ray.config import DedupConfig
 from camden_ray.functions.hashing import (
     TokenHasher,
+    batch_winnowed_lgrams,
     digest_column_u64,
     hash_string_column,
     minhash_params,
-    rolling_lgram_hashes,
     shingle_hashes,
-    winnow,
 )
 from camden_ray.functions.text import tokenize
 
 SIG_COLUMNS = ["url", "uid", "digest", "sig", "vsig", "simhash", "lgrams", "th"]
+
+
+def _list_array(counts: np.ndarray, flat_i64: np.ndarray) -> pa.ListArray:
+    """list<int64> column from per-row counts + concatenated values —
+    no per-row Python list objects."""
+    off = np.zeros(len(counts) + 1, dtype=np.int32)
+    np.cumsum(counts, out=off[1:])
+    return pa.ListArray.from_arrays(pa.array(off), pa.array(flat_i64))
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -55,6 +62,10 @@ class SignatureActor:
         self.cfg = cfg or DedupConfig()
         self.hasher = TokenHasher(seed=self.cfg.seed)
         self.perm_a, self.perm_b = minhash_params(self.cfg.num_perms, self.cfg.seed)
+        # token-hash streams are consumed only by substring span verification
+        self._emit_th = (
+            "substring" in self.cfg.methods and self.cfg.verify_substring_spans
+        )
         self._shifts = np.arange(64, dtype=np.uint64)
         self._bit_vals = np.uint64(1) << self._shifts
         # fused extract+signature mode: one actor pool instead of two chained
@@ -62,9 +73,9 @@ class SignatureActor:
         # between stages (same extraction semantics as HtmlExtractorActor)
         self._extractor = None
         if extract:
-            from camden_ray.stages.extract import _TextExtractor
+            from camden_ray.stages.extract import FastTextExtractor
 
-            self._extractor = _TextExtractor()
+            self._extractor = FastTextExtractor()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -96,15 +107,25 @@ class SignatureActor:
 
         digests = digest_column_u64(texts, seed=cfg.seed)
 
+        # tokenize + memoized token hashing stay per-doc (C regex + a dict
+        # that hits ~100% on Zipf vocab — measured faster than any batch
+        # dictionary-encode detour); everything downstream runs on the
+        # batch-flat stream
+        th_lists: list[np.ndarray] = [
+            self.hasher.hash_tokens(tokenize(text) if text else [])
+            for text in texts
+        ]
+        th_lens = np.fromiter((len(t) for t in th_lists), dtype=np.int64, count=n)
+        th_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(th_lens, out=th_off[1:])
+        th_flat = (
+            np.concatenate(th_lists) if n else np.empty(0, dtype=np.uint64)
+        )
+
         shingle_chunks: list[np.ndarray] = []
         offsets = np.zeros(n, dtype=np.int64)
-        lgram_values: list[np.ndarray] = []
-        th_values: list[np.ndarray] = []
         pos = 0
-        for i, text in enumerate(texts):
-            toks = tokenize(text) if text else []
-            th = self.hasher.hash_tokens(toks)
-            th_values.append(th.view(np.int64))
+        for i, th in enumerate(th_lists):
             sh = shingle_hashes(th, cfg.shingle_k)
             if len(sh) == 0:
                 # short doc fallback: unigram "shingles" keep segments non-empty
@@ -114,17 +135,17 @@ class SignatureActor:
             pos += len(sh)
             shingle_chunks.append(sh)
 
-            grams = rolling_lgram_hashes(th, cfg.lgram_tokens)
-            if len(grams):
-                # winnowed selection: any shared span >= lgram_tokens +
-                # lgram_mod - 1 tokens is GUARANTEED a shared fingerprint
-                grams = winnow(grams, cfg.lgram_mod)
-            lgram_values.append(grams.view(np.int64))
-
         S = (
             np.concatenate(shingle_chunks)
             if shingle_chunks
             else np.empty(0, dtype=np.uint64)
+        )
+
+        # winnowed L-gram substring fingerprints: guaranteed shared selection
+        # for any shared span >= lgram_tokens + lgram_mod - 1 tokens; one
+        # batch-vectorized pass (value-identical to the per-doc loop)
+        lg_flat, lg_counts = batch_winnowed_lgrams(
+            th_flat, th_lens, th_off, cfg.lgram_tokens, cfg.lgram_mod
         )
 
         # --- MinHash: perm p → min over each doc's shingle segment ---
@@ -156,7 +177,13 @@ class SignatureActor:
         else:
             simhash = np.empty(0, dtype=np.uint64)
 
-        sig_bytes = [sigs[i].tobytes() for i in range(n)]
+        # binary signature column from ONE buffer (row i = sigs[i].tobytes())
+        sw = cfg.num_perms * 8
+        sig_off = np.arange(n + 1, dtype=np.int32) * sw
+        sig_col = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(sig_off.tobytes()), pa.py_buffer(sigs.tobytes())],
+        )
         # quantized verification sketch (low byte of the first verify_perms
         # components): computed here for free — the sidecar broadcast pass
         # then scans vp bytes/doc instead of the full num_perms*8 sig column
@@ -168,29 +195,31 @@ class SignatureActor:
             pa.binary(), n,
             [None, pa.py_buffer(voffsets.tobytes()), pa.py_buffer(q.tobytes())],
         )
-        return pa.table(
-            {
-                "url": batch.column("url"),
-                # uid: vectorized 64-bit url key hash — the doc's int identity
-                # through every candidate shuffle (string urls are resolved
-                # back only for the emitted edges; shipping them per candidate
-                # row made the star exchange ~25x slower, see candidates.py)
-                "uid": pa.array(
-                    hash_string_column(batch.column("url")).view(np.int64),
-                    type=pa.int64(),
-                ),
-                "digest": pa.array(digests.view(np.int64), type=pa.int64()),
-                "sig": pa.array(sig_bytes, type=pa.binary()),
-                "vsig": vsig,
-                "simhash": pa.array(simhash.view(np.int64), type=pa.int64()),
-                "lgrams": pa.array(list(lgram_values), type=pa.list_(pa.int64())),
-                # full token-hash stream: lets the substring-span refinement
-                # verify candidate pairs on token-hash windows (a false span
-                # needs lgram_tokens simultaneous 64-bit collisions) without
-                # re-reading or re-extracting any document
-                "th": pa.array(list(th_values), type=pa.list_(pa.int64())),
-            }
-        )
+        cols = {
+            "url": batch.column("url"),
+            # uid: vectorized 64-bit url key hash — the doc's int identity
+            # through every candidate shuffle (string urls are resolved
+            # back only for the emitted edges; shipping them per candidate
+            # row made the star exchange ~25x slower, see candidates.py)
+            "uid": pa.array(
+                hash_string_column(batch.column("url")).view(np.int64),
+                type=pa.int64(),
+            ),
+            "digest": pa.array(digests.view(np.int64), type=pa.int64()),
+            "sig": sig_col,
+            "vsig": vsig,
+            "simhash": pa.array(simhash.view(np.int64), type=pa.int64()),
+            "lgrams": _list_array(lg_counts, lg_flat.view(np.int64)),
+        }
+        if self._emit_th:
+            # full token-hash stream: lets the substring-span refinement
+            # verify candidate pairs on token-hash windows (a false span
+            # needs lgram_tokens simultaneous 64-bit collisions) without
+            # re-reading or re-extracting any document. Emitted only when
+            # span verification will actually consume it — it is roughly
+            # text-sized and inflates every signature checkpoint otherwise.
+            cols["th"] = _list_array(th_lens, th_flat.view(np.int64))
+        return pa.table(cols)
 
 
 def unpack_sigs(sig_column: list[bytes], num_perms: int) -> np.ndarray:

@@ -72,3 +72,46 @@ def test_band_hashes_collide_iff_rows_match():
     assert bh[0, 0] == bh[1, 0]
     assert bh[0, 1] != bh[1, 1]
     assert np.array_equal(bh[0, 2:], bh[1, 2:])
+
+
+def test_batch_winnowed_lgrams_matches_per_doc():
+    """Batch-flat vectorized path must be value-identical to the per-doc
+    winnow(rolling_lgram_hashes) composition, including edge cases."""
+    import numpy as np
+
+    from camden_ray.functions.hashing import (
+        TokenHasher,
+        batch_winnowed_lgrams,
+        rolling_lgram_hashes,
+        winnow,
+    )
+
+    L, w = 7, 4
+    rng = np.random.default_rng(3)
+    h = TokenHasher(seed=1)
+    docs = [
+        [],                                  # empty
+        ["a"],                               # < L tokens
+        ["b"] * L,                           # exactly L -> one gram
+        ["c"] * (L + w - 1),                 # w grams (small-winnow boundary)
+        ["d"] * (L + w),                     # w+1 grams (big-winnow boundary)
+        [f"t{i}" for i in rng.integers(0, 50, size=200)],
+        [f"t{i}" for i in rng.integers(0, 9, size=300)],  # repetitive
+        [],                                  # empty in the middle matters
+        [f"u{i}" for i in range(40)],
+    ]
+    th_lists = [h.hash_tokens(d) for d in docs]
+    lens = np.array([len(t) for t in th_lists], dtype=np.int64)
+    off = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    th_flat = np.concatenate(th_lists)
+
+    V, counts = batch_winnowed_lgrams(th_flat, lens, off, L, w)
+    want = []
+    for th in th_lists:
+        g = rolling_lgram_hashes(th, L)
+        if len(g):
+            g = winnow(g, w)
+        want.append(g)
+    assert np.array_equal(counts, np.array([len(x) for x in want]))
+    assert np.array_equal(V, np.concatenate(want))
