@@ -59,6 +59,15 @@ class DedupConfig:
                                   # lgram_tokens + w - 1 are guaranteed detected
     lgram_group_cap: int = 1024   # max members star-linked per shared-gram bucket
     verify_substring_spans: bool = True
+    # Below this many total edges, the substring anti-join + span
+    # verification run INLINE on the driver (numpy passes + one broadcast-
+    # prefiltered token-stream fetch) instead of two partition_map exchanges
+    # — the exchanges carry ~3-4 s of fixed orchestration that dominates
+    # small runs while the data involved is a few MB. Above it (or above
+    # span_inline_max_endpoints distinct endpoint docs), the distributed
+    # path runs — identical output, parity-tested.
+    span_inline_max_edges: int = 2_000_000
+    span_inline_max_endpoints: int = 300_000
     # re-verify every substring candidate edge against the actual token
     # streams (stages/spanverify.py) — a 64-bit L-gram collision cannot
     # produce a false edge; costs one candidate-subset-sized shuffle

@@ -184,8 +184,21 @@ def refine_substring_edges(
     from camden_ray.stages.spanverify import (
         antijoin_pairs,
         pull_needs_csr,
+        refine_substring_edges_inline,
         verify_span_edges,
     )
+
+    # small-edge-set fast path: anti-join + span verify inline on the driver
+    # (the distributed exchanges below carry fixed orchestration that
+    # dominates runs whose whole edge set is a few MB)
+    try:
+        n_total_edges = edges.count()
+    except Exception:
+        n_total_edges = None
+    if n_total_edges is not None and n_total_edges <= cfg.span_inline_max_edges:
+        out = refine_substring_edges_inline(edges, sig_ds, cfg, timings=timings)
+        if out is not None:
+            return out
 
     sub = edges.map_batches(
         lambda t: t.filter(pc.equal(t["method"], "substring")),
@@ -244,6 +257,7 @@ def run_dedup(
     out_dir: str | None = None,
     extract: bool = True,
     input_ds: "ray.data.Dataset | None" = None,
+    sig_ds: "ray.data.Dataset | None" = None,
 ) -> dict[str, Any]:
     """Run the full dedup pipeline.
 
@@ -253,10 +267,20 @@ def run_dedup(
 
     With ``out_dir`` set, every stage checkpoints (resume = rerun with the
     same out_dir; finished stages are skipped via manifest fingerprints).
+
+    ``sig_ds``: a precomputed (materialized) signature table — skips the
+    read + signature stages (no-checkpoint mode only; callers that run
+    several pipeline variants over one corpus share the table instead of
+    re-extracting per variant — see pipelines/queries.py's session cache).
     """
     cfg = cfg or DedupConfig()
+    if sig_ds is not None and out_dir:
+        raise ValueError("sig_ds injection is no-checkpoint mode only")
     columns = ["url", "html"] if extract else ["url", "text"]
-    if input_ds is not None:
+    ds = None
+    if sig_ds is not None:
+        pass
+    elif input_ds is not None:
         ds = input_ds
     else:
         ds = read_webtext(
@@ -280,11 +304,11 @@ def run_dedup(
         from camden_ray.stages.candidates import partitions_for
 
         try:
-            n_in = ds.count()
+            n_in = (sig_ds if sig_ds is not None else ds).count()
         except Exception:
             n_in = 0
         cfg = replace(cfg, shuffle_partitions=partitions_for(cfg, n_in))
-        if input_ds is None:
+        if input_ds is None and sig_ds is None:
             # re-shape the read to >= P blocks up front: the signature table
             # then needs no coalescing repartition (one barrier + full copy
             # saved). Block count also bounds signature TASK granularity: with
@@ -361,9 +385,14 @@ def run_dedup(
     else:
         # no checkpoint dir: materialize the compact signature table once so
         # the four candidate branches don't re-execute extraction per branch
-        t0 = time.monotonic()
-        sig_ds = signature_table(ds, cfg, extract=extract, coalesce=coalesce).materialize()
-        timings["signatures"] = round(time.monotonic() - t0, 3)
+        if sig_ds is None:
+            t0 = time.monotonic()
+            sig_ds = signature_table(
+                ds, cfg, extract=extract, coalesce=coalesce
+            ).materialize()
+            timings["signatures"] = round(time.monotonic() - t0, 3)
+        else:
+            timings["signatures"] = 0.0  # injected precomputed table
         t0 = time.monotonic()
         uid_edges = _uid_edges(sig_ds)
         timings["edges_total"] = round(time.monotonic() - t0, 3)

@@ -434,6 +434,58 @@ def _partition_pairs_and_texts(t: pa.Table):
     return pt, texts
 
 
+def _verify_span_pairs_arrays(
+    a_ids, b_ids, th_of, L: int
+) -> tuple[list, list, list]:
+    """Shared span-verification kernel: keep (a, b) iff the two token-hash
+    streams truly share a contiguous >= L-token window. ``th_of(id)`` returns
+    the doc's uint64 token-hash array. Used identically by the distributed
+    per-partition pass and the driver-inline small-residual path, so the two
+    paths cannot drift semantically."""
+    gram_cache: dict = {}
+
+    def grams(u) -> np.ndarray:
+        g = gram_cache.get(u)
+        if g is None:
+            g = rolling_lgram_hashes(th_of(u), L)
+            gram_cache[u] = g
+        return g
+
+    keep_a: list = []
+    keep_b: list = []
+    est: list[float] = []
+    for a, b in zip(a_ids, b_ids):
+        ga, gb = grams(a), grams(b)
+        if not len(ga) or not len(gb):
+            continue
+        common = np.intersect1d(ga, gb)
+        if not len(common):
+            continue
+        ta, tb = th_of(a), th_of(b)
+        verified = False
+        # confirm up to 4 distinct matching gram hashes on the token-hash
+        # windows themselves (hash equality is only a filter — the windows
+        # are the proof)
+        for hv in common[:4]:
+            pa_pos = np.flatnonzero(ga == hv)
+            pb_pos = np.flatnonzero(gb == hv)
+            for i in pa_pos[:2]:
+                wa = ta[i : i + L]
+                for j in pb_pos[:2]:
+                    if np.array_equal(wa, tb[j : j + L]):
+                        verified = True
+                        break
+                if verified:
+                    break
+            if verified:
+                break
+        if verified:
+            keep_a.append(a)
+            keep_b.append(b)
+            est.append(min(1.0, len(common) / max(1, min(len(ga), len(gb)))))
+    return keep_a, keep_b, est
+
+
 def verify_span_edges(
     pairs: "ray.data.Dataset",
     ths: "ray.data.Dataset",
@@ -465,7 +517,6 @@ def verify_span_edges(
     def verify(t: pa.Table) -> pa.Table:
         pt, tx = _partition_pairs_and_texts(t)
         th_cache: dict = {}
-        gram_cache: dict = {}
 
         def th_arr(u) -> np.ndarray:
             v = th_cache.get(u)
@@ -479,44 +530,9 @@ def verify_span_edges(
                 th_cache[u] = v
             return v
 
-        def grams(u) -> np.ndarray:
-            g = gram_cache.get(u)
-            if g is None:
-                g = rolling_lgram_hashes(th_arr(u), L)
-                gram_cache[u] = g
-            return g
-
-        keep_a: list = []
-        keep_b: list = []
-        est: list[float] = []
-        for a, b in zip(pt["a"].to_pylist(), pt["b"].to_pylist()):
-            ga, gb = grams(a), grams(b)
-            if not len(ga) or not len(gb):
-                continue
-            common = np.intersect1d(ga, gb)
-            if not len(common):
-                continue
-            ta, tb = th_arr(a), th_arr(b)
-            verified = False
-            # confirm up to 4 distinct matching gram hashes on the token-hash
-            # windows themselves
-            for hv in common[:4]:
-                pa_pos = np.flatnonzero(ga == hv)
-                pb_pos = np.flatnonzero(gb == hv)
-                for i in pa_pos[:2]:
-                    wa = ta[i : i + L]
-                    for j in pb_pos[:2]:
-                        if np.array_equal(wa, tb[j : j + L]):
-                            verified = True
-                            break
-                    if verified:
-                        break
-                if verified:
-                    break
-            if verified:
-                keep_a.append(a)
-                keep_b.append(b)
-                est.append(min(1.0, len(common) / max(1, min(len(ga), len(gb)))))
+        keep_a, keep_b, est = _verify_span_pairs_arrays(
+            pt["a"].to_pylist(), pt["b"].to_pylist(), th_arr, L
+        )
         return pa.table(
             {
                 "a": pa.array(keep_a, type=key_type),
@@ -527,6 +543,133 @@ def verify_span_edges(
         )
 
     return partition_map(rows, P, verify, key="ppk")
+
+
+def refine_substring_edges_inline(
+    edges: "ray.data.Dataset",
+    sig_ds: "ray.data.Dataset",
+    cfg: DedupConfig,
+    timings: dict | None = None,
+) -> "ray.data.Dataset | None":
+    """Driver-inline twin of the distributed substring refinement for SMALL
+    edge sets: the anti-join and span verification run as numpy passes on the
+    driver instead of two partition_map exchanges (~3-4 s of fixed exchange
+    orchestration that dominates small runs; at 100 TB the distributed path
+    takes over via ``cfg.span_inline_max_edges``).
+
+    Semantics identical to antijoin_pairs + verify_span_edges (parity-tested
+    in tests/test_spanverify.py): uncorroborated substring pairs, deduped by
+    symmetric pair digest, verified against the real token-hash streams via
+    the SAME kernel (:func:`_verify_span_pairs_arrays`). Token streams are
+    fetched with one broadcast-prefiltered pass over the signature table —
+    endpoint-set-sized, never corpus-sized. Returns None if the endpoint set
+    exceeds ``cfg.span_inline_max_endpoints`` (caller falls back to the
+    distributed path; the edge-count gate normally keeps us far below)."""
+    import time as _time
+
+    t0 = _time.monotonic()
+    # one driver pass over the (materialized, capped-size) edge set
+    a_chunks: list[np.ndarray] = []
+    b_chunks: list[np.ndarray] = []
+    sub_mask_chunks: list[np.ndarray] = []
+    for t in edges.select_columns(["a", "b", "method"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        a_chunks.append(t["a"].to_numpy(zero_copy_only=False))
+        b_chunks.append(t["b"].to_numpy(zero_copy_only=False))
+        sub_mask_chunks.append(
+            pc.equal(t["method"], "substring").to_numpy(zero_copy_only=False)
+        )
+    if not a_chunks:
+        return edges
+    a = np.concatenate(a_chunks)
+    b = np.concatenate(b_chunks)
+    is_sub = np.concatenate(sub_mask_chunks)
+    # symmetric pair digest — the same key the distributed anti-join uses
+    pk = mix64(mix64(a.view(np.uint64)) ^ mix64(b.view(np.uint64)))
+    other_k = np.unique(pk[~is_sub])
+    sa, sb, spk = a[is_sub], b[is_sub], pk[is_sub]
+    pos = np.searchsorted(other_k, spk)
+    pos_c = np.minimum(pos, max(0, len(other_k) - 1))
+    corroborated = (
+        (pos < len(other_k)) & (other_k[pos_c] == spk)
+        if len(other_k)
+        else np.zeros(len(spk), dtype=bool)
+    )
+    residual = ~corroborated
+    # dedupe by pair digest (same rule as the distributed merge)
+    first = np.zeros(len(spk), dtype=bool)
+    first[np.unique(spk, return_index=True)[1]] = True
+    residual &= first
+    ra, rb = sa[residual], sb[residual]
+    if timings is not None:
+        timings["span_antijoin"] = round(_time.monotonic() - t0, 3)
+        timings["span_residual_pairs"] = int(len(ra))
+    if not len(ra):
+        return edges.map_batches(
+            lambda t: t.filter(pc.not_equal(t["method"], "substring")),
+            batch_format="pyarrow",
+        )
+
+    endpoints = np.unique(np.concatenate([ra, rb]))
+    if len(endpoints) > cfg.span_inline_max_endpoints:
+        return None  # too many token streams for driver comfort
+
+    # fetch exactly the needed token-hash streams: broadcast the endpoint
+    # set once, prefilter inside each map task (endpoint-sized output)
+    t0 = _time.monotonic()
+    ep_ref = ray.put(endpoints)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ep = ray.get(ep_ref)
+        u = t["uid"].to_numpy(zero_copy_only=False)
+        p = np.searchsorted(ep, u)
+        p_c = np.minimum(p, len(ep) - 1)
+        return t.filter(pa.array((p < len(ep)) & (ep[p_c] == u)))
+
+    th_map: dict[int, np.ndarray] = {}
+    for t in (
+        sig_ds.select_columns(["uid", "th"])
+        .map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 18, batch_format="pyarrow")
+    ):
+        uids = t["uid"].to_numpy(zero_copy_only=False)
+        ths = t["th"].to_pylist()
+        for u, v in zip(uids, ths):
+            th_map[int(u)] = (
+                np.asarray(v, dtype=np.int64).view(np.uint64)
+                if v is not None and len(v)
+                else np.empty(0, dtype=np.uint64)
+            )
+    if timings is not None:
+        timings["span_endpoint_urls"] = int(len(endpoints))
+        timings["span_th_fetch"] = round(_time.monotonic() - t0, 3)
+
+    t0 = _time.monotonic()
+    _empty = np.empty(0, dtype=np.uint64)
+
+    def th_of(u) -> np.ndarray:
+        return th_map.get(int(u), _empty)
+
+    keep_a, keep_b, est = _verify_span_pairs_arrays(
+        ra, rb, th_of, cfg.lgram_tokens
+    )
+    if timings is not None:
+        timings["span_verify_exec"] = round(_time.monotonic() - t0, 3)
+        timings["span_verified_pairs"] = int(len(keep_a))
+    others = edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t["method"], "substring")),
+        batch_format="pyarrow",
+    )
+    verified = pa.table(
+        {
+            "a": pa.array(keep_a, type=pa.int64()),
+            "b": pa.array(keep_b, type=pa.int64()),
+            "est": pa.array(est, type=pa.float64()),
+            "method": pa.array(["substring"] * len(keep_a), type=pa.string()),
+        }
+    )
+    return others.union(ray.data.from_arrow(verified))
 
 
 def verify_jaccard_pairs(

@@ -125,3 +125,39 @@ def test_antijoin_prefilter_matches_full_exchange(ray_session):
     assert fast == slow
     # sanity: the anti-join did remove something and kept something
     assert 0 < len(fast) < 300
+
+
+def test_inline_refine_matches_distributed(ray_session):
+    """The driver-inline substring refinement (small-edge-set fast path) must
+    produce the identical final edge SET as the distributed anti-join +
+    verify exchanges on the same input."""
+    import os
+
+    from dataclasses import replace
+
+    from camden_ray.fixture import ensure_fixture
+    from camden_ray.pipelines.dedup import (
+        build_edges_uid,
+        refine_substring_edges,
+        signature_table,
+    )
+
+    fx = ensure_fixture(3000)
+    from camden_ray.sources.webtext import read_webtext
+
+    cfg = DedupConfig(extract_concurrency=2)
+    ds = read_webtext(os.path.join(fx, "webtext"), columns=["url", "html"])
+    sig = signature_table(ds, cfg, extract=True).materialize()
+    edges = build_edges_uid(sig, cfg).materialize()
+
+    def edge_set(res):
+        df = res.select_columns(["a", "b", "method"]).to_pandas()
+        return set(map(tuple, df.itertuples(index=False)))
+
+    inline = refine_substring_edges(edges, sig, cfg)  # small -> inline path
+    forced = refine_substring_edges(
+        edges, sig, replace(cfg, span_inline_max_edges=0)
+    )  # forced distributed path
+    s_inline, s_forced = edge_set(inline), edge_set(forced)
+    assert len(s_inline) > 0
+    assert s_inline == s_forced
