@@ -67,6 +67,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="input already has extracted text column",
     )
     p.add_argument("--num-cpus", type=int, default=None, help="ray.init CPU cap")
+    p.add_argument(
+        "--json-report",
+        nargs="?",
+        const="identical_urls.json",
+        default=None,
+        metavar="PATH",
+        help="write duplicate groups as pretty JSON (camden "
+        "identical_files.json analogue, reference src/reporting.rs:42-61); "
+        "default file name identical_urls.json",
+    )
     return p
 
 
@@ -126,7 +136,14 @@ def main(argv: list[str] | None = None) -> int:
     from camden_ray.pipelines.dedup import run_dedup
 
     res = run_dedup(inp, cfg, out_dir=out, extract=not args.no_extract)
-    print(json.dumps({"stats": res["stats"], "config": dataclasses.asdict(cfg)}))
+    stats = dict(res["stats"])
+    if args.json_report:
+        from camden_ray.pipelines.reporting import write_json_report
+
+        stats["json_report_groups"] = write_json_report(
+            res["clusters"], args.json_report
+        )
+    print(json.dumps({"stats": stats, "config": dataclasses.asdict(cfg)}))
     ray.shutdown()
     return 0
 

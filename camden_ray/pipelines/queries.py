@@ -83,6 +83,20 @@ def _cos_fp_f32seq(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 _COS_PREFILTER_SLACK = 50
 
 
+def _emb_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(fixed-size-)list<float> column → (n, d) numpy matrix via one
+    ``list_flatten`` over the Arrow value buffer — no per-row Python lists
+    (``to_pylist`` materializes n·d PyFloats and was the dominant
+    non-matmul cost of every ANN kernel)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return flat.reshape(n, len(flat) // n).astype(dtype, copy=False)
+
+
 def _md5_col(t: pa.Table, col: str, out: str = "digest") -> pa.Table:
     vals = t[col].to_pylist()
     digs = [hashlib.md5((v or "").encode()).hexdigest() for v in vals]
@@ -338,7 +352,7 @@ def knn_brute_force(sf_dir: str):
 
     def score(t: pa.Table) -> pa.Table:
         qv, qraw = ray.get(q_ref)
-        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(t["embedding"])
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
         # f64 matmul ranks candidates; the top slice is re-scored with the
@@ -395,7 +409,7 @@ def knn_lsh(sf_dir: str):
 
     def bucket_and_rank(t: pa.Table) -> pa.Table:
         pl, qv, qraw, qs = ray.get(state)
-        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(t["embedding"])
         p2 = 1 << np.arange(pl.shape[2])
         mask = np.zeros(len(emb), dtype=bool)
         for ti in range(pl.shape[0]):
@@ -461,20 +475,33 @@ def media_byte_features(sf_dir: str):
     return feats.map_batches(scalarize, batch_format="pyarrow")
 
 
+# above this many rows the "exact" query stops broadcasting the full matrix
+# (an O(n·d) driver materialization + O(n²) compare) and delegates to the
+# LSH-bucketed scale path, which holds the exact query's own oracle at every
+# tested scale — so a user calling the exact entry on a corpus gets the
+# bucketed plan instead of a driver OOM
+_EXACT_NEARDUP_MAX_ROWS = 200_000
+
+
 def embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (exact, verification-grade).
 
     The full (small-side) normalized matrix is broadcast once via ``ray.put``;
     each batch does one numpy matmul against it and keeps pairs with
     cos ≥ 0.4 and vec_id_a < vec_id_b (so no pair is emitted twice across
-    batches). This is the distributed O(n²/B) exact path; the LSH-bucketed
-    scale path is ``knn_lsh``'s bucketing applied pairwise.
+    batches). This is the distributed O(n²/B) exact path, capped at
+    ``_EXACT_NEARDUP_MAX_ROWS`` rows (metadata-only check); above it the
+    LSH-bucketed plan runs instead — same pair semantics, no full-matrix
+    broadcast.
     """
     import pyarrow.parquet as pq
 
+    if pq.read_metadata(_t(sf_dir, "embeddings")).num_rows > _EXACT_NEARDUP_MAX_ROWS:
+        return embedding_near_dup_lsh(sf_dir)
+
     tbl = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
-    emb = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    emb = _emb_matrix(tbl["embedding"])
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     state = ray.put((ids, emb / norms, emb.astype(np.float32)))
@@ -483,7 +510,7 @@ def embedding_near_dup(sf_dir: str):
     def pairs(t: pa.Table) -> pa.Table:
         all_ids, En, Eraw = ray.get(state)
         bid = t["vec_id"].to_numpy(zero_copy_only=False)
-        be = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        be = _emb_matrix(t["embedding"])
         bn = np.linalg.norm(be, axis=1, keepdims=True)
         bn[bn == 0] = 1.0
         # f64 matmul prefilter with slack, then DuckDB-identical f32 rescore
@@ -546,7 +573,7 @@ def embedding_near_dup_lsh(sf_dir: str):
         return r.standard_normal((TABLES, d, bits))
 
     def expand(t: pa.Table) -> pa.Table:
-        emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(t["embedding"])
         n, d = emb.shape
         pl = planes_state.setdefault(d, _planes(d))
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
@@ -558,16 +585,25 @@ def embedding_near_dup_lsh(sf_dir: str):
                 keys[ti] = mix64(
                     sig.astype(np.uint64) ^ (np.uint64(ti + 1) * _TBL_SALT)
                 )
-        payload = emb.astype(np.float32).tobytes()
-        per_row = [payload[i * d * 4 : (i + 1) * d * 4] for i in range(n)]
+        # one binary array built straight from the float32 buffer (vectorized
+        # offsets, no per-row Python bytes); repeated per table as chunks of
+        # one ChunkedArray — TABLES references to one buffer, not n·TABLES
+        # bytes objects
+        width = d * 4
+        payload = pa.py_buffer(
+            np.ascontiguousarray(emb.astype(np.float32)).tobytes()
+        )
+        offsets = np.arange(n + 1, dtype=np.int32) * width
+        emb_arr = pa.Array.from_buffers(
+            pa.binary(), n, [None, pa.py_buffer(offsets.tobytes()), payload]
+        )
         flat_keys = keys.reshape(-1)
         pkey = (mix64(flat_keys ^ _PK_MIX) % np.uint64(P)).view(np.int64)
         return pa.table(
             {
                 "key": pa.array(flat_keys.view(np.int64), type=pa.int64()),
                 "vec_id": pa.array(np.tile(ids, TABLES), type=pa.int64()),
-                "emb": pa.array(per_row * TABLES if TABLES > 1 else per_row,
-                                 type=pa.binary()),
+                "emb": pa.chunked_array([emb_arr] * TABLES),
                 "pkey": pa.array(pkey, type=pa.int64()),
             }
         )
@@ -591,9 +627,15 @@ def embedding_near_dup_lsh(sf_dir: str):
         ids = t["vec_id"].to_numpy()
         starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
         sizes = np.diff(np.r_[starts, n])
+        from camden_ray.stages.candidates import _binary_matrix
+
         emb_col = t["emb"]
         if isinstance(emb_col, pa.ChunkedArray):
             emb_col = emb_col.combine_chunks()
+        # decode the whole partition's payload once from the Arrow data
+        # buffer (embeddings are uniform-width binary), slice per bucket
+        width = len(emb_col[0].as_py())
+        raw_all = _binary_matrix(emb_col, width).view(np.float32)
         aa, bb, cc = [], [], []
         for gi in np.flatnonzero(sizes >= 2):
             s0, gn = int(starts[gi]), int(sizes[gi])
@@ -601,10 +643,7 @@ def embedding_near_dup_lsh(sf_dir: str):
                 hi = min(s0 + gn, lo + CAP)
                 if hi - lo < 2:
                     continue
-                raw = np.frombuffer(
-                    b"".join(emb_col.slice(lo, hi - lo).to_pylist()),
-                    dtype=np.float32,
-                ).reshape(hi - lo, -1)
+                raw = raw_all[lo:hi]
                 mat = raw.astype(np.float64)
                 norms = np.linalg.norm(mat, axis=1, keepdims=True)
                 norms[norms == 0] = 1.0

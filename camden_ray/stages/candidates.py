@@ -107,7 +107,13 @@ def _split_by_pkey(P: int, key: str, map_fn, *tabs: "pa.Table"):
     intermediate saved). map_fn runs per input block (not on the concat) so
     its heap watermark matches the un-grouped behavior."""
     if map_fn is not None:
-        tabs = [map_fn(t) for t in tabs]
+        # zero-row upstream blocks can carry an EMPTY schema (repartition of
+        # a tiny input emits schemaless filler blocks) — map_fn must never
+        # see those; they contribute no rows either way
+        tabs = [map_fn(t) for t in tabs if t.num_rows]
+        if not tabs:
+            empty = pa.table({key: pa.array([], type=pa.int64())})
+            return tuple(empty for _ in range(P))
     nonempty = [t for t in tabs if t.num_rows]
     if not nonempty:
         t = max(tabs, key=lambda s: s.num_columns)

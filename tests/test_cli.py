@@ -54,3 +54,14 @@ def test_unknown_method_is_error():
 def test_duplicate_input_is_error():
     with pytest.raises(CliError):
         parse_args(["/d", "--input=/other"])
+
+
+def test_json_report_flag():
+    # bare flag -> reference-style default file name (src/reporting.rs:42-61
+    # hardcodes identical_files.json; ours is configurable)
+    _, _, _, args = parse_args(["/d", "--json-report"])
+    assert args.json_report == "identical_urls.json"
+    _, _, _, args = parse_args(["/d", "--json-report", "/tmp/r.json"])
+    assert args.json_report == "/tmp/r.json"
+    _, _, _, args = parse_args(["/d"])
+    assert args.json_report is None

@@ -48,3 +48,29 @@ def test_knn_lsh_matches_brute_force():
     ann = knn_lsh(SF_DIR).to_pandas()
     assert list(ann.vec_id) == list(bf.vec_id)
     assert list(ann.cos_fp) == list(bf.cos_fp)
+
+
+def test_exact_near_dup_delegates_above_row_cap(monkeypatch):
+    """Above _EXACT_NEARDUP_MAX_ROWS the exact query must route to the LSH
+    plan WITHOUT the driver-side full-table read (the cap check is
+    metadata-only): pq.read_table raising proves the big-n branch never
+    touches it."""
+    import pyarrow.parquet as pq
+
+    from camden_ray.pipelines import queries as q
+
+    monkeypatch.setattr(q, "_EXACT_NEARDUP_MAX_ROWS", 0)
+
+    real_read = pq.read_table
+
+    def forbidden(*a, **k):  # noqa: ANN002, ANN003
+        raise AssertionError("driver-side pq.read_table in the big-n branch")
+
+    monkeypatch.setattr(pq, "read_table", forbidden)
+    try:
+        ds = q.embedding_near_dup(SF_DIR)
+    finally:
+        monkeypatch.setattr(pq, "read_table", real_read)
+    got = ds.to_pandas()
+    exact_pairs = _pairs(q.embedding_near_dup_lsh(SF_DIR).to_pandas())
+    assert _pairs(got) == exact_pairs and len(exact_pairs) > 0
