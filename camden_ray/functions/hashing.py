@@ -51,24 +51,14 @@ def digest_column_u64(values: list[bytes | str | None], seed: int = 0) -> np.nda
     return out
 
 
-def hash_string_column(arr) -> np.ndarray:
-    """Vectorized 64-bit hash of a pyarrow string column — the KEY hash for
-    partitioning / node ids / pair ids (NOT the content digest: exact-dedup
-    digests stay blake2b, see :func:`digest_column_u64`).
-
-    Polynomial hash over UTF-8 bytes via invertible prefix sums (same O(total
-    bytes) trick as :func:`rolling_lgram_hashes`): h(row) = mix64(poly(bytes)
-    ^ len·C). No per-row Python loop or per-row bytes objects — several times
-    the blake2b-path throughput on url-sized strings, O(total bytes) numpy.
-    Deterministic across processes.
-    """
+def _string_array_view(arr) -> tuple[np.ndarray, np.ndarray]:
+    """pyarrow (large_)string array → (data_u8, per-row offsets rebased to 0).
+    Zero-copy views over the Arrow buffers (honors ``arr.offset``)."""
     import pyarrow as pa
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
-    if n == 0:
-        return np.empty(0, dtype=U64)
     if not pa.types.is_large_string(arr.type) and not pa.types.is_string(arr.type):
         arr = arr.cast(pa.string())
     off_width = 8 if pa.types.is_large_string(arr.type) else 4
@@ -76,12 +66,28 @@ def hash_string_column(arr) -> np.ndarray:
     offsets = np.frombuffer(
         arr.buffers()[1], dtype=off_dtype, count=n + 1, offset=arr.offset * off_width
     ).astype(np.int64)
-    data_buf = arr.buffers()[2]
     total = int(offsets[-1] - offsets[0])
+    data = (
+        np.frombuffer(
+            arr.buffers()[2], dtype=np.uint8, count=total, offset=int(offsets[0])
+        )
+        if total
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, offsets - offsets[0]
+
+
+def poly_hash_segments(
+    data: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> np.ndarray:
+    """Polynomial hash of arbitrary byte segments of one uint8 array, via
+    invertible prefix sums: h(seg) = mix64(poly(bytes) ^ len·C). O(len(data)
+    + n_segments) numpy, no per-segment Python."""
+    total = len(data)
+    if len(starts) == 0:
+        return np.empty(0, dtype=U64)
     if total == 0:
-        return mix64(np.zeros(n, dtype=U64))
-    data = np.frombuffer(data_buf, dtype=np.uint8, count=total, offset=int(offsets[0]))
-    starts = offsets - offsets[0]
+        return mix64(np.zeros(len(starts), dtype=U64))
     with np.errstate(over="ignore"):
         pinv_pows = np.empty(total, dtype=U64)
         pinv_pows[0] = np.uint64(1)
@@ -94,11 +100,27 @@ def hash_string_column(arr) -> np.ndarray:
         p_pows = np.empty(total + 1, dtype=U64)
         p_pows[0] = np.uint64(1)
         np.multiply.accumulate(np.full(total, POLY_P, dtype=U64), out=p_pows[1:])
-        ends = starts[1:]
-        lens = (ends - starts[:-1]).astype(U64)
-        h = p_pows[np.maximum(ends - 1, 0)] * (prefix[ends] - prefix[starts[:-1]])
+        lens = (ends - starts).astype(U64)
+        h = p_pows[np.maximum(ends - 1, 0)] * (prefix[ends] - prefix[starts])
         h ^= lens * np.uint64(0x9E3779B97F4A7C15)
     return mix64(h)
+
+
+def hash_string_column(arr) -> np.ndarray:
+    """Vectorized 64-bit hash of a pyarrow string column — the KEY hash for
+    partitioning / node ids / pair ids (NOT the content digest: exact-dedup
+    digests stay blake2b, see :func:`digest_column_u64`).
+
+    Polynomial hash over UTF-8 bytes via invertible prefix sums (same O(total
+    bytes) trick as :func:`rolling_lgram_hashes`): h(row) = mix64(poly(bytes)
+    ^ len·C). No per-row Python loop or per-row bytes objects — several times
+    the blake2b-path throughput on url-sized strings, O(total bytes) numpy.
+    Deterministic across processes.
+    """
+    data, offsets = _string_array_view(arr)
+    if len(offsets) <= 1:
+        return np.empty(0, dtype=U64)
+    return poly_hash_segments(data, offsets[:-1], offsets[1:])
 
 
 def mix64(x: np.ndarray) -> np.ndarray:
@@ -149,6 +171,179 @@ class TokenHasher:
                     cache[t] = v
             out[i] = v
         return out
+
+
+def digest_string_array_u64(arr, seed: int = 0) -> np.ndarray:
+    """Per-row 64-bit blake2b digests of a pyarrow string column, hashing
+    memoryview slices of the Arrow data buffer directly — value-identical to
+    :func:`digest_column_u64` on the decoded strings (the stored UTF-8 IS
+    the encoding) without materializing per-row Python strings + re-encoded
+    bytes. Null ⇒ digest 0 (matches digest_column_u64)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    data, offsets = _string_array_view(arr)
+    n = len(offsets) - 1
+    salt = seed.to_bytes(8, "little")
+    mv = memoryview(data)
+    out = np.zeros(n, dtype=U64)
+    null_mask = None
+    if arr.null_count:
+        null_mask = arr.is_null().to_numpy(zero_copy_only=False)
+    blake2b = hashlib.blake2b
+    for i in range(n):
+        if null_mask is not None and null_mask[i]:
+            continue
+        out[i] = int.from_bytes(
+            blake2b(mv[offsets[i] : offsets[i + 1]], digest_size=8, salt=salt).digest(),
+            "little",
+        )
+    return out
+
+
+# byte-level lookup tables replicating ``tokenize`` (text.lower() + \w+
+# findall) for pure-ASCII text: lowercase map, then word-class membership of
+# the LOWERCASED byte ([a-z0-9_] — Python's \w on ASCII)
+_LOWER_LUT = np.arange(256, dtype=np.uint8)
+_LOWER_LUT[65:91] += 32
+_WORD_LUT = np.zeros(256, dtype=bool)
+_WORD_LUT[np.frombuffer(b"abcdefghijklmnopqrstuvwxyz0123456789_", dtype=np.uint8)] = True
+
+
+class BatchTokenHasher:
+    """Batch-vectorized twin of ``TokenHasher.hash_tokens(tokenize(text))``
+    — value-identical for EVERY input (parity-asserted in
+    tests/test_hashing.py), structured so the per-token Python work
+    disappears for the common case:
+
+    * pure-ASCII docs run a fully-vectorized byte path: lowercase + word
+      mask via 256-entry LUTs, token boundaries from mask transitions
+      (doc-boundary-aware), one :func:`poly_hash_segments` pass for a 64-bit
+      key per token occurrence, ``np.unique`` to collapse occurrences, then
+      ONE memoized blake2b per unique-token-key per actor lifetime. Per
+      occurrence: zero Python objects (the old path built a Python string +
+      dict lookup per token occurrence — 64 % of pipeline wall at 6M docs).
+    * docs containing any non-ASCII byte (or nulls) fall back per-doc to the
+      reference ``TokenHasher`` path, so unicode tokenization semantics are
+      bit-identical to Python's ``\\w``.
+
+    The key cache maps poly-key → blake2b value; a 64-bit key collision
+    between two distinct tokens (p ≈ 4e-7 at the 4M-token cache cap) would
+    alias their hashes — recall-neutral noise, same failure class as any
+    64-bit token hash collision.
+    """
+
+    def __init__(self, seed: int = 42, max_cache: int = 4_000_000):
+        self._seed = seed
+        self._salt = seed.to_bytes(8, "little")
+        self._ref = TokenHasher(seed=seed, max_cache=max_cache)
+        self._key_cache: dict[int, int] = {}
+        self._max_cache = max_cache
+
+    def hash_array(self, arr) -> tuple[np.ndarray, np.ndarray]:
+        """(large_)string array → (th_flat:u64, th_lens:int64) in doc order:
+        each doc's token-hash stream, concatenated."""
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return np.empty(0, dtype=U64), np.empty(0, dtype=np.int64)
+        data, off = _string_array_view(arr)
+        total = len(data)
+
+        # docs eligible for the vectorized path: non-null, pure-ASCII bytes
+        hi = np.zeros(total + 1, dtype=np.int64)
+        if total:
+            np.cumsum(data >= 0x80, out=hi[1:])
+        fast = (hi[off[1:]] - hi[off[:-1]]) == 0
+        if arr.null_count:
+            fast &= ~arr.is_null().to_numpy(zero_copy_only=False)
+
+        if total == 0 or not fast.any():
+            return self._fallback_all(arr, fast)
+
+        low = _LOWER_LUT[data]
+        wmask = _WORD_LUT[low]
+        # token run boundaries, with breaks forced at doc boundaries so a
+        # doc ending mid-word never merges with the next doc's first token
+        prev = np.empty(total, dtype=bool)
+        prev[0] = False
+        prev[1:] = wmask[:-1]
+        nxt = np.empty(total, dtype=bool)
+        nxt[-1] = False
+        nxt[:-1] = wmask[1:]
+        inner = off[1:-1]
+        inner = inner[(inner > 0) & (inner < total)]
+        prev[inner] = False
+        nxt[inner - 1] = False
+        ts = np.flatnonzero(wmask & ~prev)
+        te = np.flatnonzero(wmask & ~nxt) + 1
+        tok_doc = np.searchsorted(off, ts, side="right") - 1
+        keep = fast[tok_doc]
+        ts, te, tok_doc = ts[keep], te[keep], tok_doc[keep]
+
+        keys = poly_hash_segments(low, ts, te)
+        if len(keys):
+            uk, first_idx, inv = np.unique(
+                keys, return_index=True, return_inverse=True
+            )
+            vals = np.empty(len(uk), dtype=U64)
+            cache, salt = self._key_cache, self._salt
+            blake2b = hashlib.blake2b
+            mv = memoryview(low)
+            for i, k in enumerate(uk.tolist()):
+                v = cache.get(k)
+                if v is None:
+                    s = ts[first_idx[i]]
+                    v = int.from_bytes(
+                        blake2b(
+                            mv[s : te[first_idx[i]]], digest_size=8, salt=salt
+                        ).digest(),
+                        "little",
+                    )
+                    if len(cache) < self._max_cache:
+                        cache[k] = v
+                vals[i] = v
+            th_fast = vals[inv]
+        else:
+            th_fast = np.empty(0, dtype=U64)
+        counts = np.bincount(tok_doc, minlength=n).astype(np.int64)
+
+        if fast.all():
+            return th_fast, counts
+        # merge: fast docs take slice views, fallback docs re-run the
+        # reference path (per-DOC python, not per-token)
+        foff = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=foff[1:])
+        from camden_ray.functions.text import tokenize
+
+        chunks: list[np.ndarray] = []
+        lens = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            if fast[i]:
+                c = th_fast[foff[i] : foff[i + 1]]
+            else:
+                v = arr[i].as_py()
+                c = self._ref.hash_tokens(tokenize(v) if v else [])
+            chunks.append(c)
+            lens[i] = len(c)
+        flat = np.concatenate(chunks) if chunks else np.empty(0, dtype=U64)
+        return flat, lens
+
+    def _fallback_all(self, arr, fast) -> tuple[np.ndarray, np.ndarray]:
+        from camden_ray.functions.text import tokenize
+
+        chunks = []
+        lens = np.empty(len(arr), dtype=np.int64)
+        for i, v in enumerate(arr.to_pylist()):
+            c = self._ref.hash_tokens(tokenize(v) if v else [])
+            chunks.append(c)
+            lens[i] = len(c)
+        flat = np.concatenate(chunks) if chunks else np.empty(0, dtype=U64)
+        return flat, lens
 
 
 def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
@@ -207,6 +402,30 @@ def seg_positions(starts: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
     return r + shift
 
 
+def flat_rolling_grams(th_flat: np.ndarray, L: int) -> np.ndarray:
+    """All L-gram rolling hashes over a CONCATENATED token-hash stream —
+    the batch-flat core of :func:`rolling_lgram_hashes` (value-identical at
+    every position; the gram value P^(L-1+i)·(A[i+L]−A[i]) is
+    position-independent, so per-doc values are exactly the flat values at
+    the doc's global offsets — callers mask doc-straddling windows)."""
+    T = len(th_flat)
+    if T < L:
+        return np.empty(0, dtype=U64)
+    m = T - L + 1
+    with np.errstate(over="ignore"):
+        pinv = np.empty(T + 1, dtype=U64)
+        pinv[0] = np.uint64(1)
+        np.multiply.accumulate(np.full(T, POLY_P_INV, dtype=U64), out=pinv[1:])
+        prefix = np.zeros(T + 1, dtype=U64)
+        np.cumsum(th_flat * pinv[:T], out=prefix[1:], dtype=U64)
+        p_pows = np.empty(m, dtype=U64)
+        p_pows[0] = np.uint64(pow(int(POLY_P), L - 1, 1 << 64))
+        if m > 1:
+            np.multiply.accumulate(np.full(m - 1, POLY_P, dtype=U64), out=p_pows[1:])
+            p_pows[1:] *= p_pows[0]
+        return mix64(p_pows * (prefix[L : L + m] - prefix[:m]))
+
+
 def batch_winnowed_lgrams(
     th_flat: np.ndarray, lens: np.ndarray, off: np.ndarray, L: int, w: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -226,24 +445,8 @@ def batch_winnowed_lgrams(
     small-array numpy calls per document).
     """
     n = len(lens)
-    T = len(th_flat)
-    # --- all L-gram hashes over the flat stream (invalid positions masked) ---
-    if T >= L:
-        m = T - L + 1
-        with np.errstate(over="ignore"):
-            pinv = np.empty(T + 1, dtype=U64)
-            pinv[0] = np.uint64(1)
-            np.multiply.accumulate(np.full(T, POLY_P_INV, dtype=U64), out=pinv[1:])
-            prefix = np.zeros(T + 1, dtype=U64)
-            np.cumsum(th_flat * pinv[:T], out=prefix[1:], dtype=U64)
-            p_pows = np.empty(m, dtype=U64)
-            p_pows[0] = np.uint64(pow(int(POLY_P), L - 1, 1 << 64))
-            if m > 1:
-                np.multiply.accumulate(np.full(m - 1, POLY_P, dtype=U64), out=p_pows[1:])
-                p_pows[1:] *= p_pows[0]
-            g_all = mix64(p_pows * (prefix[L : L + m] - prefix[:m]))
-    else:
-        g_all = np.empty(0, dtype=U64)
+    # all L-gram hashes over the flat stream (invalid positions masked below)
+    g_all = flat_rolling_grams(th_flat, L)
     gm = np.maximum(lens - L + 1, 0)  # grams per doc
     has = gm > 0
     g = g_all[seg_positions(off[:-1][has], gm[has])]  # per-doc runs, contiguous

@@ -24,14 +24,14 @@ import pyarrow as pa
 
 from camden_ray.config import DedupConfig
 from camden_ray.functions.hashing import (
-    TokenHasher,
+    BatchTokenHasher,
     batch_winnowed_lgrams,
-    digest_column_u64,
+    digest_string_array_u64,
+    flat_rolling_grams,
     hash_string_column,
     minhash_params,
-    shingle_hashes,
+    seg_positions,
 )
-from camden_ray.functions.text import tokenize
 
 SIG_COLUMNS = ["url", "uid", "digest", "sig", "vsig", "simhash", "lgrams", "th"]
 
@@ -60,7 +60,7 @@ class SignatureActor:
         self, cfg: DedupConfig | None = None, extract: bool = False
     ) -> None:
         self.cfg = cfg or DedupConfig()
-        self.hasher = TokenHasher(seed=self.cfg.seed)
+        self.hasher = BatchTokenHasher(seed=self.cfg.seed)
         self.perm_a, self.perm_b = minhash_params(self.cfg.num_perms, self.cfg.seed)
         # token-hash streams are consumed only by substring span verification
         self._emit_th = (
@@ -101,45 +101,71 @@ class SignatureActor:
                     texts.append(self._extractor.extract(raw))
                 except Exception:
                     texts.append("")
+            try:
+                text_arr = pa.array(texts, type=pa.string())
+            except pa.ArrowInvalid:
+                # lone surrogates can't live in Arrow strings; no valid
+                # extractor output contains them (inputs are decoded with
+                # errors="replace"), but a defensive degrade beats a crash
+                texts = [
+                    t.encode("utf-8", "replace").decode("utf-8") for t in texts
+                ]
+                text_arr = pa.array(texts, type=pa.string())
         else:
-            texts = batch.column("text").to_pylist()
-        n = len(texts)
+            text_arr = batch.column("text")
+            if isinstance(text_arr, pa.ChunkedArray):
+                text_arr = text_arr.combine_chunks()
+        n = len(text_arr)
 
-        digests = digest_column_u64(texts, seed=cfg.seed)
+        # content digest straight off the UTF-8 buffer (blake2b per row —
+        # the streaming-checksum invariant, camden M1)
+        digests = digest_string_array_u64(text_arr, seed=cfg.seed)
 
-        # tokenize + memoized token hashing stay per-doc (C regex + a dict
-        # that hits ~100% on Zipf vocab — measured faster than any batch
-        # dictionary-encode detour); everything downstream runs on the
+        # batch-vectorized tokenize + token hashing (BatchTokenHasher:
+        # ASCII docs never touch per-token Python; values bit-identical to
+        # the per-doc reference path) — everything downstream runs on the
         # batch-flat stream
-        th_lists: list[np.ndarray] = [
-            self.hasher.hash_tokens(tokenize(text) if text else [])
-            for text in texts
-        ]
-        th_lens = np.fromiter((len(t) for t in th_lists), dtype=np.int64, count=n)
+        th_flat, th_lens = self.hasher.hash_array(text_arr)
         th_off = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(th_lens, out=th_off[1:])
-        th_flat = (
-            np.concatenate(th_lists) if n else np.empty(0, dtype=np.uint64)
-        )
 
-        shingle_chunks: list[np.ndarray] = []
+        # --- shingle sets, batch-flat: k-gram rolling hashes over the flat
+        # token stream (value-identical to per-doc shingle_hashes — the gram
+        # value is position-independent), short-doc fallbacks appended, then
+        # ONE (doc, value) lexsort replaces n per-doc np.unique calls ---
+        k = cfg.shingle_k
+        gm = np.maximum(th_lens - k + 1, 0)
+        g_all = flat_rolling_grams(th_flat, k)
+        vals_parts: list[np.ndarray] = []
+        seg_parts: list[np.ndarray] = []
+        has = gm > 0
+        if has.any():
+            vals_parts.append(g_all[seg_positions(th_off[:-1][has], gm[has])])
+            seg_parts.append(np.repeat(np.flatnonzero(has), gm[has]))
+        short = ~has & (th_lens > 0)  # unigram "shingles" keep segments non-empty
+        if short.any():
+            vals_parts.append(
+                th_flat[seg_positions(th_off[:-1][short], th_lens[short])]
+            )
+            seg_parts.append(np.repeat(np.flatnonzero(short), th_lens[short]))
+        empty = th_lens == 0  # tokenless doc: its digest is its one "shingle"
+        if empty.any():
+            vals_parts.append(digests[empty])
+            seg_parts.append(np.flatnonzero(empty))
+        if vals_parts:
+            V = np.concatenate(vals_parts)
+            G = np.concatenate(seg_parts)
+            order = np.lexsort((V, G))
+            V, G = V[order], G[order]
+            dedup = np.ones(len(V), dtype=bool)
+            dedup[1:] = (G[1:] != G[:-1]) | (V[1:] != V[:-1])
+            S = V[dedup]  # set semantics for Jaccard
+            sh_counts = np.bincount(G[dedup], minlength=n)
+        else:
+            S = np.empty(0, dtype=np.uint64)
+            sh_counts = np.zeros(n, dtype=np.int64)
         offsets = np.zeros(n, dtype=np.int64)
-        pos = 0
-        for i, th in enumerate(th_lists):
-            sh = shingle_hashes(th, cfg.shingle_k)
-            if len(sh) == 0:
-                # short doc fallback: unigram "shingles" keep segments non-empty
-                sh = th if len(th) else np.array([digests[i]], dtype=np.uint64)
-            sh = np.unique(sh)  # set semantics for Jaccard
-            offsets[i] = pos
-            pos += len(sh)
-            shingle_chunks.append(sh)
-
-        S = (
-            np.concatenate(shingle_chunks)
-            if shingle_chunks
-            else np.empty(0, dtype=np.uint64)
-        )
+        np.cumsum(sh_counts[:-1], out=offsets[1:])
 
         # winnowed L-gram substring fingerprints: guaranteed shared selection
         # for any shared span >= lgram_tokens + lgram_mod - 1 tokens; one

@@ -115,3 +115,97 @@ def test_batch_winnowed_lgrams_matches_per_doc():
         want.append(g)
     assert np.array_equal(counts, np.array([len(x) for x in want]))
     assert np.array_equal(V, np.concatenate(want))
+
+
+def test_batch_token_hasher_matches_reference():
+    """BatchTokenHasher.hash_array must be value-identical to
+    TokenHasher.hash_tokens(tokenize(text)) per doc — ASCII fast path,
+    non-ASCII fallback, nulls, empties, doc-boundary word adjacency."""
+    import pyarrow as pa
+
+    from camden_ray.functions.hashing import BatchTokenHasher, TokenHasher
+    from camden_ray.functions.text import tokenize
+
+    docs = [
+        "Hello, World_1 and FOO-bar!",
+        "",                      # empty
+        None,                    # null
+        "wordend",               # ends with word char (boundary merge trap)
+        "startsword and more",   # starts with word char right after
+        "punct only !!! ...",
+        "Ünïcode tökens häßlich",         # non-ASCII -> fallback
+        "mixed ascii then café au lait",  # non-ASCII -> fallback
+        "UPPER lower 123_abc",
+        "日本語のテキスト",       # CJK -> fallback
+        "a",                     # single char
+        "trailing space ",
+    ]
+    arr = pa.array(docs, type=pa.string())
+    got_flat, got_lens = BatchTokenHasher(seed=7).hash_array(arr)
+    ref = TokenHasher(seed=7)
+    want = [ref.hash_tokens(tokenize(d) if d else []) for d in docs]
+    want_lens = np.array([len(w) for w in want], dtype=np.int64)
+    assert got_lens.tolist() == want_lens.tolist()
+    want_flat = (
+        np.concatenate(want) if want else np.empty(0, dtype=np.uint64)
+    )
+    assert np.array_equal(got_flat, want_flat)
+
+
+def test_batch_token_hasher_all_ascii_and_sliced_array():
+    """Pure-ASCII batch (the zero-Python path) and an offset/sliced Arrow
+    array must both match the reference."""
+    import pyarrow as pa
+
+    from camden_ray.functions.hashing import BatchTokenHasher, TokenHasher
+    from camden_ray.functions.text import tokenize
+
+    rng = np.random.default_rng(3)
+    docs = [
+        " ".join(f"w{int(x)}" for x in rng.integers(0, 300, size=50))
+        for _ in range(40)
+    ]
+    arr = pa.array(docs, type=pa.string()).slice(7, 25)  # nonzero offset
+    got_flat, got_lens = BatchTokenHasher(seed=42).hash_array(arr)
+    ref = TokenHasher(seed=42)
+    want = [ref.hash_tokens(tokenize(d)) for d in docs[7:32]]
+    assert got_lens.tolist() == [len(w) for w in want]
+    assert np.array_equal(got_flat, np.concatenate(want))
+
+
+def test_digest_string_array_matches_list_path():
+    import pyarrow as pa
+
+    from camden_ray.functions.hashing import (
+        digest_column_u64,
+        digest_string_array_u64,
+    )
+
+    docs = ["hello", "", None, "Ünïcode", "x" * 1000]
+    got = digest_string_array_u64(pa.array(docs, type=pa.string()), seed=9)
+    want = digest_column_u64(docs, seed=9)
+    assert np.array_equal(got, want)
+
+
+def test_flat_rolling_grams_equals_per_doc():
+    from camden_ray.functions.hashing import (
+        flat_rolling_grams,
+        rolling_lgram_hashes,
+        seg_positions,
+    )
+
+    rng = np.random.default_rng(5)
+    lens = [0, 3, 12, 50, 7]
+    docs = [rng.integers(0, 1 << 63, size=l, dtype=np.uint64) for l in lens]
+    flat = np.concatenate([d for d in docs if len(d)])
+    off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    L = 5
+    g_all = flat_rolling_grams(flat, L)
+    gm = np.maximum(np.array(lens) - L + 1, 0)
+    has = gm > 0
+    got = g_all[seg_positions(off[:-1][has], gm[has])]
+    want = np.concatenate(
+        [rolling_lgram_hashes(d, L) for d in docs if len(d) >= L]
+    )
+    assert np.array_equal(got, want)
