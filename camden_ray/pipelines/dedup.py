@@ -76,15 +76,30 @@ def signature_table(
     (byte-identical text per url — asserted in tests/test_extract.py).
     """
     from camden_ray.stages.candidates import default_partitions
+    from camden_ray.stages.signatures import signature_map_fn
 
-    out = ds.map_batches(
-        SignatureActor,
-        fn_constructor_kwargs={"cfg": cfg, "extract": extract},
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        concurrency=cfg.extract_concurrency,
-        num_cpus=1,
-    )
+    sequential = cfg.extract_concurrency in ((1, 1), 1)
+    if cfg.signature_actor_pool or sequential:
+        # dedicated actor pool: explicit isolation / a pinned single actor
+        # for --sequential parity runs
+        out = ds.map_batches(
+            SignatureActor,
+            fn_constructor_kwargs={"cfg": cfg, "extract": extract},
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.extract_concurrency,
+            num_cpus=1,
+        )
+    else:
+        # default: stateless tasks + once-per-worker-process lazy state —
+        # identical output (the state is the same SignatureActor), but no
+        # per-execution actor-pool spawn (see config.signature_actor_pool)
+        out = ds.map_batches(
+            signature_map_fn(cfg, extract),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            num_cpus=1,
+        )
     if not coalesce:
         # caller already shaped the input block count (e.g. run_dedup reads
         # with override_num_blocks=P) — skip the extra barrier + copy

@@ -248,6 +248,36 @@ class SignatureActor:
         return pa.table(cols)
 
 
+# once-per-worker-process state for the task-based signature stage: the same
+# SignatureActor instances an actor pool would hold, keyed by the
+# signature-relevant config fields so two pipelines with different geometry
+# never share permutations/extractor flags. Worker processes are long-lived
+# within a Ray session, so the token-hash memo cache warms across batches,
+# executions AND pipeline runs (an actor pool's cache dies with each
+# execution's pool).
+_WORKER_SIGNERS: dict[tuple, "SignatureActor"] = {}
+
+
+def signature_map_fn(cfg: DedupConfig, extract: bool):
+    """Stateless ``map_batches`` fn wrapping :class:`SignatureActor` with
+    lazy per-worker-process construction — task form of the signature stage
+    (see ``DedupConfig.signature_actor_pool`` for the trade-off)."""
+    key = (
+        cfg.seed, cfg.shingle_k, cfg.num_perms, cfg.verify_perms,
+        cfg.lgram_tokens, cfg.lgram_mod, cfg.methods,
+        cfg.verify_substring_spans, bool(extract),
+    )
+
+    def sign_batch(batch: pa.Table) -> pa.Table:
+        actor = _WORKER_SIGNERS.get(key)
+        if actor is None:
+            actor = SignatureActor(cfg, extract=extract)
+            _WORKER_SIGNERS[key] = actor
+        return actor(batch)
+
+    return sign_batch
+
+
 def unpack_sigs(sig_column: list[bytes], num_perms: int) -> np.ndarray:
     """binary signature column → (n, num_perms) uint64 matrix (zero-copy-ish)."""
     if not sig_column:
