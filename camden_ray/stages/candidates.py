@@ -106,6 +106,15 @@ def _split_by_pkey(P: int, key: str, map_fn, *tabs: "pa.Table"):
     dataset (one full object-store round trip of the engine's largest
     intermediate saved). map_fn runs per input block (not on the concat) so
     its heap watermark matches the un-grouped behavior."""
+    return _ordered_pkey_slices(tabs, key, map_fn, np.arange(P + 1))
+
+
+def _ordered_pkey_slices(tabs, key: str, map_fn, boundaries: np.ndarray):
+    """Splitter core shared by all exchange levels: concat the input blocks,
+    order by ``key`` once (one C-speed sort) and return ``len(boundaries)-1``
+    zero-copy slices; slice ``i`` holds rows with
+    ``boundaries[i] <= key < boundaries[i+1]``."""
+    n_out = len(boundaries) - 1
     if map_fn is not None:
         # zero-row upstream blocks can carry an EMPTY schema (repartition of
         # a tiny input emits schemaless filler blocks) — map_fn must never
@@ -113,17 +122,35 @@ def _split_by_pkey(P: int, key: str, map_fn, *tabs: "pa.Table"):
         tabs = [map_fn(t) for t in tabs if t.num_rows]
         if not tabs:
             empty = pa.table({key: pa.array([], type=pa.int64())})
-            return tuple(empty for _ in range(P))
+            return tuple(empty for _ in range(n_out))
     nonempty = [t for t in tabs if t.num_rows]
     if not nonempty:
         t = max(tabs, key=lambda s: s.num_columns)
-        return tuple(t.slice(0, 0) for _ in range(P))
+        return tuple(t.slice(0, 0) for _ in range(n_out))
     t = pa.concat_tables(nonempty) if len(nonempty) > 1 else nonempty[0]
     order = pc.sort_indices(t[key])
     t = t.take(order).combine_chunks()
     pk = t[key].to_numpy()
-    bounds = np.searchsorted(pk, np.arange(P + 1))
-    return tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P))
+    bounds = np.searchsorted(pk, boundaries)
+    return tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_out))
+
+
+@ray.remote(num_cpus=1)
+def _split_supers(S: int, sub: int, key: str, map_fn, *tabs: "pa.Table"):
+    """Two-level exchange, level 1: split a map task's rows into S SUPER
+    partitions (super s covers pkeys ``[s*sub, (s+1)*sub)``)."""
+    return _ordered_pkey_slices(tabs, key, map_fn, np.arange(S + 1) * sub)
+
+
+@ray.remote(num_cpus=1)
+def _split_locals(base: int, n_local: int, key: str, *slices: "pa.Table"):
+    """Two-level exchange, level 2: concat one super partition's slices and
+    split into its final partitions (pkeys ``[base, base+n_local)``). Rows
+    arrive pre-sorted per slice but the concat is not globally ordered, so
+    the shared core re-sorts (cheap: one super partition's rows only)."""
+    out = _ordered_pkey_slices(slices, key, None, base + np.arange(n_local + 1))
+    # num_returns == n_local: Ray unpacks a tuple only for num_returns > 1
+    return out if n_local > 1 else out[0]
 
 
 @ray.remote(num_cpus=1)
@@ -143,6 +170,12 @@ def _reduce_partition(fn, batch_format: str, *slices):
     return fn(t)
 
 
+#: exchange-object budget above which partition_map goes hierarchical:
+#: 256 map tasks × 256 partitions stays single-level (65,536 objects is
+#: cheap); a 1k×1k exchange (10⁶ objects) switches to ~1k×32+1k ≈ 33k.
+TWO_LEVEL_MIN_OBJECTS = 65_536
+
+
 def partition_map(
     ds: "ray.data.Dataset",
     P: int,
@@ -150,6 +183,7 @@ def partition_map(
     key: str = "pkey",
     batch_format: str = "pyarrow",
     map_fn=None,
+    two_level_min_objects: int = TWO_LEVEL_MIN_OBJECTS,
 ) -> "ray.data.Dataset":
     """Co-locate rows by a precomputed integer partition key in ``[0, P)`` and
     apply ``fn`` once per partition (whole-partition Arrow batches).
@@ -171,12 +205,18 @@ def partition_map(
     plasma objects, so a multi-node cluster moves each slice exactly once
     (the same map→reduce network pattern as any MR shuffle).
 
-    Scale notes: object count is blocks × P — callers keep input block
-    counts at O(P) (the engine reads and repartitions to ~P blocks), so the
-    exchange creates O(P²) small objects, fine for P ≲ 1k per job. One
-    partition = one reduce output block, so P must keep partitions under the
-    object-store block budget — size P ∝ data volume via
-    ``cfg.shuffle_partitions`` when 4×CPUs isn't enough.
+    Scale notes: single-level object count is map_tasks × P ≈ O(P²) (the
+    engine shapes inputs to ~P blocks). Above ``two_level_min_objects`` the
+    exchange switches to TWO levels — map tasks split into S ≈ √P super
+    partitions, one mid task per super partition sub-splits into its final
+    partitions — so object count drops to map_tasks × √P + P ≈ O(P^1.5):
+    P = 300k (a 10¹⁰-doc job) creates ~1.6×10⁸ objects instead of ~10¹¹.
+    Each row still crosses the network twice (map→mid, mid→reduce slices
+    stay node-local when the mid task feeds its own reduces), the standard
+    MR trade for object-count headroom. One partition = one reduce output
+    block, so P must keep partitions under the object-store block budget —
+    size P ∝ data volume via ``cfg.shuffle_partitions`` when 4×CPUs isn't
+    enough.
 
     ``fn`` MUST tolerate an empty batch: a ``key`` value with no rows still
     yields one (empty) reduce block, which groupby-map_groups never produced.
@@ -213,11 +253,36 @@ def partition_map(
         groups = [blocks[i : i + per] for i in range(0, len(blocks), per)]
     else:
         groups = [[b] for b in blocks]
+    fn_ref = ray.put(fn)
+    if len(groups) * P > two_level_min_objects and P >= 4:
+        # hierarchical exchange: O(P^1.5) objects instead of O(P²)
+        import math
+
+        S = max(2, math.isqrt(P - 1) + 1)  # ceil(sqrt(P))
+        sub = -(-P // S)                    # final partitions per super
+        S = -(-P // sub)                    # actual super count
+        sliced = [
+            _split_supers.options(num_returns=S).remote(S, sub, key, map_ref, *grp)
+            for grp in groups
+        ]
+        outs = []
+        for s in range(S):
+            base = s * sub
+            n_local = min(sub, P - base)
+            locs = _split_locals.options(num_returns=n_local).remote(
+                base, n_local, key, *[sl[s] for sl in sliced]
+            )
+            if n_local == 1:
+                locs = [locs]
+            outs.extend(
+                _reduce_partition.remote(fn_ref, batch_format, locs[j])
+                for j in range(n_local)
+            )
+        return ray.data.from_arrow_refs(outs)
     sliced = [
         _split_by_pkey.options(num_returns=P).remote(P, key, map_ref, *grp)
         for grp in groups
     ]
-    fn_ref = ray.put(fn)
     outs = [
         _reduce_partition.remote(fn_ref, batch_format, *[s[i] for s in sliced])
         for i in range(P)

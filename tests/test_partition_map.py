@@ -81,3 +81,55 @@ def test_empty_pkey_values_yield_empty_partitions(ray_session):
     df = pd.DataFrame({"pkey": [0, 0, 1], "v": [1, 2, 3]})
     out = partition_map(ray.data.from_pandas(df), P, _make_ident())
     assert _rows(out) == {(0, 1), (0, 2), (1, 3)}
+
+
+def test_two_level_matches_single_level(ray_session):
+    # force the hierarchical path (threshold 0) and pin parity with the
+    # single-level exchange, including the one-partition last super
+    # (P=7 → S=3, sub=3, locals 3/3/1 exercises num_returns=1 unwrapping)
+    for P in (7, 8, 13):
+        ds, want = _fragmented(3000, 120, P)
+        two = partition_map(ds, P, _make_ident(), two_level_min_objects=0)
+        assert _rows(two) == want
+        # partition granularity is preserved: one pkey per reduce block
+        tabs = ray.get(two.to_arrow_refs())
+        assert len(tabs) == P
+        for t in tabs:
+            assert len(set(t["pkey"].to_pylist())) <= 1
+
+
+def test_two_level_map_fn_and_empties(ray_session):
+    # fused map_fn + empty partitions behave identically on the two-level path
+    P = 6
+    ds, _ = _fragmented(300, 60, P)
+
+    def expand(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pkey": pa.array([0], type=pa.int64()),
+                "v": pa.array([len(t)], type=pa.int64()),
+            }
+        )
+
+    out = partition_map(ds, P, _make_ident(), map_fn=expand, two_level_min_objects=0)
+    sizes = []
+    for b in out.iter_batches(batch_format="pyarrow"):
+        sizes.extend(b["v"].to_pylist())
+    assert len(sizes) == 60 and sum(sizes) == 300
+
+
+def test_two_level_object_count_is_subquadratic():
+    # the planner math (no cluster needed): at P=1024 with ~P map tasks the
+    # hierarchical exchange creates map×S + P objects, far below map×P
+    import math
+
+    P = 1024
+    maps = P
+    S = max(2, math.isqrt(P - 1) + 1)
+    sub = -(-P // S)
+    S = -(-P // sub)
+    two_level = maps * S + P
+    single = maps * P
+    assert maps * P > 65_536  # the default threshold would engage
+    assert two_level < single / 10
+    assert two_level <= int(maps * math.sqrt(P)) + P + S
