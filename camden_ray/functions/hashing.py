@@ -538,3 +538,94 @@ def parallel_argsort(arr: np.ndarray) -> np.ndarray:
         return pl.Series(arr).arg_sort().to_numpy()
     except Exception:  # pragma: no cover - polars always present in CI
         return np.argsort(arr, kind="stable")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB-parity md5 hashing — for queries whose SQL oracle must replicate
+# every hash value exactly (DuckDB has md5 but no blake2/xxhash). Mirrors the
+# exact_dup digest's "blake2b internally, md5 for oracle parity" convention.
+# ---------------------------------------------------------------------------
+
+#: fold multiplier for the md5-token polynomial fingerprint. SMALL on purpose:
+#: the DuckDB oracle folds in HUGEINT (signed 128-bit) — acc < 2^64 times a
+#: 20-bit multiplier stays < 2^84, while the engine's 64-bit POLY_P would
+#: overflow the oracle's intermediate product.
+MD5_POLY_P = U64(1000003)
+
+
+def md5_lower64(values: "list[str] | np.ndarray", cache: dict | None = None) -> np.ndarray:
+    """Per-string 64-bit md5 hashes with DuckDB parity:
+    ``md5_number_lower(s)`` == bytes [8:16] of the md5 digest, little-endian.
+
+    Hashes each UNIQUE string once (md5 is the irreducible per-string cost);
+    an optional caller-held ``cache`` persists hashes across batches.
+    """
+    uniq, inv = np.unique(np.asarray(values, dtype=object), return_inverse=True)
+    uh = np.empty(len(uniq), dtype=U64)
+    _md5 = hashlib.md5
+    if cache is None:
+        for i, s in enumerate(uniq):
+            uh[i] = int.from_bytes(_md5(s.encode("utf-8")).digest()[8:], "little")
+    else:
+        for i, s in enumerate(uniq):
+            v = cache.get(s)
+            if v is None:
+                v = int.from_bytes(_md5(s.encode("utf-8")).digest()[8:], "little")
+                cache[s] = v
+            uh[i] = v
+    return uh[inv]
+
+
+def md5_poly_fingerprints(texts: list[str | None]) -> np.ndarray:
+    """Per-text order-sensitive fingerprint: fold
+    ``acc = acc * MD5_POLY_P + md5_lower64(token)`` (mod 2^64) over the
+    whitespace tokens, empty text → 0. Batch-vectorized: one md5 pass over
+    unique tokens, then one segment-sum (fp = Σ th[i]·P^(n-1-i) expressed as
+    cumsum diffs — uint64 wraparound IS the mod)."""
+    toks_per_doc = [(t or "").split() for t in texts]
+    lens = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+    total = int(lens.sum())
+    out = np.zeros(len(texts), dtype=U64)
+    if total == 0:
+        return out
+    flat: list[str] = []
+    for toks in toks_per_doc:
+        flat.extend(toks)
+    th = md5_lower64(flat)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # exponent of each token = (its doc's end - 1 - global index)
+    k = np.repeat(ends - 1, lens) - np.arange(total, dtype=np.int64)
+    pows = np.empty(int(lens.max()), dtype=U64)
+    pows[0] = U64(1)
+    with np.errstate(over="ignore"):
+        if len(pows) > 1:
+            np.multiply.accumulate(
+                np.full(len(pows) - 1, MD5_POLY_P, dtype=U64), out=pows[1:]
+            )
+        vals = th * pows[k]
+        csum = np.zeros(total + 1, dtype=U64)
+        np.cumsum(vals, out=csum[1:], dtype=U64)
+        nz = lens > 0
+        out[nz] = csum[ends[nz]] - csum[starts[nz]]
+    return out
+
+
+def md5_shingle_simhash(texts: list[str | None], k: int) -> np.ndarray:
+    """Per-text 64-bit SimHash over the DISTINCT word-``k``-gram set, shingle
+    hash = md5_lower64 of the space-joined shingle (DuckDB-replicable). Bit b
+    set iff a strict majority of the shingle set has bit b; < k tokens → 0
+    (empty set, no bits)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=U64)
+    bit_vals = U64(1) << np.arange(64, dtype=U64)
+    cache: dict = {}
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if len(toks) < k:
+            continue
+        sh = list({" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)})
+        hs = md5_lower64(sh, cache)
+        ones = ((hs[:, None] >> np.arange(64, dtype=U64)) & U64(1)).sum(axis=0)
+        out[i] = bit_vals[2 * ones > len(hs)].sum()
+    return out

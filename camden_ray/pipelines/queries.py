@@ -23,8 +23,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from camden_ray.config import DedupConfig
-from camden_ray.functions.text import detect_lang, quality_features, fingerprint
-from camden_ray.functions.hashing import TokenHasher
+from camden_ray.functions.text import detect_lang, quality_features
 
 
 def _t(sf_dir: str, name: str) -> str:
@@ -229,22 +228,25 @@ def doc_lang_id(sf_dir: str):
 
 
 def doc_fingerprints(sf_dir: str):
-    """Order-sensitive rolling-hash fingerprints (rows-only: deterministic)."""
+    """Order-sensitive polynomial rolling-hash fingerprints, hash-exact vs
+    the DuckDB oracle: token hash = ``md5_number_lower`` (the engine's
+    blake2b :func:`camden_ray.functions.text.fingerprint` stays for internal
+    use; this query uses the md5-parity twin, mirroring the exact-dup
+    digest's "blake2b internally, md5 for the oracle" convention), fold
+    ``acc = acc*1000003 + th`` mod 2^64 — replicated in SQL by a HUGEINT
+    ``list_reduce``. Batch-vectorized: one md5 pass over unique tokens, one
+    segment cumsum."""
+    from camden_ray.functions.hashing import md5_poly_fingerprints
 
-    class FP:
-        def __init__(self):
-            self.h = TokenHasher(seed=42)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            fps = [fingerprint(x or "", self.h) for x in t["text"].to_pylist()]
-            return pa.table(
-                {"doc_id": t["doc_id"],
-                 "fp": pa.array(np.array(fps, dtype=np.uint64).view(np.int64),
-                                 type=pa.int64())}
-            )
+    def f(t: pa.Table) -> pa.Table:
+        fps = md5_poly_fingerprints(t["text"].to_pylist())
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "fp": pa.array(fps.view(np.int64), type=pa.int64())}
+        )
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        FP, batch_format="pyarrow", concurrency=2
+        f, batch_format="pyarrow"
     )
 
 
@@ -749,11 +751,53 @@ def doc_minhash_pairs(sf_dir: str):
 
 
 def doc_simhash_pairs(sf_dir: str):
-    """SimHash Hamming-ball candidate pairs over documents (rows-only)."""
+    """SimHash Hamming-ball pairs (radius ≤ 3), hash-exact vs the DuckDB
+    oracle. SimHash = strict-majority bit vote over the DISTINCT word-5-gram
+    shingle set with md5 shingle hashes (the oracle-parity twin of the
+    pipeline's blake2b simhash — same vote semantics, SQL-replicable
+    hashes); candidate generation runs through the SAME two-level pigeonhole
+    exchange as the dedup pipeline (Manku WWW'07 — provably complete for
+    ham ≤ radius), so the oracle's all-pairs Hamming join is a true bound.
+    Pairs surfacing in several pigeonhole tables are deduped; ``hamming``
+    (int) is emitted instead of a float estimate so the value-hash is
+    byte-stable."""
+    from camden_ray.functions.hashing import hash_string_column, md5_shingle_simhash
     from camden_ray.stages.candidates import simhash_edges
 
     cfg = DedupConfig()
-    return simhash_edges(_doc_sig(sf_dir, cfg), cfg)
+    k = cfg.shingle_k
+    bits = float(cfg.simhash_bits)
+
+    def sig(t: pa.Table) -> pa.Table:
+        urls = pc.binary_join_element_wise(
+            pa.array(["doc://"] * len(t)), pc.cast(t["doc_id"], pa.string()), ""
+        )
+        sh = md5_shingle_simhash(t["text"].to_pylist(), k)
+        return pa.table(
+            {
+                "url": urls,
+                "uid": pa.array(hash_string_column(urls).view(np.int64), type=pa.int64()),
+                "simhash": pa.array(sh.view(np.int64), type=pa.int64()),
+            }
+        )
+
+    sig_ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        sig, batch_format="pyarrow"
+    )
+    edges = simhash_edges(sig_ds, cfg)
+
+    def to_hamming(t: pa.Table) -> pa.Table:
+        ham = np.rint((1.0 - t["est"].to_numpy(zero_copy_only=False)) * bits)
+        return pa.table(
+            {"a": t["a"], "b": t["b"],
+             "hamming": pa.array(ham.astype(np.int64), type=pa.int64())}
+        )
+
+    return (
+        edges.map_batches(to_hamming, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
 
 
 def doc_ngram_jaccard_pairs(sf_dir: str):
@@ -1027,4 +1071,68 @@ ORACLE_SQL["doc_ngram_jaccard_pairs"] = """
            CAST(round(inter / greatest(uni, 1) * 100000) AS BIGINT) AS jaccard_fp
     FROM j
     WHERE inter / greatest(uni, 1) >= 0.5
+"""
+
+# md5-token polynomial fingerprint: token hash = md5_number_lower (parity
+# pinned in functions/hashing.md5_lower64), fold acc = acc*1000003 + th mod
+# 2^64 via a HUGEINT list_reduce (the prepended 0 makes the fold start at
+# acc=0 and yields fp=0 for token-less docs, matching the engine kernel).
+ORACLE_SQL["doc_fingerprints"] = """
+    WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN trim(COALESCE(text, '')) = '' THEN []
+                    ELSE string_split_regex(trim(COALESCE(text, '')), '\\s+')
+               END AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN fpu >= CAST('9223372036854775808' AS HUGEINT)
+                     THEN fpu - CAST('18446744073709551616' AS HUGEINT)
+                     ELSE fpu END AS BIGINT) AS fp
+    FROM (
+        SELECT doc_id, list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+                list_transform(toks, s -> CAST(md5_number_lower(s) AS HUGEINT))),
+            (acc, x) -> (acc * 1000003 + x)
+                        % CAST('18446744073709551616' AS HUGEINT)) AS fpu
+        FROM tk
+    )
+"""
+
+# All-pairs Hamming join over SQL-computed simhashes (strict-majority bit
+# vote across the distinct word-5-gram md5 shingle set; < 5 tokens → 0).
+# The Ray pipeline's 16-table pigeonhole exchange is provably complete for
+# hamming <= 3, so this complete oracle must match it exactly.
+ORACLE_SQL["doc_simhash_pairs"] = """
+    WITH d AS (
+        SELECT 'doc://' || doc_id AS url,
+               string_split(COALESCE(text, ''), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT url,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 4, 0) + 1),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        FROM d
+    ), u AS (
+        SELECT url, md5_number_lower(unnest(sh)) AS h FROM s
+    ), v AS (
+        SELECT url, r.range AS b,
+               SUM(CASE WHEN (h >> CAST(r.range AS UBIGINT)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS vote
+        FROM u, range(64) r GROUP BY url, r.range
+    ), sim0 AS (
+        SELECT url,
+               CAST(SUM(CASE WHEN vote > 0
+                        THEN (CAST(1 AS HUGEINT) << CAST(b AS INTEGER))
+                        ELSE 0 END) AS UBIGINT) AS sh
+        FROM v GROUP BY url
+    ), sim AS (
+        SELECT d.url, COALESCE(sim0.sh, CAST(0 AS UBIGINT)) AS sh
+        FROM d LEFT JOIN sim0 USING (url)
+    )
+    SELECT s1.url AS a, s2.url AS b,
+           CAST(bit_count(xor(s1.sh, s2.sh)) AS BIGINT) AS hamming
+    FROM sim s1 JOIN sim s2 ON s1.url < s2.url
+    WHERE bit_count(xor(s1.sh, s2.sh)) <= 3
 """

@@ -74,3 +74,34 @@ def test_exact_near_dup_delegates_above_row_cap(monkeypatch):
     got = ds.to_pandas()
     exact_pairs = _pairs(q.embedding_near_dup_lsh(SF_DIR).to_pandas())
     assert _pairs(got) == exact_pairs and len(exact_pairs) > 0
+
+
+def test_minhash_pairs_bound_by_exact_jaccard(ray_session):
+    """doc_minhash_pairs has no SQL oracle (MinHash estimates aren't
+    SQL-expressible); bound it by the pair-COMPLETE exact-Jaccard set
+    instead (doc_ngram_jaccard_pairs passes the full DuckDB oracle): at the
+    same τ=0.5 the estimated pair set must cover ≥ 0.99 of the true pairs,
+    and most of what it emits must be real (est≥τ on 128 perms is noisy ±,
+    so precision is bounded loosely)."""
+    from camden_ray.pipelines.queries import doc_minhash_pairs, doc_ngram_jaccard_pairs
+
+    est = doc_minhash_pairs(SF_DIR).to_pandas()
+    exact = doc_ngram_jaccard_pairs(SF_DIR).to_pandas()
+    est_pairs = set(zip(est["a"], est["b"]))
+    true_pairs = set(zip(exact["a"], exact["b"]))
+    assert true_pairs, "exact pair set must be non-empty for a meaningful bound"
+    recall = len(est_pairs & true_pairs) / len(true_pairs)
+    precision = len(est_pairs & true_pairs) / max(1, len(est_pairs))
+    assert recall >= 0.99, f"minhash recall {recall:.4f} vs exact τ=0.5 pairs"
+    assert precision >= 0.5, f"minhash precision {precision:.4f}"
+
+
+def test_fingerprints_self_consistent(ray_session):
+    """Two independent executions of doc_fingerprints hash-equal (the SQL
+    oracle pins values; this pins engine determinism across runs)."""
+    from camden_ray.pipelines.queries import doc_fingerprints
+
+    a = doc_fingerprints(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = doc_fingerprints(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["fp"] != 0).any()
