@@ -166,13 +166,23 @@ def source_counts(sf_dir: str):
 
 
 def doc_token_counts(sf_dir: str):
-    """Whitespace token counts, vectorized per batch."""
+    """Whitespace token counts, vectorized per batch.
+
+    ``count_substring_regex(text, '\\S+')`` counts non-whitespace runs — the
+    exact cardinality of a whitespace split — in one RE2 kernel pass (the SAME
+    regex engine DuckDB uses for the oracle's ``string_split_regex``, so the
+    whitespace class matches bit-for-bit; Python's unicode ``str.split`` did
+    not guarantee that)."""
 
     def f(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        n = [len((x or "").split()) for x in texts]
+        import pyarrow.compute as pc
+
+        n = pc.count_substring_regex(t["text"], pattern=r"\S+")
         return pa.table(
-            {"doc_id": t["doc_id"], "n_ws_tokens": pa.array(n, type=pa.int64())}
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.fill_null(n, 0).cast(pa.int64()),
+            }
         )
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(

@@ -12,8 +12,8 @@ survives 100 TB:
 * shuffle join     — both sides large: native ``Dataset.join`` hash shuffle:
                      :func:`lineitem_part_revenue`.
 * sessionization   — per-key ordered window with gap break: hash-partition by
-                     user into coarse partitions, ONE vectorized pandas pass
-                     per partition (same physical plan as
+                     user into coarse partitions, ONE Arrow-native vectorized
+                     pass per partition (same physical plan as
                      stages/candidates.py): :func:`events_sessions`.
 * count-distinct   — groupby-key then count groups (distributed; never a
                      driver-side set): :func:`events_distinct_users`.
@@ -131,9 +131,11 @@ def events_sessions(sf_dir: str):
     """Sessionization: per-user event runs split at > 30-minute gaps.
 
     The streaming-window analogue in batch form: hash-partition by user_id
-    into coarse partitions, then one vectorized pandas pass per partition
-    (sort by (user_id, ts, event_id), gap/user-change breaks via diff,
-    session ids via cumsum, groupby-agg min/count).
+    into coarse partitions, then one Arrow-native vectorized pass per
+    partition (C-speed sort by (user_id, ts, event_id), gap/user-change
+    breaks via diff; sessions are contiguous runs after the sort, so
+    session_start/n_events fall out of the break positions directly — no
+    groupby, no pandas detour).
     """
     from camden_ray.config import DedupConfig
     from camden_ray.stages.candidates import default_partitions, partition_map
@@ -147,31 +149,38 @@ def events_sessions(sf_dir: str):
             "pkey", pa.array((uid % P).astype(np.int64), type=pa.int64())
         )
 
-    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            # dtypes from the (empty) input so all blocks agree on schema
-            return pd.DataFrame(
-                {"user_id": df["user_id"], "session_start": df["ts"],
-                 "n_events": pd.Series(dtype="int64")}
+    def sessionize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            # types from the (empty) input so all blocks agree on schema
+            return pa.table(
+                {"user_id": t["user_id"], "session_start": t["ts"],
+                 "n_events": pa.array([], type=pa.int64())}
             )
-        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        uid = df["user_id"].to_numpy()
-        ts = df["ts"].to_numpy()
+        order = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending"),
+                          ("event_id", "ascending")]
+        )
+        t = t.take(order).combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
         new_user = np.r_[True, uid[1:] != uid[:-1]]
         big_gap = np.r_[False, (ts[1:] - ts[:-1]) > gap]
-        sid = np.cumsum(new_user | big_gap)
-        out = pd.DataFrame({"user_id": uid, "ts": ts, "sid": sid})
-        g = out.groupby(["user_id", "sid"], as_index=False).agg(
-            session_start=("ts", "min"), n_events=("ts", "size")
+        starts = np.flatnonzero(new_user | big_gap)
+        n_events = np.diff(np.r_[starts, len(uid)])
+        first = t.take(pa.array(starts, type=pa.int64()))
+        return pa.table(
+            {"user_id": first["user_id"], "session_start": first["ts"],
+             "n_events": pa.array(n_events, type=pa.int64())}
         )
-        return g[["user_id", "session_start", "n_events"]]
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     return partition_map(
         ds.map_batches(add_pkey, batch_format="pyarrow"),
         P,
         sessionize,
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
 
 

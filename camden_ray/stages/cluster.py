@@ -70,8 +70,9 @@ def unionfind_table(edges: "ray.data.Dataset") -> "pa.Table | None":
     Vectorized connected components (no per-edge Python loop): node ids from
     Arrow hash-unique + sort — whose lexicographic order makes min-id ≡
     min-url, so the representative contract is preserved — then numpy
-    min-label propagation with pointer jumping (``np.minimum.at`` per round,
-    O(log n) rounds). Input, labels and output all stay in Arrow/numpy; no
+    min-label propagation with pointer jumping (``np.minimum.reduceat`` over
+    the endpoint-sorted segment layout per round, O(log n) rounds). Input,
+    labels and output all stay in Arrow/numpy; no
     Python string objects are ever materialized (a 1M-node python dict costs
     seconds to build and tens of seconds to pickle-broadcast — the Arrow
     table is zero-copy both ways).
@@ -99,22 +100,32 @@ def unionfind_table(edges: "ray.data.Dataset") -> "pa.Table | None":
     inv = rank_of[idx]
     nodes = uniq.take(pc.sort_indices(uniq))  # lexicographically ordered
     n_edges = len(both) // 2
-    ei, ej = inv[:n_edges], inv[n_edges:]
+    # same propagation scheme as unionfind_uid: one sort of the 2E endpoint
+    # ids yields the per-node segment layout, and partner(position p) is
+    # (p + E) mod 2E in the concatenated [a, b] layout — each round is then
+    # one edge-sized gather + one ``np.minimum.reduceat`` segment-min plus a
+    # full pointer-jump fixpoint (the old ``np.minimum.at`` scatter was ~10x
+    # slower per round). ``inv`` is already dense over [0, n_nodes), so
+    # segment k IS node k.
+    from camden_ray.functions.hashing import parallel_argsort
+
+    order = parallel_argsort(inv)
+    si = inv[order]
+    starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+    partner = np.where(order < n_edges, order + n_edges, order - n_edges)
+    dst_perm = inv[partner]
     lab = np.arange(len(nodes))
     while True:
         old = lab
-        lab = lab.copy()
-        np.minimum.at(lab, ei, lab[ej])
-        np.minimum.at(lab, ej, lab[ei])
-        lab = np.minimum(lab, lab[lab])  # pointer jumping
+        segmin = np.minimum.reduceat(lab[dst_perm], starts)
+        lab = np.minimum(lab, segmin)
+        while True:
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
         if np.array_equal(lab, old):
             break
-    # resolve to fixpoint so every label is its component's min id
-    while True:
-        nxt = lab[lab]
-        if np.array_equal(nxt, lab):
-            break
-        lab = nxt
     reps = nodes.take(pa.array(lab))
     return pa.table({"url": nodes, "cluster_id": reps})
 
