@@ -85,7 +85,14 @@ def partitions_for(cfg: DedupConfig, n_rows: int) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(cpus, -(-n_rows // max(1, cfg.rows_per_partition)))
+    P = max(cpus, -(-n_rows // max(1, cfg.rows_per_partition)))
+    if P > cpus:
+        # data-sized regime: round up to a multiple of 32 so reduce waves
+        # quantize evenly across common worker counts (P=92 on 16 slots is
+        # 5.75 waves — the last wave idles a quarter of the cluster; P=96 is
+        # exactly 6). Level-independent, so scaling runs stay honest.
+        P = -(-P // 32) * 32
+    return P
 
 
 @ray.remote(num_cpus=1)
@@ -283,6 +290,22 @@ def partition_map(
         _split_by_pkey.options(num_returns=P).remote(P, key, map_ref, *grp)
         for grp in groups
     ]
+    import os as _os
+
+    if _os.environ.get("CAMDEN_STAGE_STATS"):
+        # diagnosis only: barrier on the map wave so its wall is attributable
+        # (disables map/reduce pipelining — never set in timed benches)
+        import sys as _sys
+        import time as _time
+
+        _t0 = _time.monotonic()
+        flat = [r for s in sliced for r in (s if isinstance(s, list) else [s])]
+        ray.wait(flat, num_returns=len(flat), fetch_local=False)
+        print(
+            f"== exchange map wave {_time.monotonic()-_t0:.2f}s "
+            f"(maps={len(groups)}, P={P})",
+            file=_sys.stderr,
+        )
     outs = [
         _reduce_partition.remote(fn_ref, batch_format, *[s[i] for s in sliced])
         for i in range(P)
@@ -618,19 +641,36 @@ def build_vsig_sidecar(
         )
         return pa.table({"uid": t["uid"], "q": qa})
 
-    tabs = ray.get(
+    refs = (
         sig_ds.select_columns(["uid", "vsig" if has_vsig else "sig"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )
+    if not refs:
+        return ray.put((np.empty(0, dtype=np.int64), np.empty((0, vp), dtype=np.uint8)))
+    # assemble IN THE CLUSTER, not on the driver: the concat + argsort +
+    # gather over ~(8+vp) bytes/doc was a driver-serial section that grew
+    # linearly with the corpus (~6-8 s at 3M docs) and sat on the star
+    # branch's critical path at every parallelism level. As a task it
+    # overlaps the hot-bucket pass and the result is ALREADY a plasma object
+    # (a task return) — the groupers read it exactly like a ray.put ref.
+    return _assemble_sidecar.remote(vp, *refs)
+
+
+@ray.remote(num_cpus=2)
+def _assemble_sidecar(vp: int, *tabs: "pa.Table"):
+    """Sidecar assembly task: per-block (uid, q) tables → (uid_sorted, qmat).
+
+    Assembles the (n, vp) matrix PER BLOCK, never concatenating the Arrow
+    binary column across blocks: a concat+combine_chunks of the q column
+    overflows binary's int32 offsets at 2 GiB (~33.5M docs at vp=64) —
+    exactly the regime between there and vsig_broadcast_max_docs where the
+    broadcast sidecar is still the chosen transport. num_cpus=2 reflects the
+    concat+sort burst so the scheduler doesn't co-pack it with a full wave.
+    """
     tabs = [t for t in tabs if t.num_rows]
     if not tabs:
-        return ray.put((np.empty(0, dtype=np.int64), np.empty((0, vp), dtype=np.uint8)))
-    # assemble the (n, vp) matrix PER BLOCK, never concatenating the Arrow
-    # binary column across blocks: a driver-side concat+combine_chunks of the
-    # q column overflows binary's int32 offsets at 2 GiB (~33.5M docs at
-    # vp=64) — exactly the regime between there and vsig_broadcast_max_docs
-    # where the broadcast sidecar is still the chosen transport
+        return (np.empty(0, dtype=np.int64), np.empty((0, vp), dtype=np.uint8))
     uids = np.concatenate(
         [t["uid"].to_numpy(zero_copy_only=False) for t in tabs]
     )
@@ -639,10 +679,8 @@ def build_vsig_sidecar(
         if len(tabs) > 1
         else _binary_matrix(tabs[0]["q"], vp)
     )
-    from camden_ray.functions.hashing import parallel_argsort
-
-    order = parallel_argsort(uids)  # multi-threaded; uids unique
-    return ray.put((uids[order], np.ascontiguousarray(qmat[order])))
+    order = np.argsort(uids)  # uids unique; numpy sort inside the task
+    return (uids[order], np.ascontiguousarray(qmat[order]))
 
 
 def _binary_matrix(arr: "pa.Array", width: int) -> np.ndarray:

@@ -86,6 +86,54 @@ def _pair_ppk(a: "pa.Array", b: "pa.Array", P: int) -> np.ndarray:
     return (mix64(ida ^ idb ^ _PPK_MIX) % np.uint64(P)).view(np.int64)
 
 
+def _block_pair_digests(t: "pa.Table") -> "pa.Table":
+    """Per-block symmetric pair digests, pre-uniqued (the merge task then
+    unions block-sized partials instead of the raw pair stream)."""
+    pk = mix64(mix64(_ids_any(t["a"])) ^ mix64(_ids_any(t["b"])))
+    return pa.table({"pk": pa.array(np.unique(pk.view(np.int64)), type=pa.int64())})
+
+
+@ray.remote(num_cpus=1)
+def _merge_pair_digests(*tabs: "pa.Table") -> np.ndarray:
+    """Union the per-block digest partials into one sorted array (the
+    broadcast side of the anti-join's semi-join pushdown)."""
+    parts = [t["pk"].to_numpy(zero_copy_only=False) for t in tabs if t.num_rows]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def _dedupe_pairs_table(t: "pa.Table") -> "pa.Table":
+    """First occurrence per pair digest; drops the bookkeeping columns."""
+    pk = t["pk"].to_numpy(zero_copy_only=False)
+    first = np.zeros(len(pk), dtype=bool)
+    first[np.unique(pk, return_index=True)[1]] = True
+    out = t.filter(pa.array(first))
+    return pa.table({"a": out["a"], "b": out["b"]})
+
+
+@ray.remote(num_cpus=1)
+def _dedupe_pairs_block(*tabs: "pa.Table") -> "pa.Table":
+    """Small-residual dedup: concat + first-per-digest in one task."""
+    parts = [t for t in tabs if t.num_rows]
+    if not parts:
+        t = max(tabs, key=lambda s: s.num_columns)
+        return pa.table({"a": t["a"], "b": t["b"]})
+    return _dedupe_pairs_table(pa.concat_tables(parts))
+
+
+def _stamp_ppk(P: int):
+    def f(t: "pa.Table") -> "pa.Table":
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "ppk",
+            pa.array((pk.view(np.uint64) % np.uint64(P)).view(np.int64),
+                     type=pa.int64()),
+        )
+
+    return f
+
+
 def antijoin_pairs(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -113,25 +161,87 @@ def antijoin_pairs(
 
     left = left.materialize()  # consumed twice: digest pull + exchange
     digest_ref = None
-    if prefilter_cap:
-        chunks: list[np.ndarray] = []
-        n = 0
-        for b in left.select_columns(["a", "b"]).iter_batches(
-            batch_size=262144, batch_format="pyarrow"
-        ):
-            pk = mix64(mix64(_ids_any(b["a"])) ^ mix64(_ids_any(b["b"])))
-            chunks.append(pk.view(np.int64))
-            n += len(pk)
-            if n > prefilter_cap:
-                chunks = []  # too big for a broadcast — full exchange
-                break
-        else:
-            digests = (
-                np.unique(np.concatenate(chunks))
-                if chunks
-                else np.empty(0, dtype=np.int64)
+    if prefilter_cap and left.count() <= prefilter_cap:
+        # digest set built IN THE CLUSTER: per-block unique pair digests
+        # (parallel map wave) merged by one assembly task whose return IS the
+        # broadcast object — the previous driver iter_batches streamed the
+        # whole left side serially through the driver (a corpus-growth-linear
+        # serial section on the span critical path)
+        refs = (
+            left.select_columns(["a", "b"])
+            .map_batches(_block_pair_digests, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        digest_ref = _merge_pair_digests.remote(*refs)
+
+    if digest_ref is not None:
+        # EXCHANGE-FREE anti-join (broadcast regime): the residual —
+        # left pairs with no corroborating right pair — is usually a tiny
+        # fraction of the inputs, so a partition exchange over left+right
+        # rows is mostly wasted movement. Three map waves + two small merge
+        # tasks replace it:
+        #   1. right wave: per-block digests that MATCH the left set
+        #      (pk ∈ D_left), merged to the corroborated set D_corr
+        #      (≤ |left| ≤ prefilter_cap entries — broadcastable by
+        #      construction);
+        #   2. left wave: keep pk ∉ D_corr (the residual, pair-scale);
+        #   3. dedup: one merge task when the residual is small, else a
+        #      residual-sized exchange (never a left+right-sized one).
+        def match_right(t: pa.Table) -> pa.Table:
+            pk = mix64(mix64(_ids_any(t["a"])) ^ mix64(_ids_any(t["b"]))).view(
+                np.int64
             )
-            digest_ref = ray.put(digests)
+            d = ray.get(digest_ref)
+            if len(d) == 0:
+                m = np.empty(0, dtype=np.int64)
+            else:
+                pos = np.searchsorted(d, pk)
+                pos_c = np.minimum(pos, len(d) - 1)
+                m = pk[(pos < len(d)) & (d[pos_c] == pk)]
+            return pa.table({"pk": pa.array(np.unique(m), type=pa.int64())})
+
+        corr_ref = _merge_pair_digests.remote(
+            *right.select_columns(["a", "b"])
+            .map_batches(match_right, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+
+        def residual(t: pa.Table) -> pa.Table:
+            pk = mix64(mix64(_ids_any(t["a"])) ^ mix64(_ids_any(t["b"]))).view(
+                np.int64
+            )
+            d = ray.get(corr_ref)
+            if len(d):
+                pos = np.searchsorted(d, pk)
+                pos_c = np.minimum(pos, len(d) - 1)
+                keep = ~((pos < len(d)) & (d[pos_c] == pk))
+            else:
+                keep = np.ones(len(pk), dtype=bool)
+            t = t.filter(pa.array(keep))
+            return pa.table(
+                {"pk": pa.array(pk[keep], type=pa.int64()),
+                 "a": t["a"], "b": t["b"]}
+            )
+
+        res = (
+            left.select_columns(["a", "b"])
+            .map_batches(residual, batch_format="pyarrow")
+            .materialize()
+        )
+        if not dedupe_left:
+            return res.select_columns(["a", "b"])
+        if res.count() <= 5_000_000:
+            res_refs = res.to_arrow_refs()
+            if not res_refs:
+                return res.select_columns(["a", "b"])
+            out_ref = _dedupe_pairs_block.remote(*res_refs)
+            return ray.data.from_arrow_refs([out_ref])
+        return partition_map(
+            res.map_batches(_stamp_ppk(P), batch_format="pyarrow"),
+            P,
+            _dedupe_pairs_table,
+            key="ppk",
+        )
 
     def tag(is_right: bool):
         def f(t: pa.Table) -> pa.Table:
