@@ -26,9 +26,11 @@ def _make_ident():
 
 
 def _rows(ds) -> set[tuple]:
+    # the exchange CONSUMES the key column (it is not delivered to fn) — the
+    # fixtures carry a payload copy (pk2) to assert partition contents
     out = set()
     for b in ds.iter_batches(batch_format="pyarrow"):
-        out |= set(zip(b["pkey"].to_pylist(), b["v"].to_pylist()))
+        out |= set(zip(b["pk2"].to_pylist(), b["v"].to_pylist()))
     return out
 
 
@@ -36,7 +38,7 @@ def _fragmented(n_rows: int, n_blocks: int, P: int):
     rng = np.random.default_rng(7)
     v = np.arange(n_rows, dtype=np.int64)
     pkey = rng.integers(0, P, size=n_rows).astype(np.int64)
-    df = pd.DataFrame({"pkey": pkey, "v": v})
+    df = pd.DataFrame({"pkey": pkey, "pk2": pkey, "v": v})
     parts = np.array_split(df, n_blocks)
     ds = ray.data.from_pandas([p.reset_index(drop=True) for p in parts])
     return ds, set(zip(pkey.tolist(), v.tolist()))
@@ -51,7 +53,8 @@ def test_grouped_fragmented_blocks_match_input(ray_session):
     # each reduce BLOCK (one per partition) holds exactly one pkey's rows
     # (iter_batches would coalesce blocks, hiding the partition boundaries)
     for t in ray.get(out.to_arrow_refs()):
-        assert len(set(t["pkey"].to_pylist())) <= 1
+        assert "pkey" not in t.column_names  # key consumed by the exchange
+        assert len(set(t["pk2"].to_pylist())) <= 1
 
 
 def test_grouped_map_fn_runs_per_block(ray_session):
@@ -78,7 +81,7 @@ def test_grouped_map_fn_runs_per_block(ray_session):
 
 def test_empty_pkey_values_yield_empty_partitions(ray_session):
     P = 8
-    df = pd.DataFrame({"pkey": [0, 0, 1], "v": [1, 2, 3]})
+    df = pd.DataFrame({"pkey": [0, 0, 1], "pk2": [0, 0, 1], "v": [1, 2, 3]})
     out = partition_map(ray.data.from_pandas(df), P, _make_ident())
     assert _rows(out) == {(0, 1), (0, 2), (1, 3)}
 
@@ -95,7 +98,8 @@ def test_two_level_matches_single_level(ray_session):
         tabs = ray.get(two.to_arrow_refs())
         assert len(tabs) == P
         for t in tabs:
-            assert len(set(t["pkey"].to_pylist())) <= 1
+            assert "pkey" not in t.column_names
+            assert len(set(t["pk2"].to_pylist())) <= 1
 
 
 def test_two_level_map_fn_and_empties(ray_session):
