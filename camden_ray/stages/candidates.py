@@ -95,16 +95,24 @@ def partitions_for(cfg: DedupConfig, n_rows: int) -> int:
     return P
 
 
+#: slices per exchange map-output object. Bundling 4 partitions' slices into
+#: one plasma object cuts the exchange's object count (and per-object
+#: serialize/seal/schedule overhead) 4x with ZERO read amplification: a
+#: reduce task deserializes its bundle zero-copy from the shared mmap and
+#: only its own slice's pages are ever touched by the concat.
+SLICE_BUNDLE = 4
+
+
 @ray.remote(num_cpus=1)
-def _split_by_pkey(P: int, key: str, map_fn, *tabs: "pa.Table"):
+def _split_by_pkey(P: int, bundle: int, key: str, map_fn, *tabs: "pa.Table"):
     """One exchange map task: concatenate this task's input blocks,
-    (optionally transform, then) order by the partition key and return P
-    zero-copy slices (Ray's Arrow serializer IPC-truncates slices, so each
-    return ships only its own rows).
+    (optionally transform, then) order by the partition key and return the P
+    zero-copy slices as ``ceil(P/bundle)`` bundle objects (Ray's Arrow
+    serializer IPC-truncates slices, so a bundle ships only its rows).
 
     Accepts MULTIPLE input blocks: partition_map groups upstream blocks into
     ~P map tasks, so a union of many small block sets needs no driver-side
-    repartition barrier first and the exchange's object count stays ~P²
+    repartition barrier first and the exchange's object count stays bounded
     regardless of upstream block fragmentation.
 
     ``map_fn`` fuses a row-expanding transform (e.g. the candidate-row
@@ -113,7 +121,11 @@ def _split_by_pkey(P: int, key: str, map_fn, *tabs: "pa.Table"):
     dataset (one full object-store round trip of the engine's largest
     intermediate saved). map_fn runs per input block (not on the concat) so
     its heap watermark matches the un-grouped behavior."""
-    return _ordered_pkey_slices(tabs, key, map_fn, np.arange(P + 1), drop_key=True)
+    slices = _ordered_pkey_slices(tabs, key, map_fn, np.arange(P + 1), drop_key=True)
+    B = -(-P // bundle)
+    out = tuple(slices[j * bundle : (j + 1) * bundle] for j in range(B))
+    # num_returns == B: Ray unpacks the tuple only for num_returns > 1
+    return out if B > 1 else out[0]
 
 
 def _ordered_pkey_slices(
@@ -177,9 +189,11 @@ def _split_locals(base: int, n_local: int, key: str, *slices: "pa.Table"):
 
 
 @ray.remote(num_cpus=1)
-def _reduce_partition(fn, batch_format: str, *slices):
-    """One exchange reduce task: concatenate this partition's slices and apply
-    ``fn`` to the whole partition."""
+def _reduce_partition(fn, batch_format: str, idx: int, *bundles):
+    """One exchange reduce task: gather this partition's slice from each map
+    task's bundle (``idx`` = position within the bundle; a bare Table is a
+    1-slice bundle from the two-level path), concatenate, apply ``fn``."""
+    slices = [b[idx] if isinstance(b, tuple) else b for b in bundles]
     parts = [s for s in slices if s.num_rows]
     if parts:
         t = pa.concat_tables(parts)
@@ -217,9 +231,17 @@ def partition_map(
     partitions, and an expensive re-merge).
 
     Physical plan: a RAW map/reduce hash exchange — each input block is
-    ordered by ``key`` once and returned as P zero-copy slices
-    (``num_returns=P``), each reduce task concatenates its slice set and runs
-    ``fn`` on the complete partition. This replaced the explicit-boundary
+    ordered by ``key`` once and returned as P zero-copy slices, bundled
+    ``SLICE_BUNDLE`` adjacent partitions per plasma object
+    (``num_returns=ceil(P/SLICE_BUNDLE)``); each reduce task indexes its
+    slice out of every map task's bundle, concatenates, and runs ``fn`` on
+    the complete partition. Bundling cuts map-side object seals and
+    scheduler-visible objects 4x; single-node reads stay zero-copy from the
+    shared mmap. Multi-node caveat: the reduce tasks of one bundle's 4
+    adjacent partitions each fetch the bundle object — Ray's object manager
+    caches it per node after the first pull, so worst-case network
+    amplification is min(SLICE_BUNDLE, nodes-touched) and locality-aware
+    scheduling biases those sibling tasks onto the same node. This replaced the explicit-boundary
     ``Dataset.sort``: Ray's sort machinery went superlinear in ROW COUNT on
     the candidate exchange (48M rows ≈ 4 s but 136M rows ≈ 39 s at 32 CPUs,
     payload-width-independent — push-based and hash-shuffle strategies
@@ -298,14 +320,20 @@ def partition_map(
             if n_local == 1:
                 locs = [locs]
             outs.extend(
-                _reduce_partition.remote(fn_ref, batch_format, locs[j])
+                _reduce_partition.remote(fn_ref, batch_format, 0, locs[j])
                 for j in range(n_local)
             )
         return ray.data.from_arrow_refs(outs)
+    B = -(-P // SLICE_BUNDLE)
     sliced = [
-        _split_by_pkey.options(num_returns=P).remote(P, key, map_ref, *grp)
+        _split_by_pkey.options(num_returns=B).remote(
+            P, SLICE_BUNDLE, key, map_ref, *grp
+        )
         for grp in groups
     ]
+    if B == 1:
+        # num_returns=1 yields a bare ref; normalize to the list shape
+        sliced = [[s] for s in sliced]
     import os as _os
 
     if _os.environ.get("CAMDEN_STAGE_STATS"):
@@ -323,7 +351,12 @@ def partition_map(
             file=_sys.stderr,
         )
     outs = [
-        _reduce_partition.remote(fn_ref, batch_format, *[s[i] for s in sliced])
+        _reduce_partition.remote(
+            fn_ref,
+            batch_format,
+            i % SLICE_BUNDLE,
+            *[s[i // SLICE_BUNDLE] for s in sliced],
+        )
         for i in range(P)
     ]
     return ray.data.from_arrow_refs(outs)
@@ -440,8 +473,22 @@ def hot_bucket_keys_from_sig(
     of the corpus — the full 17+-rows/doc candidate set never needs to be
     materialized just to count it (that mid-pipeline materialization was a
     full extra pass over ~6 GB at 1.2M docs).
+
+    The effective fraction SHRINKS with corpus size (floor 0.02, targeting
+    ~150k sampled docs): detection quality depends on the expected sampled
+    count per hot bucket, not the fraction — a cap-sized bucket still lands
+    E≈3 sampled members at the floor, and the failure mode of a miss is a
+    load-imbalanced (never wrong) partition, while the sample pass itself is
+    corpus-linear work on the star branch's critical path. Deterministic:
+    the fraction is a pure function of (n, config).
     """
     frac = cfg.hot_sample_frac
+    try:
+        n = sig_ds.count()  # materialized upstream: metadata-only
+    except Exception:
+        n = 0
+    if n > 0:
+        frac = min(frac, max(0.02, 150_000 / n))
     threshold = max(2.0, cfg.bucket_cap * frac / 2.0)
     # prune to the expander's inputs BEFORE sampling: the sample's row-take
     # otherwise copies the wide token-hash streams (th: ~45x the key columns)

@@ -156,6 +156,23 @@ def unionfind_uid(edges_uid: "ray.data.Dataset") -> "tuple | None":
         return None
     a = np.concatenate(a_parts)
     b = np.concatenate(b_parts)
+    # EXACT pair dedup before the propagation machinery: the 16 LSH bands
+    # (and multiple gram buckets) emit the same (hub, member) edge many
+    # times — measured ~13x duplication at 100k docs — and every duplicate
+    # inflates the endpoint sort and all per-round gathers. polars hash
+    # unique is multithreaded (pool pinned via POLARS_MAX_THREADS); exact,
+    # so no 64-bit-digest collision can ever drop a real edge.
+    try:
+        import polars as pl
+
+        uniq = pl.DataFrame({"a": a, "b": b}).unique()
+        a = uniq["a"].to_numpy()
+        b = uniq["b"].to_numpy()
+    except Exception:  # pragma: no cover - polars always present
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        a, b = a[keep], b[keep]
     E = len(a)
     # ONE sort of the 2E endpoint array replaces the previous three heavy
     # passes (np.unique's sort + 2 searchsorteds + an edge argsort): node ids,
