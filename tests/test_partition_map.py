@@ -86,6 +86,22 @@ def test_empty_pkey_values_yield_empty_partitions(ray_session):
     assert _rows(out) == {(0, 1), (0, 2), (1, 3)}
 
 
+def test_bundled_slices_all_regimes(ray_session):
+    # the single-level exchange bundles SLICE_BUNDLE (=4) adjacent
+    # partitions' slices per map-output object: pin parity across the
+    # B==1 path (P <= bundle → bare-ref normalization), an exact multiple,
+    # and remainder bundles, each preserving partition-block granularity
+    for P in (2, 4, 9, 12):
+        ds, want = _fragmented(1500, 90, P)
+        out = partition_map(ds, P, _make_ident())
+        assert _rows(out) == want
+        tabs = ray.get(out.to_arrow_refs())
+        assert len(tabs) == P
+        for t in tabs:
+            assert "pkey" not in t.column_names
+            assert len(set(t["pk2"].to_pylist())) <= 1
+
+
 def test_two_level_matches_single_level(ray_session):
     # force the hierarchical path (threshold 0) and pin parity with the
     # single-level exchange, including the one-partition last super
