@@ -96,7 +96,11 @@ def poly_hash_segments(
                 np.full(total - 1, POLY_P_INV, dtype=U64), out=pinv_pows[1:]
             )
         prefix = np.zeros(total + 1, dtype=U64)
-        np.cumsum(data.astype(U64) * pinv_pows, out=prefix[1:], dtype=U64)
+        # buffered-cast multiply straight into the prefix buffer, then an
+        # in-place cumsum — no full u64 copy of data (8x its size) and no
+        # product temp
+        np.multiply(data, pinv_pows, out=prefix[1:], casting="unsafe")
+        np.cumsum(prefix[1:], out=prefix[1:])
         p_pows = np.empty(total + 1, dtype=U64)
         p_pows[0] = np.uint64(1)
         np.multiply.accumulate(np.full(total, POLY_P, dtype=U64), out=p_pows[1:])
@@ -254,11 +258,16 @@ class BatchTokenHasher:
         data, off = _string_array_view(arr)
         total = len(data)
 
-        # docs eligible for the vectorized path: non-null, pure-ASCII bytes
-        hi = np.zeros(total + 1, dtype=np.int64)
+        # docs eligible for the vectorized path: non-null, pure-ASCII bytes.
+        # Segment OR via reduceat (high bit set anywhere in the doc) — one
+        # u8 pass, replacing a full-corpus int64 cumsum (8x the traffic).
         if total:
-            np.cumsum(data >= 0x80, out=hi[1:])
-        fast = (hi[off[1:]] - hi[off[:-1]]) == 0
+            idx = np.minimum(off[:-1], total - 1)
+            seg_or = np.bitwise_or.reduceat(data, idx)
+            nonempty = off[:-1] < off[1:]
+            fast = ~((seg_or >= 0x80) & nonempty)
+        else:
+            fast = np.ones(n, dtype=bool)
         if arr.null_count:
             fast &= ~arr.is_null().to_numpy(zero_copy_only=False)
 

@@ -193,8 +193,10 @@ class SignatureActor:
             votes = np.empty((64, n), dtype=np.int64)
             one = np.uint64(1)
             for b in range(64):
-                col = ((S >> np.uint64(b)) & one).astype(np.int64)
-                votes[b] = np.add.reduceat(col, offsets)
+                # u64 bit column fed straight to reduceat (accumulating into
+                # the int64 row) — the previous per-plane astype(int64) copy
+                # was 64 full passes over the shingle array for nothing
+                votes[b] = np.add.reduceat((S >> np.uint64(b)) & one, offsets)
             seg_sizes = np.diff(np.append(offsets, len(S)))[None, :]
             simhash_bits = (votes * 2 > seg_sizes).astype(np.uint64)
             simhash = np.bitwise_or.reduce(
