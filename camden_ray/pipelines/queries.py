@@ -833,6 +833,43 @@ def doc_ngram_jaccard_pairs(sf_dir: str):
     return verify_jaccard_pairs(cand, docs, cfg, tau=0.5)
 
 
+def doc_exact_ngram_clusters(sf_dir: str):
+    """Connected-components clustering with min-url representatives over the
+    two DETERMINISTIC edge sources: exact content duplicates (shared digest)
+    and exact word-5-gram Jaccard ≥ 0.5 pairs.
+
+    This is the engine's core G1+K1 semantics (reference
+    ``src/scanner.rs:17-49`` grouping + ``src/operations.rs:50`` keep-first,
+    made deterministic) placed under a FULL DuckDB oracle: unlike
+    ``doc_dedup_clusters`` — whose minhash/simhash branches are
+    probabilistic and therefore pytest-pinned — every edge here is
+    SQL-reproducible, so union-find + representative selection are checked
+    rows+schema+hash against a recursive-CTE transitive-closure twin.
+
+    Output: one row per url that appears in any edge (i.e. every member of
+    a non-trivial cluster), with ``cluster_id`` = lexicographic min url of
+    its connected component.
+    """
+    from camden_ray.pipelines.dedup import build_edges
+    from camden_ray.stages.cluster import unionfind_table
+
+    cfg = DedupConfig(methods=("exact",))
+    exact = build_edges(_doc_sig(sf_dir, cfg), cfg).select_columns(["a", "b"])
+    ngram = doc_ngram_jaccard_pairs(sf_dir).select_columns(["a", "b"])
+    tab = unionfind_table(exact.union(ngram))
+    if tab is None:
+        return pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "cluster_id": pa.array([], type=pa.string())}
+        )
+    # unionfind_table emits large_string (2 GiB-offset safety at corpus
+    # scale); cast back to string for the public/oracle schema
+    return pa.table(
+        {"url": tab["url"].cast(pa.string()),
+         "cluster_id": tab["cluster_id"].cast(pa.string())}
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -870,6 +907,7 @@ QUERIES = {
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "doc_exact_ngram_clusters": doc_exact_ngram_clusters,
     "orders_by_segment": orders_by_segment,
     "customer_region_counts": customer_region_counts,
     "lineitem_part_revenue": lineitem_part_revenue,
@@ -1081,6 +1119,56 @@ ORACLE_SQL["doc_ngram_jaccard_pairs"] = """
            CAST(round(inter / greatest(uni, 1) * 100000) AS BIGINT) AS jaccard_fp
     FROM j
     WHERE inter / greatest(uni, 1) >= 0.5
+"""
+
+# Connected components over the two deterministic edge sources (exact
+# content duplicates ∪ exact word-5-gram Jaccard >= 0.5 pairs) via a
+# recursive-CTE transitive closure with min-label aggregation: reach(src)
+# covers src's whole component (edges are symmetrized), so
+# least(src, min(dst)) IS the component's lexicographic-min url — the
+# engine's deterministic-representative contract (K1). Closure size is
+# bounded by Σ component_size², fine at driver-table scales; the engine
+# side runs the same semantics as distributed union-find.
+ORACLE_SQL["doc_exact_ngram_clusters"] = """
+    WITH RECURSIVE d AS (
+        SELECT 'doc://' || doc_id AS url, COALESCE(text, '') AS text,
+               string_split(COALESCE(text, ''), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT url,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 4, 0) + 1),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        FROM d
+    ), cand AS (
+        SELECT s1.url AS a, s2.url AS b
+        FROM (SELECT url, unnest(sh) AS g FROM s) s1
+        JOIN (SELECT url, unnest(sh) AS g FROM s) s2
+          ON s1.g = s2.g AND s1.url < s2.url
+        GROUP BY 1, 2
+    ), jac AS (
+        SELECT cand.a, cand.b
+        FROM cand
+        JOIN s sa ON sa.url = cand.a
+        JOIN s sb ON sb.url = cand.b
+        WHERE len(list_intersect(sa.sh, sb.sh))
+              / greatest(len(sa.sh) + len(sb.sh)
+                         - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.5
+    ), ex AS (
+        SELECT d1.url AS a, d2.url AS b
+        FROM d d1 JOIN d d2
+          ON md5(d1.text) = md5(d2.text) AND d1.url < d2.url
+    ), sym AS (
+        SELECT a, b FROM jac UNION SELECT a, b FROM ex
+        UNION SELECT b AS a, a AS b FROM jac
+        UNION SELECT b AS a, a AS b FROM ex
+    ), reach(src, dst) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN sym e ON e.a = r.dst
+    )
+    SELECT src AS url, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
 """
 
 # md5-token polynomial fingerprint: token hash = md5_number_lower (parity

@@ -91,3 +91,45 @@ def test_unionfind_uid_random_graphs_match_reference():
         nodes, roots = unionfind_uid(ds)
         got = dict(zip(nodes.tolist(), roots.tolist()))
         assert got == want, f"trial {trial}: mismatch"
+
+
+def test_doc_exact_ngram_clusters_matches_bruteforce(ray_session):
+    """doc_exact_ngram_clusters (the fully-DuckDB-oracled clustering query)
+    against an independent in-process reference: Python union-find over
+    text-equality duplicate pairs ∪ the oracle-passing exact-Jaccard ≥ 0.5
+    pairs, representatives = component min url. Pins the same semantics the
+    recursive-CTE oracle checks, without DuckDB in the loop."""
+    import pyarrow.parquet as pq
+
+    from camden_ray.pipelines.queries import (
+        doc_exact_ngram_clusters,
+        doc_ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = doc_exact_ngram_clusters(sf).to_pandas()
+
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    urls = [f"doc://{i}" for i in docs["doc_id"].to_pylist()]
+    texts = docs["text"].to_pylist()
+    by_text: dict[str, list[str]] = {}
+    for u, t in zip(urls, texts):
+        by_text.setdefault(t or "", []).append(u)
+    pairs = set()
+    for members in by_text.values():
+        members.sort()
+        pairs.update((members[0], m) for m in members[1:])
+    jac = doc_ngram_jaccard_pairs(sf).to_pandas()
+    pairs.update(zip(jac["a"], jac["b"]))
+    assert pairs, "fixture must produce at least one deterministic edge"
+
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    want = uf.assignments()
+
+    assert dict(zip(got["url"], got["cluster_id"])) == want
+    # every emitted cluster is non-trivial and its id is a member min
+    sizes = got.groupby("cluster_id").size()
+    assert (sizes >= 2).all()
+    assert (got.groupby("cluster_id")["url"].min() == sizes.index).all()
