@@ -77,6 +77,38 @@ def _string_array_view(arr) -> tuple[np.ndarray, np.ndarray]:
     return data, offsets - offsets[0]
 
 
+_POW_CACHE: dict[int, np.ndarray] = {}
+_POW_CACHE_MAX = 1 << 25  # ≈268 MB of u64 per constant — don't pin more
+
+
+def geom_pows(const: np.uint64, n: int) -> np.ndarray:
+    """First ``n`` powers ``const^0 .. const^(n-1)`` under u64 wraparound, as
+    a read-only view of a per-process cache grown geometrically.
+
+    The ``multiply.accumulate`` chain is loop-carried (inherently
+    sequential) and every poly-hash call site used to recompute it per
+    batch — measured ~20% of the signature-stage profile. Above
+    ``_POW_CACHE_MAX`` entries the table is computed transiently instead of
+    pinned (a single call that big is an exchange-sized outlier, not the
+    steady-state batch path)."""
+    key = int(const)
+    a = _POW_CACHE.get(key)
+    if a is None or len(a) < n:
+        m = max(n, 1 << 16)
+        if a is not None:
+            m = max(m, 2 * len(a))
+        b = np.empty(m, dtype=U64)
+        b[0] = np.uint64(1)
+        if m > 1:
+            with np.errstate(over="ignore"):
+                np.multiply.accumulate(np.full(m - 1, const, dtype=U64), out=b[1:])
+        if m <= _POW_CACHE_MAX:
+            b.flags.writeable = False  # views inherit this — callers must copy
+            _POW_CACHE[key] = b
+        a = b
+    return a[:n]
+
+
 def poly_hash_segments(
     data: np.ndarray, starts: np.ndarray, ends: np.ndarray
 ) -> np.ndarray:
@@ -89,21 +121,14 @@ def poly_hash_segments(
     if total == 0:
         return mix64(np.zeros(len(starts), dtype=U64))
     with np.errstate(over="ignore"):
-        pinv_pows = np.empty(total, dtype=U64)
-        pinv_pows[0] = np.uint64(1)
-        if total > 1:
-            np.multiply.accumulate(
-                np.full(total - 1, POLY_P_INV, dtype=U64), out=pinv_pows[1:]
-            )
+        pinv_pows = geom_pows(POLY_P_INV, total)
         prefix = np.zeros(total + 1, dtype=U64)
         # buffered-cast multiply straight into the prefix buffer, then an
         # in-place cumsum — no full u64 copy of data (8x its size) and no
         # product temp
         np.multiply(data, pinv_pows, out=prefix[1:], casting="unsafe")
         np.cumsum(prefix[1:], out=prefix[1:])
-        p_pows = np.empty(total + 1, dtype=U64)
-        p_pows[0] = np.uint64(1)
-        np.multiply.accumulate(np.full(total, POLY_P, dtype=U64), out=p_pows[1:])
+        p_pows = geom_pows(POLY_P, total + 1)
         lens = (ends - starts).astype(U64)
         h = p_pows[np.maximum(ends - 1, 0)] * (prefix[ends] - prefix[starts])
         h ^= lens * np.uint64(0x9E3779B97F4A7C15)
@@ -384,17 +409,11 @@ def rolling_lgram_hashes(token_hashes: np.ndarray, L: int) -> np.ndarray:
     m = n - L + 1
     with np.errstate(over="ignore"):
         # pinv_pows[j] = P^(-j); p_pows[i] = P^(L-1+i)
-        pinv_pows = np.empty(n + 1, dtype=U64)
-        pinv_pows[0] = np.uint64(1)
-        np.multiply.accumulate(
-            np.full(n, POLY_P_INV, dtype=U64), out=pinv_pows[1:]
-        )
+        pinv_pows = geom_pows(POLY_P_INV, n)
         prefix = np.zeros(n + 1, dtype=U64)
-        np.cumsum(token_hashes * pinv_pows[:n], out=prefix[1:], dtype=U64)
-        p_pows = np.empty(m, dtype=U64)
-        p_pows[0] = np.uint64(pow(int(POLY_P), L - 1, 1 << 64))
-        np.multiply.accumulate(np.full(m - 1, POLY_P, dtype=U64), out=p_pows[1:])
-        p_pows[1:] *= p_pows[0]
+        np.cumsum(token_hashes * pinv_pows, out=prefix[1:], dtype=U64)
+        # fresh array (cached view is read-only): P^(L-1) · P^i
+        p_pows = geom_pows(POLY_P, m) * np.uint64(pow(int(POLY_P), L - 1, 1 << 64))
         grams = p_pows * (prefix[L : L + m] - prefix[:m])
     return mix64(grams)
 
@@ -422,16 +441,11 @@ def flat_rolling_grams(th_flat: np.ndarray, L: int) -> np.ndarray:
         return np.empty(0, dtype=U64)
     m = T - L + 1
     with np.errstate(over="ignore"):
-        pinv = np.empty(T + 1, dtype=U64)
-        pinv[0] = np.uint64(1)
-        np.multiply.accumulate(np.full(T, POLY_P_INV, dtype=U64), out=pinv[1:])
+        pinv = geom_pows(POLY_P_INV, T)
         prefix = np.zeros(T + 1, dtype=U64)
-        np.cumsum(th_flat * pinv[:T], out=prefix[1:], dtype=U64)
-        p_pows = np.empty(m, dtype=U64)
-        p_pows[0] = np.uint64(pow(int(POLY_P), L - 1, 1 << 64))
-        if m > 1:
-            np.multiply.accumulate(np.full(m - 1, POLY_P, dtype=U64), out=p_pows[1:])
-            p_pows[1:] *= p_pows[0]
+        np.cumsum(th_flat * pinv, out=prefix[1:], dtype=U64)
+        # fresh array (cached view is read-only): P^(L-1) · P^i
+        p_pows = geom_pows(POLY_P, m) * np.uint64(pow(int(POLY_P), L - 1, 1 << 64))
         return mix64(p_pows * (prefix[L : L + m] - prefix[:m]))
 
 
@@ -605,13 +619,8 @@ def md5_poly_fingerprints(texts: list[str | None]) -> np.ndarray:
     starts = ends - lens
     # exponent of each token = (its doc's end - 1 - global index)
     k = np.repeat(ends - 1, lens) - np.arange(total, dtype=np.int64)
-    pows = np.empty(int(lens.max()), dtype=U64)
-    pows[0] = U64(1)
+    pows = geom_pows(MD5_POLY_P, int(lens.max()))
     with np.errstate(over="ignore"):
-        if len(pows) > 1:
-            np.multiply.accumulate(
-                np.full(len(pows) - 1, MD5_POLY_P, dtype=U64), out=pows[1:]
-            )
         vals = th * pows[k]
         csum = np.zeros(total + 1, dtype=U64)
         np.cumsum(vals, out=csum[1:], dtype=U64)
