@@ -269,6 +269,57 @@ class BatchTokenHasher:
         self._ref = TokenHasher(seed=seed, max_cache=max_cache)
         self._key_cache: dict[int, int] = {}
         self._max_cache = max_cache
+        # sorted numpy snapshot of _key_cache for vectorized lookups: one
+        # searchsorted over all token occurrences replaces a per-batch
+        # np.unique (a full u64 sort of the occurrence stream — measured
+        # ~55% of warm hash_array wall) + per-unique-key dict loop. Rebuilt
+        # geometrically as the dict grows, so amortized O(C log C) total.
+        self._tbl_keys = np.empty(0, dtype=U64)
+        self._tbl_vals = np.empty(0, dtype=U64)
+
+    def _resolve_keys(
+        self, keys: np.ndarray, low: np.ndarray, ts: np.ndarray, te: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized key→hash resolution: snapshot hits via searchsorted,
+        misses (new vocabulary only) through the memo dict + blake2b."""
+        th = np.empty(len(keys), dtype=U64)
+        tbl = self._tbl_keys
+        if len(tbl):
+            pos = np.minimum(np.searchsorted(tbl, keys), len(tbl) - 1)
+            hit = tbl[pos] == keys
+            th[hit] = self._tbl_vals[pos[hit]]
+            miss_idx = np.flatnonzero(~hit)
+        else:
+            miss_idx = np.arange(len(keys))
+        if len(miss_idx):
+            mkeys = keys[miss_idx]
+            uk, first_local = np.unique(mkeys, return_index=True)
+            vals = np.empty(len(uk), dtype=U64)
+            cache, salt = self._key_cache, self._salt
+            blake2b = hashlib.blake2b
+            mv = memoryview(low)
+            for i, k in enumerate(uk.tolist()):
+                v = cache.get(k)
+                if v is None:
+                    j = int(miss_idx[first_local[i]])
+                    v = int.from_bytes(
+                        blake2b(
+                            mv[ts[j] : te[j]], digest_size=8, salt=salt
+                        ).digest(),
+                        "little",
+                    )
+                    if len(cache) < self._max_cache:
+                        cache[k] = v
+                vals[i] = v
+            th[miss_idx] = vals[np.searchsorted(uk, mkeys)]
+            if len(cache) > max(2 * len(tbl), 1024):
+                ks = np.fromiter(cache.keys(), dtype=U64, count=len(cache))
+                order = np.argsort(ks)
+                self._tbl_keys = ks[order]
+                self._tbl_vals = np.fromiter(
+                    cache.values(), dtype=U64, count=len(cache)
+                )[order]
+        return th
 
     def hash_array(self, arr) -> tuple[np.ndarray, np.ndarray]:
         """(large_)string array → (th_flat:u64, th_lens:int64) in doc order:
@@ -315,36 +366,19 @@ class BatchTokenHasher:
         nxt[inner - 1] = False
         ts = np.flatnonzero(wmask & ~prev)
         te = np.flatnonzero(wmask & ~nxt) + 1
-        tok_doc = np.searchsorted(off, ts, side="right") - 1
-        keep = fast[tok_doc]
-        ts, te, tok_doc = ts[keep], te[keep], tok_doc[keep]
+        # per-doc token counts from doc boundaries into the sorted start
+        # positions (n+1 binary searches instead of one per token; token
+        # runs never straddle doc boundaries — breaks were forced above)
+        counts_all = np.diff(np.searchsorted(ts, off))
+        keep = np.repeat(fast, counts_all)
+        ts, te = ts[keep], te[keep]
+        counts = np.where(fast, counts_all, 0).astype(np.int64)
 
         keys = poly_hash_segments(low, ts, te)
         if len(keys):
-            uk, first_idx, inv = np.unique(
-                keys, return_index=True, return_inverse=True
-            )
-            vals = np.empty(len(uk), dtype=U64)
-            cache, salt = self._key_cache, self._salt
-            blake2b = hashlib.blake2b
-            mv = memoryview(low)
-            for i, k in enumerate(uk.tolist()):
-                v = cache.get(k)
-                if v is None:
-                    s = ts[first_idx[i]]
-                    v = int.from_bytes(
-                        blake2b(
-                            mv[s : te[first_idx[i]]], digest_size=8, salt=salt
-                        ).digest(),
-                        "little",
-                    )
-                    if len(cache) < self._max_cache:
-                        cache[k] = v
-                vals[i] = v
-            th_fast = vals[inv]
+            th_fast = self._resolve_keys(keys, low, ts, te)
         else:
             th_fast = np.empty(0, dtype=U64)
-        counts = np.bincount(tok_doc, minlength=n).astype(np.int64)
 
         if fast.all():
             return th_fast, counts
