@@ -17,6 +17,7 @@ import hashlib
 import numpy as np
 
 U64 = np.uint64
+_EMPTY_U64 = np.empty(0, dtype=U64)
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 # Odd multiplier for polynomial rolling hashes (mod 2^64 via uint64 wraparound).
@@ -269,26 +270,84 @@ class BatchTokenHasher:
         self._ref = TokenHasher(seed=seed, max_cache=max_cache)
         self._key_cache: dict[int, int] = {}
         self._max_cache = max_cache
-        # sorted numpy snapshot of _key_cache for vectorized lookups: one
-        # searchsorted over all token occurrences replaces a per-batch
-        # np.unique (a full u64 sort of the occurrence stream — measured
-        # ~55% of warm hash_array wall) + per-unique-key dict loop. Rebuilt
-        # geometrically as the dict grows, so amortized O(C log C) total.
-        self._tbl_keys = np.empty(0, dtype=U64)
-        self._tbl_vals = np.empty(0, dtype=U64)
+        # open-addressing numpy snapshot of _key_cache for vectorized
+        # lookups: keys are mix64 outputs (uniform), so ``key & mask``
+        # indexes a load-factor-¼ linear-probing table directly — one
+        # vectorized probe round resolves ~all occurrences. This replaces a
+        # per-batch np.unique (a full u64 sort of the occurrence stream —
+        # measured ~55% of warm hash_array wall, and np.searchsorted was no
+        # better at ~76 ns/lookup); misses (new vocabulary only) still go
+        # through the memo dict + blake2b. Rebuilt geometrically as the
+        # dict grows, so amortized O(C log C) total.
+        self._ht_keys = np.empty(0, dtype=U64)
+        self._ht_vals = np.empty(0, dtype=U64)
+        self._ht_filled = np.empty(0, dtype=bool)
+        self._ht_mask = np.uint64(0)
+        self._ht_maxprobe = 0
+        self._ht_n = 0
+
+    def _rebuild_table(self) -> None:
+        cache = self._key_cache
+        n = len(cache)
+        ks = np.fromiter(cache.keys(), dtype=U64, count=n)
+        vs = np.fromiter(cache.values(), dtype=U64, count=n)
+        M = 1 << max((4 * n - 1).bit_length() if n else 6, 6)
+        mask = np.uint64(M - 1)
+        tk = np.zeros(M, dtype=U64)
+        tv = np.zeros(M, dtype=U64)
+        tf = np.zeros(M, dtype=bool)
+        idx = np.arange(n)
+        probe = np.uint64(0)
+        # vectorized insertion: per round, the first pending key per slot
+        # whose slot is free wins; the rest retry at slot+1. Uniform keys at
+        # load ¼ converge in a handful of rounds.
+        while len(idx):
+            s = ((ks[idx] + probe) & mask).astype(np.int64)
+            order = np.argsort(s, kind="stable")
+            ss = s[order]
+            first = np.ones(len(ss), dtype=bool)
+            first[1:] = ss[1:] != ss[:-1]
+            winners = order[first]
+            free = ~tf[s[winners]]
+            w = winners[free]
+            sw = s[w]
+            tk[sw] = ks[idx[w]]
+            tv[sw] = vs[idx[w]]
+            tf[sw] = True
+            keep = np.ones(len(idx), dtype=bool)
+            keep[w] = False
+            idx = idx[keep]
+            probe += np.uint64(1)
+        self._ht_keys, self._ht_vals, self._ht_filled = tk, tv, tf
+        self._ht_mask = mask
+        self._ht_maxprobe = int(probe)
+        self._ht_n = n
 
     def _resolve_keys(
         self, keys: np.ndarray, low: np.ndarray, ts: np.ndarray, te: np.ndarray
     ) -> np.ndarray:
-        """Vectorized key→hash resolution: snapshot hits via searchsorted,
-        misses (new vocabulary only) through the memo dict + blake2b."""
+        """Vectorized key→hash resolution: snapshot hits via hash-table
+        probing, misses (new vocabulary only) through the memo dict +
+        blake2b."""
         th = np.empty(len(keys), dtype=U64)
-        tbl = self._tbl_keys
-        if len(tbl):
-            pos = np.minimum(np.searchsorted(tbl, keys), len(tbl) - 1)
-            hit = tbl[pos] == keys
-            th[hit] = self._tbl_vals[pos[hit]]
-            miss_idx = np.flatnonzero(~hit)
+        if self._ht_n:
+            mask = self._ht_mask
+            found = np.zeros(len(keys), dtype=bool)
+            pending = np.arange(len(keys))
+            probe = np.uint64(0)
+            # probe until an empty slot (true miss) or a key match; bounded
+            # by the build's max displacement.
+            while len(pending) and probe <= np.uint64(self._ht_maxprobe):
+                s = ((keys[pending] + probe) & mask).astype(np.int64)
+                tf = self._ht_filled[s]
+                hit = tf & (self._ht_keys[s] == keys[pending])
+                if hit.any():
+                    ph = pending[hit]
+                    th[ph] = self._ht_vals[s[hit]]
+                    found[ph] = True
+                pending = pending[tf & ~hit]
+                probe += np.uint64(1)
+            miss_idx = np.flatnonzero(~found)
         else:
             miss_idx = np.arange(len(keys))
         if len(miss_idx):
@@ -312,13 +371,8 @@ class BatchTokenHasher:
                         cache[k] = v
                 vals[i] = v
             th[miss_idx] = vals[np.searchsorted(uk, mkeys)]
-            if len(cache) > max(2 * len(tbl), 1024):
-                ks = np.fromiter(cache.keys(), dtype=U64, count=len(cache))
-                order = np.argsort(ks)
-                self._tbl_keys = ks[order]
-                self._tbl_vals = np.fromiter(
-                    cache.values(), dtype=U64, count=len(cache)
-                )[order]
+            if len(cache) > max(2 * self._ht_n, 1024):
+                self._rebuild_table()
         return th
 
     def hash_array(self, arr) -> tuple[np.ndarray, np.ndarray]:
@@ -507,38 +561,35 @@ def batch_winnowed_lgrams(
     gm = np.maximum(lens - L + 1, 0)  # grams per doc
     has = gm > 0
     g = g_all[seg_positions(off[:-1][has], gm[has])]  # per-doc runs, contiguous
-    goff = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(gm, out=goff[1:])
+    hidx = np.flatnonzero(has)
+    # local (within-g) start of each has-doc's gram run
+    gloc = np.zeros(len(hidx), dtype=np.int64)
+    np.cumsum(gm[hidx][:-1], out=gloc[1:])
 
-    sel_vals: list[np.ndarray] = []
-    sel_seg: list[np.ndarray] = []
-    # --- docs with 1..w grams: the single segment min (winnow small case) ---
-    if has.any():
-        allmins = np.minimum.reduceat(g, goff[:-1][has])
-        small = gm[has] <= w
-        if small.any():
-            sel_vals.append(allmins[small])
-            sel_seg.append(np.where(has)[0][small])
-    # --- docs with > w grams: unique window minima (winnow general case) ---
-    big = gm > w
-    if big.any():
-        wm = np.lib.stride_tricks.sliding_window_view(g, w).min(axis=1)
-        bidx = np.where(big)[0]
-        wpos = seg_positions(goff[:-1][big], gm[big] - w + 1)
-        wseg = np.repeat(bidx, gm[bidx] - w + 1)
-        v = wm[wpos]
-        order = np.lexsort((v, wseg))
-        vs, ss = v[order], wseg[order]
-        keep = np.ones(len(vs), dtype=bool)
-        keep[1:] = (ss[1:] != ss[:-1]) | (vs[1:] != vs[:-1])
-        sel_vals.append(vs[keep])
-        sel_seg.append(ss[keep])
-    if sel_vals:
-        V = np.concatenate(sel_vals)
-        G = np.concatenate(sel_seg)
-        order = np.lexsort((V, G))
-        V, G = V[order], G[order]
-        counts = np.bincount(G, minlength=n)
+    # per-doc sorted-unique selections assembled in doc order (same
+    # segment-local np.unique pattern as the signature shingle dedup — the
+    # former two global (value, doc) lexsorts were the kernel's main cost):
+    #   * 1..w grams  → the single segment min (winnow small case)
+    #   * > w grams   → unique sliding-window minima (winnow general case),
+    #     one global vectorized sliding min over the concatenated runs
+    #     (windows never straddle docs: slices below stay within each run)
+    parts: list[np.ndarray] = [_EMPTY_U64] * n
+    if len(hidx):
+        wm = (
+            np.lib.stride_tricks.sliding_window_view(g, w).min(axis=1)
+            if len(g) >= w
+            else None
+        )
+        gm_h = gm[hidx].tolist()
+        for j, (d, m) in enumerate(zip(hidx.tolist(), gm_h)):
+            s = gloc[j]
+            if m <= w:
+                seg = g[s : s + m]
+                parts[d] = seg.min(keepdims=True)
+            else:
+                parts[d] = np.unique(wm[s : s + m - w + 1])
+        V = np.concatenate(parts)
+        counts = np.fromiter((len(p) for p in parts), dtype=np.int64, count=n)
     else:
         V = np.empty(0, dtype=U64)
         counts = np.zeros(n, dtype=np.int64)
