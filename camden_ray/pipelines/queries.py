@@ -446,6 +446,103 @@ def knn_lsh(sf_dir: str):
     return ds.sort(["cos_fp", "vec_id"], descending=[True, False]).limit(10)
 
 
+def _ivf_params(n_rows: int) -> tuple[int, int]:
+    """(nlist, nprobe) for :func:`knn_ivf`: ~64 expected rows per list, and
+    probe enough lists that the expected candidate pool is >= 8192 rows
+    (a recall floor — the same adaptivity shape as knn_lsh's bit width),
+    never fewer than nlist/16. Below ~8k rows the floor makes the probe set
+    exhaustive — IVF degenerates to a flat scan there, which is why the
+    exact SQL is a valid oracle at the driver-table scales; the pruning
+    regime starts when the corpus outgrows the floor (asserted in
+    tests/test_similarity.py at synthetic large n)."""
+    nlist = int(np.clip(round(np.sqrt(n_rows / 64.0)), 4, 4096))
+    by_floor = int(np.ceil(nlist * min(1.0, 8192.0 / max(1, n_rows))))
+    nprobe = int(np.clip(max(nlist // 16, by_floor), 1, nlist))
+    return nlist, nprobe
+
+
+def knn_ivf(sf_dir: str):
+    """IVF (inverted-file) ANN: seeded spherical k-means centroids trained
+    on a fixed-cap driver-side sample, the query probes its nprobe nearest
+    lists, and only rows assigned to probed lists are exactly re-ranked.
+
+    Scale path: the centroid matrix is the only broadcast state (nlist × d,
+    KBs–low MBs via one ray.put); each batch runs one matmul against the
+    centroids to assign lists, masks to the probed lists (expected
+    n·nprobe/nlist of the corpus reaches the re-rank), and reuses the
+    knn_brute_force top-k recipe on the survivors. Training never reads the
+    full table — the sample is capped at max(4096, 64·nlist) rows. At the
+    driver-table scales the probed lists deterministically cover the exact
+    top-10 (seeded training; asserted against knn_brute_force in
+    tests/test_similarity.py), so the exact SQL doubles as the oracle —
+    the same contract as knn_lsh.
+    """
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(_t(sf_dir, "embeddings"))
+    n_rows = pf.metadata.num_rows
+    nlist, nprobe = _ivf_params(n_rows)
+    want = min(n_rows, max(4096, 64 * nlist))
+    parts, got = [], 0
+    for rb in pf.iter_batches(batch_size=8192, columns=["embedding"]):
+        parts.append(pa.Table.from_batches([rb]))
+        got += rb.num_rows
+        if got >= want:
+            break
+    sample = _emb_matrix(pa.concat_tables(parts)["embedding"])
+    snorm = np.linalg.norm(sample, axis=1)
+    snorm[snorm == 0] = 1.0
+    X = sample / snorm[:, None]
+    rng = np.random.default_rng(42)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+    for _ in range(8):  # spherical Lloyd on the sample (driver-side, capped)
+        a = np.argmax(X @ C.T, axis=1)
+        order = np.argsort(a, kind="stable")
+        ao = a[order]
+        starts = np.flatnonzero(np.r_[True, ao[1:] != ao[:-1]])
+        sums = np.add.reduceat(X[order], starts, axis=0)
+        nv = np.linalg.norm(sums, axis=1)
+        upd = nv > 0
+        C[ao[starts][upd]] = sums[upd] / nv[upd][:, None]
+    qrow = pq.read_table(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)],
+    )
+    q_raw = np.array(qrow["embedding"][0].as_py(), dtype=np.float32)
+    q = q_raw.astype(np.float64)
+    q /= np.linalg.norm(q)
+    probed = np.sort(np.argsort(-(C @ q), kind="stable")[:nprobe])
+    state = ray.put((C, probed, q, q_raw))
+
+    def probe_and_rank(t: pa.Table) -> pa.Table:
+        C_, pr, qv, qraw = ray.get(state)
+        emb = _emb_matrix(t["embedding"])
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        assign = np.argmax((emb / norms[:, None]) @ C_.T, axis=1)
+        mask = np.isin(assign, pr)
+        emb = emb[mask]
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)[mask]
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "cos_fp": pa.array([], type=pa.int64())})
+        nr = norms[mask]
+        est = (emb @ qv) / nr
+        top = np.argsort(-est, kind="stable")[:40]
+        cos_fp = _cos_fp_f32seq(
+            emb[top], np.broadcast_to(qraw, (len(top), len(qraw)))
+        )
+        ids = ids[top]
+        idx = np.lexsort((ids, -cos_fp))[:10]
+        return pa.table({"vec_id": pa.array(ids[idx], type=pa.int64()),
+                         "cos_fp": pa.array(cos_fp[idx], type=pa.int64())})
+
+    ds = _read(sf_dir, "embeddings").map_batches(
+        probe_and_rank, batch_format="pyarrow"
+    )
+    return ds.sort(["cos_fp", "vec_id"], descending=[True, False]).limit(10)
+
+
 def media_byte_features(sf_dir: str):
     """Multimodal plumbing demo: documents' text bytes as opaque payloads
     through the media decoder actor pool (fake decoder — see
@@ -900,6 +997,7 @@ QUERIES = {
     "lineitem_pricing": lineitem_pricing,
     "knn_brute_force": knn_brute_force,
     "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "media_byte_features": media_byte_features,
@@ -1083,6 +1181,7 @@ ORACLE_SQL = {
 # oracle. At corpus scale the adaptive bit width trades the low-cosine band
 # for bounded bucket sizes — the documented ANN contract.
 ORACLE_SQL["knn_lsh"] = ORACLE_SQL["knn_brute_force"]
+ORACLE_SQL["knn_ivf"] = ORACLE_SQL["knn_brute_force"]
 ORACLE_SQL["embedding_near_dup_lsh"] = ORACLE_SQL["embedding_near_dup"]
 
 # Exact word-5-gram Jaccard pairs >= 0.5 via an inverted shingle index —

@@ -105,3 +105,34 @@ def test_fingerprints_self_consistent(ray_session):
     b = doc_fingerprints(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert (a["fp"] != 0).any()
+
+
+def test_knn_ivf_matches_brute_force():
+    """IVF top-10 for the vec_id=0 query equals exact brute-force top-10 on
+    the driver tables (the candidate-pool floor makes the probe set
+    exhaustive at this n — the documented reason the exact SQL is a valid
+    oracle for knn_ivf)."""
+    from camden_ray.pipelines.queries import knn_brute_force, knn_ivf
+
+    bf = knn_brute_force(SF_DIR).to_pandas()
+    ivf = knn_ivf(SF_DIR).to_pandas()
+    assert list(ivf.vec_id) == list(bf.vec_id)
+    assert list(ivf.cos_fp) == list(bf.cos_fp)
+
+
+def test_ivf_params_prune_at_scale():
+    """The scale regime must actually prune (nprobe ≪ nlist) — otherwise
+    knn_ivf is a flat scan wearing an index; and the driver-scale regime
+    must be exhaustive (nprobe == nlist) — otherwise the exact oracle would
+    be unsound."""
+    from camden_ray.pipelines.queries import _ivf_params
+
+    for n in (10, 500, 8192):
+        nlist, nprobe = _ivf_params(n)
+        assert nprobe == nlist, f"driver scale n={n} must probe all lists"
+    for n in (10**5, 10**7, 10**9):
+        nlist, nprobe = _ivf_params(n)
+        assert nprobe <= max(nlist // 8, 1), (
+            f"scale regime n={n} must prune: {nprobe}/{nlist}"
+        )
+        assert nprobe * (n / nlist) >= 8192, "candidate floor violated"
