@@ -518,6 +518,9 @@ def run_dedup(
         "clusters": clusters,
         "kept": kept,
         "removed": removed,
+        # materialized signature table — the corpus state an incremental run
+        # (pipelines/incremental.py) matches new shards against
+        "signatures": sig_ds,
         "stats": stats,
         # wall-clock per stage — kept OUT of stats so result comparisons
         # across runs/paths stay deterministic

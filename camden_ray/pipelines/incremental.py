@@ -1,0 +1,662 @@
+"""Incremental dedup: match a NEW shard against an existing corpus without
+recomputing the corpus.
+
+The production shape of camden's scan→checksum→group loop
+(/root/reference/src/scanner.rs:17-49) at corpus scale is not "re-run the
+whole pipeline when a crawl shard lands" — it is "dedup the new shard against
+what we already know". This module does that with three corpus-side costs,
+all map-only column-pruned scans (NO corpus shuffle, NO re-extraction, NO
+re-signature — the signature stage is >50 % of full-run wall):
+
+  1. expand+filter: each base doc's candidate keys are computed in the
+     worker's heap and immediately filtered against the (broadcast) key set
+     the new shard touches — only matching rows (≈ bucket mates of new docs)
+     leave the task;
+  2. a (uid, vsig) semi-join to build the verification-sketch sidecar for
+     exactly the docs sitting in touched buckets;
+  3. a (uid, url) semi-join to resolve edge endpoints / representative urls.
+
+Everything that shuffles is sized by the NEW shard and its bucket mates,
+not the corpus.
+
+Why this is exact (the bucket-completeness invariant): a bucket's key is a
+pure function of one document's content, so the BASE members of any bucket
+are the same in the base run and in a full (base ∪ new) run. Hence
+  * every bucket containing ≥ 1 new doc is reconstructed COMPLETELY here
+    (all its base members match the key filter), so all new-touching edges
+    of a full run are found; and
+  * every base–base edge of a full run was already present in the base run,
+    so base-side connectivity is fully captured by the base run's cluster
+    assignments — carried here by mapping base endpoints onto their existing
+    cluster representatives before union-find.
+Therefore the partition of new docs into clusters equals the full run's
+partition restricted to new docs (asserted by tests/test_incremental.py).
+
+Cluster-id semantics differ from a full run ON PURPOSE: existing cluster ids
+are STABLE. A new doc joining an existing cluster adopts its id even if the
+new url is lexicographically smaller (a full run would rename the cluster to
+the new min url — useless churn in production, where downstream state is
+keyed by cluster id). When a new doc bridges several existing clusters they
+merge under the lexicographically smallest existing id; the merges are
+reported in ``base_merges``.
+
+Driver-state caps (documented, loud): the new shard's uid/url id maps and
+the delta edge set are driver-resident — the same memory bar as
+``driver_unionfind_max_edges`` in the full pipeline. A "new shard" is by
+definition ≪ corpus; a shard large enough to break that bar should be
+deduped internally with :func:`run_dedup` first (or in slices).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from camden_ray.config import DedupConfig
+from camden_ray.sources.webtext import read_webtext
+
+
+def _sorted_u64(vals_i64: np.ndarray) -> np.ndarray:
+    return np.unique(vals_i64.view(np.uint64))
+
+
+def _member_mask(vals_i64: np.ndarray, sorted_u64: np.ndarray) -> np.ndarray:
+    """Vectorized membership of int64 values in a sorted uint64 array."""
+    if not len(sorted_u64) or not len(vals_i64):
+        return np.zeros(len(vals_i64), dtype=bool)
+    v = vals_i64.view(np.uint64)
+    pos = np.searchsorted(sorted_u64, v)
+    posc = np.minimum(pos, len(sorted_u64) - 1)
+    return (pos < len(sorted_u64)) & (sorted_u64[posc] == v)
+
+
+def _collect_column(ds: "ray.data.Dataset", col: str) -> np.ndarray:
+    """Driver-side int64 column pull (block refs, no projection task wave)."""
+    tabs = ray.get(ds.to_arrow_refs())
+    parts = [
+        t[col].to_numpy(zero_copy_only=False) for t in tabs if t.num_rows
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts)
+
+
+def _distinct_keys(cand: "ray.data.Dataset", col: str) -> np.ndarray:
+    """Distinct int64 keys of a (new-shard-sized) candidate-row dataset,
+    merged on the driver from per-block unique partials."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t[col].to_numpy(zero_copy_only=False))
+        return pa.table({col: pa.array(u, type=pa.int64())})
+
+    tabs = ray.get(
+        cand.select_columns([col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    parts = [t[col].to_numpy(zero_copy_only=False) for t in tabs if t.num_rows]
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return _sorted_u64(np.concatenate(parts))
+
+
+def _semijoin_sig(
+    sig_ds: "ray.data.Dataset", uids_sorted: np.ndarray, columns: list[str]
+) -> "ray.data.Dataset":
+    """Map-only semi-join: sig rows whose uid is in the broadcast set."""
+    need_ref = ray.put(uids_sorted)
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = _member_mask(t["uid"].to_numpy(zero_copy_only=False), ray.get(need_ref))
+        return t.filter(pa.array(m))
+
+    return sig_ds.select_columns(columns).map_batches(
+        pick, batch_format="pyarrow"
+    )
+
+
+def _incremental_star_edges(
+    new_sig: "ray.data.Dataset",
+    base_sig: "ray.data.Dataset",
+    union_sig: "ray.data.Dataset",
+    cfg: DedupConfig,
+    P: int,
+) -> "ray.data.Dataset":
+    """New-touching star edges (exact / minhash / substring) via ONE small
+    exchange over (new ∪ matching-base) candidate rows."""
+    from camden_ray.stages.candidates import (
+        _count_hot,
+        _hot_array,
+        _salt_keys,
+        _stamp_edges,
+        build_vsig_sidecar,
+        make_unified_partition_grouper,
+        make_unified_star_expander,
+        partition_map,
+        salted_gkey_map,
+    )
+
+    expander = make_unified_star_expander(cfg)  # count mode: (key, uid, branch)
+    sig_cols = [
+        c
+        for c in ("uid", "digest", "sig", "lgrams")
+        if c in new_sig.schema().names
+    ]
+
+    new_cand = (
+        new_sig.select_columns(sig_cols)
+        .map_batches(expander, batch_format="pyarrow")
+        .materialize()
+    )
+    keys_new = _distinct_keys(new_cand, "key")
+    keys_ref = ray.put(keys_new)
+
+    def expand_filter(t: pa.Table) -> pa.Table:
+        c = expander(t)
+        m = _member_mask(
+            c["key"].to_numpy(zero_copy_only=False), ray.get(keys_ref)
+        )
+        return c.filter(pa.array(m))
+
+    base_cand = (
+        base_sig.select_columns(sig_cols)
+        .map_batches(expand_filter, batch_format="pyarrow")
+        .materialize()
+    )
+    cand = new_cand.union(base_cand).materialize()
+
+    # hot buckets counted EXACTLY (the candidate set is already filtered and
+    # small — no sampling needed, unlike the full pipeline's corpus pass)
+    hot_keys = _count_hot(cand, float(cfg.bucket_cap))
+    hot_arr = _hot_array(hot_keys)
+    smap = salted_gkey_map(hot_keys, cfg)
+
+    vsig_ref = None
+    if "minhash" in cfg.methods:
+        # sketch sidecar over exactly the docs in touched buckets: bucket
+        # members all survive the key filter, so the grouper's membership
+        # check holds by construction
+        bucket_uids = _sorted_u64(_collect_column(cand, "uid")).view(np.int64)
+        vsig_cols = ["uid", "vsig" if "vsig" in union_sig.schema().names else "sig"]
+        sub_sig = _semijoin_sig(union_sig, bucket_uids.view(np.uint64), vsig_cols)
+        vsig_ref = build_vsig_sidecar(sub_sig, cfg)
+
+    def salt_pkey(t: pa.Table) -> pa.Table:
+        keys = t["key"].to_numpy(zero_copy_only=False)
+        uids = t["uid"].to_numpy(zero_copy_only=False)
+        gkey, pkey = _salt_keys(keys, uids, hot_arr, cfg, P)
+        return pa.table(
+            {
+                "gkey": pa.array(gkey, type=pa.int64()),
+                "uid": t["uid"],
+                "branch": t["branch"],
+                "pkey": pa.array(pkey, type=pa.int64()),
+            }
+        )
+
+    grouped = partition_map(
+        cand,
+        P,
+        make_unified_partition_grouper(cfg, salted_map=smap, vsig_ref=vsig_ref),
+        map_fn=salt_pkey,
+    ).materialize()
+    edges = grouped.map_batches(_stamp_edges, batch_format="pyarrow")
+    if not len(hot_arr):
+        return edges
+
+    # hot-bucket rep re-link (same second pass as unified_star_edges_uid)
+    def rep_rows_fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "rep"))
+        return pa.table(
+            {
+                "gkey": t["key"],
+                "uid": t["a"],
+                "branch": t["branch"],
+                "vsig": t["vsig"],
+                "pkey": pa.array([0] * len(t), type=pa.int64()),
+            }
+        )
+
+    rep_rows = grouped.map_batches(rep_rows_fn, batch_format="pyarrow")
+    rep_grouped = partition_map(
+        rep_rows,
+        1,
+        make_unified_partition_grouper(cfg, salted_map=None, vsig_ref=vsig_ref),
+    )
+    rep_edges = rep_grouped.map_batches(_stamp_edges, batch_format="pyarrow")
+    return edges.union(rep_edges)
+
+
+def _incremental_simhash_edges(
+    new_sig: "ray.data.Dataset",
+    base_sig: "ray.data.Dataset",
+    cfg: DedupConfig,
+    P: int,
+) -> "ray.data.Dataset":
+    """New-touching simhash edges: pigeonhole keys of the new shard filter
+    the base expansion before the (small) exchange."""
+    from camden_ray.functions.hashing import mix64
+    from camden_ray.stages.candidates import (
+        _PKEY_MIX,
+        make_simhash_expander,
+        make_simhash_partition_grouper,
+        partition_map,
+    )
+
+    expander = make_simhash_expander(cfg)  # (gkey, uid, simhash)
+    new_rows = (
+        new_sig.select_columns(["uid", "simhash"])
+        .map_batches(expander, batch_format="pyarrow")
+        .materialize()
+    )
+    keys_new = _distinct_keys(new_rows, "gkey")
+    keys_ref = ray.put(keys_new)
+
+    def expand_filter(t: pa.Table) -> pa.Table:
+        c = expander(t)
+        m = _member_mask(
+            c["gkey"].to_numpy(zero_copy_only=False), ray.get(keys_ref)
+        )
+        return c.filter(pa.array(m))
+
+    base_rows = (
+        base_sig.select_columns(["uid", "simhash"])
+        .map_batches(expand_filter, batch_format="pyarrow")
+        .materialize()
+    )
+    rows = new_rows.union(base_rows)
+
+    Pu = np.uint64(P)
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        k = t["gkey"].to_numpy(zero_copy_only=False).view(np.uint64)
+        pkey = (mix64(k ^ _PKEY_MIX) % Pu).view(np.int64)
+        return t.append_column("pkey", pa.array(pkey, type=pa.int64()))
+
+    grouped = partition_map(
+        rows, P, make_simhash_partition_grouper(cfg), map_fn=add_pkey
+    )
+    return grouped.map_batches(
+        lambda t: t.append_column(
+            "method", pa.array(["simhash"] * len(t), type=pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _load_base(base: "ray.data.Dataset | str", stage: str) -> "ray.data.Dataset":
+    if isinstance(base, str):
+        sdir = os.path.join(base, f"stage={stage}")
+        if not os.path.isdir(sdir):
+            raise FileNotFoundError(
+                f"no '{stage}' checkpoint under {base} — run the base "
+                "run_dedup with out_dir set"
+            )
+        return ray.data.read_parquet(sdir)
+    return base
+
+
+def run_dedup_incremental(
+    new_input: "str | list[str] | None",
+    base_sig: "ray.data.Dataset | str",
+    base_clusters: "ray.data.Dataset | str | None" = None,
+    cfg: DedupConfig | None = None,
+    extract: bool = True,
+    new_input_ds: "ray.data.Dataset | None" = None,
+    new_sig_ds: "ray.data.Dataset | None" = None,
+) -> dict[str, Any]:
+    """Dedup a NEW shard against an existing corpus (see module docstring).
+
+    ``base_sig`` / ``base_clusters``: the base run's signature table and
+    cluster assignments — as Datasets, or as the base run's checkpoint
+    ``out_dir`` (stages ``signatures`` / ``clusters``). ``cfg`` MUST be the
+    base run's config (same seeds and signature geometry — uids, digests and
+    bucket keys must agree across runs).
+
+    With ``base_clusters=None`` every matched base doc is treated as its own
+    cluster of one (valid when the base corpus is known duplicate-free);
+    otherwise new docs adopt existing cluster ids (stability contract above).
+
+    Returns ``{"clusters": <Dataset over NEW docs: url, cluster_id,
+    is_representative>, "edges": <url-pair edges touching the new shard>,
+    "edges_uid": ..., "base_merges": [(kept_id, [merged ids]), ...],
+    "stats": {...}, "timings": {...}}``.
+    """
+    from camden_ray.functions.hashing import hash_string_column
+    from camden_ray.pipelines.dedup import refine_substring_edges, signature_table
+    from camden_ray.stages.candidates import partitions_for, resolve_edge_urls
+    from camden_ray.stages.cluster import unionfind_uid
+
+    cfg = cfg or DedupConfig()
+    timings: dict[str, Any] = {}
+    base_sig = _load_base(base_sig, "signatures")
+    if base_clusters is not None:
+        base_clusters = _load_base(base_clusters, "clusters")
+
+    # --- new-shard signatures (the only extraction/signature work) --------
+    t0 = time.monotonic()
+    if new_sig_ds is not None:
+        new_sig = new_sig_ds
+    else:
+        if new_input_ds is not None:
+            ds = new_input_ds
+        else:
+            columns = ["url", "html"] if extract else ["url", "text"]
+            ds = read_webtext(
+                new_input,
+                columns=columns,
+                langs=cfg.langs,
+                min_text_chars=0 if extract else cfg.min_text_chars,
+            )
+        new_sig = signature_table(ds, cfg, extract=extract).materialize()
+    n_new = new_sig.count()
+    timings["signatures_new"] = round(time.monotonic() - t0, 3)
+
+    new_uids = _sorted_u64(_collect_column(new_sig, "uid"))
+    union_sig = base_sig.union(new_sig)
+    P = partitions_for(cfg, n_new)
+
+    # --- candidate edges over touched buckets ------------------------------
+    t0 = time.monotonic()
+    parts = []
+    if {"exact", "minhash", "substring"} & set(cfg.methods):
+        parts.append(_incremental_star_edges(new_sig, base_sig, union_sig, cfg, P))
+    if "simhash" in cfg.methods:
+        parts.append(_incremental_simhash_edges(new_sig, base_sig, cfg, P))
+    if not parts:
+        raise ValueError(f"no enabled methods in {cfg.methods!r}")
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.union(p)
+    e = e.materialize()
+    timings["edges"] = round(time.monotonic() - t0, 3)
+
+    if "substring" in cfg.methods and cfg.verify_substring_spans:
+        t0 = time.monotonic()
+        e = refine_substring_edges(e, union_sig, cfg, timings=timings).materialize()
+        timings["span_verify"] = round(time.monotonic() - t0, 3)
+
+    # --- driver clustering over the delta ----------------------------------
+    # Edge set is bucket-mate-sized (≪ corpus); the same driver-memory bar
+    # as the full pipeline's driver_unionfind_max_edges applies.
+    t0 = time.monotonic()
+    tabs = ray.get(e.select_columns(["a", "b"]).to_arrow_refs())
+    a_parts = [t["a"].to_numpy(zero_copy_only=False) for t in tabs if t.num_rows]
+    b_parts = [t["b"].to_numpy(zero_copy_only=False) for t in tabs if t.num_rows]
+    a = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=np.int64)
+    b = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=np.int64)
+    n_edges = len(a)
+    if n_edges > cfg.driver_unionfind_max_edges:
+        raise ValueError(
+            f"incremental delta has {n_edges} edges — above the driver bar "
+            f"({cfg.driver_unionfind_max_edges}); dedup the shard with "
+            "run_dedup first or split it"
+        )
+
+    a_new = _member_mask(a, new_uids)
+    b_new = _member_mask(b, new_uids)
+
+    # base endpoints → their existing cluster representative uid
+    base_eps = np.unique(np.concatenate([a[~a_new], b[~b_new]])) if n_edges else np.empty(0, dtype=np.int64)
+    if base_clusters is not None and len(base_eps):
+        need = base_eps.view(np.uint64)
+        need_ref = ray.put(np.sort(need))
+
+        def pick(t: pa.Table) -> pa.Table:
+            uid = hash_string_column(t["url"]).view(np.int64)
+            m = _member_mask(uid, ray.get(need_ref))
+            mt = t.filter(pa.array(m))
+            return pa.table(
+                {
+                    "uid": pa.array(uid[m], type=pa.int64()),
+                    "cluster_id": mt["cluster_id"],
+                }
+            )
+
+        lk_tabs = ray.get(
+            base_clusters.select_columns(["url", "cluster_id"])
+            .map_batches(pick, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        lk_tabs = [t for t in lk_tabs if t.num_rows]
+        lk = (
+            pa.concat_tables(lk_tabs).combine_chunks()
+            if lk_tabs
+            else pa.table(
+                {"uid": pa.array([], type=pa.int64()),
+                 "cluster_id": pa.array([], type=pa.string())}
+            )
+        )
+        bu = lk["uid"].to_numpy(zero_copy_only=False)
+        # canonical UNSIGNED ordering throughout (uids are hash-valued int64s,
+        # so int64 and uint64 sort orders genuinely differ)
+        order = np.argsort(bu.view(np.uint64))
+        bu = bu[order]
+        bids = lk["cluster_id"].take(pa.array(order))
+        # duplicate uids (shouldn't occur) keep first deterministically
+        first = np.r_[True, bu[1:] != bu[:-1]]
+        bu = bu[first]
+        bids = bids.filter(pa.array(first))
+        missing = ~_member_mask(base_eps, bu.view(np.uint64))
+        if missing.any():
+            raise ValueError(
+                f"{int(missing.sum())} base edge endpoints are missing from "
+                "base_clusters — it must cover every base document"
+            )
+        rep_of_ep = hash_string_column(bids).view(np.int64)  # aligned with bu
+        rep_ids = bids  # aligned strings for naming
+    else:
+        # no base assignment state: each matched base doc is its own rep
+        bu = base_eps[np.argsort(base_eps.view(np.uint64))] if len(base_eps) else base_eps
+        rep_of_ep = bu
+        rep_ids = None  # names resolved from sig urls below
+
+    def remap(vals: np.ndarray, is_new: np.ndarray) -> np.ndarray:
+        out = vals.copy()
+        if len(bu):
+            m = ~is_new
+            if m.any():
+                pos = np.searchsorted(bu.view(np.uint64), vals[m].view(np.uint64))
+                out[m] = rep_of_ep[pos]
+        return out
+
+    ra = remap(a, a_new)
+    rb = remap(b, b_new)
+
+    uf = (
+        unionfind_uid(
+            ray.data.from_arrow(
+                pa.table(
+                    {"a": pa.array(ra, type=pa.int64()),
+                     "b": pa.array(rb, type=pa.int64())}
+                )
+            )
+        )
+        if n_edges
+        else None
+    )
+    timings["unionfind"] = round(time.monotonic() - t0, 3)
+
+    # --- component naming ---------------------------------------------------
+    t0 = time.monotonic()
+    if uf is not None:
+        nodes, roots = uf
+    else:
+        nodes = np.empty(0, dtype=np.int64)
+        roots = np.empty(0, dtype=np.int64)
+
+    node_is_new = _member_mask(nodes, new_uids)
+    # url lookup for edge-touching NEW uids (delta-sized semi-join)
+    touched_new = nodes[node_is_new]
+    if len(touched_new):
+        nu_tabs = ray.get(
+            _semijoin_sig(
+                new_sig, np.sort(touched_new.view(np.uint64)), ["uid", "url"]
+            ).to_arrow_refs()
+        )
+        nu_tabs = [t for t in nu_tabs if t.num_rows]
+        nu = pa.concat_tables(nu_tabs).combine_chunks() if nu_tabs else None
+    else:
+        nu = None
+    if nu is not None:
+        nuid = nu["uid"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nuid)
+        nuid = nuid[order]
+        nurl = nu["url"].take(pa.array(order))
+        nurl_py = nurl.to_pylist()
+    else:
+        nuid = np.empty(0, dtype=np.int64)
+        nurl_py = []
+
+    # rep-node names: existing cluster ids (or base urls when no base state)
+    if rep_ids is not None:
+        rep_uid_arr = rep_of_ep
+        rep_name_py = rep_ids.to_pylist()
+    elif len(bu):
+        # resolve base endpoint urls from the base signature table
+        be_tabs = ray.get(
+            _semijoin_sig(
+                base_sig, np.sort(bu.view(np.uint64)), ["uid", "url"]
+            ).to_arrow_refs()
+        )
+        be_tabs = [t for t in be_tabs if t.num_rows]
+        be = pa.concat_tables(be_tabs).combine_chunks() if be_tabs else None
+        if be is None or be.num_rows < len(bu):
+            raise ValueError("base signature table is missing edge endpoints")
+        beu = be["uid"].to_numpy(zero_copy_only=False)
+        order = np.argsort(beu)
+        rep_uid_arr = beu[order]
+        rep_name_py = be["url"].take(pa.array(order)).to_pylist()
+    else:
+        rep_uid_arr = np.empty(0, dtype=np.int64)
+        rep_name_py = []
+
+    # sort rep names by uid for lookup
+    if len(rep_uid_arr):
+        ro = np.argsort(rep_uid_arr)
+        rep_uid_sorted = rep_uid_arr[ro]
+        rep_name_sorted = [rep_name_py[i] for i in ro.tolist()]
+        # dedupe (several base endpoints share a rep uid)
+        keep = np.r_[True, rep_uid_sorted[1:] != rep_uid_sorted[:-1]]
+        rep_uid_sorted = rep_uid_sorted[keep]
+        rep_name_sorted = [
+            n for n, k in zip(rep_name_sorted, keep.tolist()) if k
+        ]
+    else:
+        rep_uid_sorted = np.empty(0, dtype=np.int64)
+        rep_name_sorted = []
+
+    # group nodes by root, pick names
+    comp_name: dict[int, str] = {}
+    comp_base: dict[int, list[str]] = {}
+    if len(nodes):
+        order = np.argsort(roots, kind="stable")
+        rs = roots[order]
+        ns = nodes[order]
+        is_new_s = node_is_new[order]
+        starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+        ends = np.r_[starts[1:], len(rs)]
+        for s, epos in zip(starts.tolist(), ends.tolist()):
+            root = int(rs[s])
+            base_names: list[str] = []
+            new_urls: list[str] = []
+            for i in range(s, epos):
+                node = int(ns[i])
+                if is_new_s[i]:
+                    p = np.searchsorted(nuid, node)
+                    if p < len(nuid) and nuid[p] == node:
+                        new_urls.append(nurl_py[p])
+                else:
+                    p = np.searchsorted(rep_uid_sorted, node)
+                    if p < len(rep_uid_sorted) and rep_uid_sorted[p] == node:
+                        base_names.append(rep_name_sorted[p])
+            if base_names:
+                comp_name[root] = min(base_names)
+                if len(set(base_names)) > 1:
+                    comp_base[root] = sorted(set(base_names))
+            elif new_urls:
+                comp_name[root] = min(new_urls)
+
+    base_merges = [
+        (comp_name[r], [x for x in names if x != comp_name[r]])
+        for r, names in sorted(comp_base.items(), key=lambda kv: comp_name[kv[0]])
+    ]
+
+    # --- assignment over the new shard (distributed; singletons stay put) --
+    assign_uids = nodes[node_is_new]
+    assign_names = [comp_name[int(r)] for r in roots[node_is_new]]
+    ao = np.argsort(assign_uids)
+    assign_uids = assign_uids[ao]
+    assign_names_arr = pa.array(
+        [assign_names[i] for i in ao.tolist()], type=pa.string()
+    )
+    au_ref = ray.put(assign_uids)
+    an_ref = ray.put(assign_names_arr)
+
+    def assign(t: pa.Table) -> pa.Table:
+        au = ray.get(au_ref)
+        an = ray.get(an_ref)
+        uid = t["uid"].to_numpy(zero_copy_only=False)
+        urls = t["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        if len(au):
+            pos = np.searchsorted(au, uid)
+            posc = np.minimum(pos, len(au) - 1)
+            m = (pos < len(au)) & (au[posc] == uid)
+            names_full = an.take(pa.array(posc))
+            cid_arr = pc.if_else(pa.array(m), names_full, urls)
+        else:
+            cid_arr = urls
+        return pa.table(
+            {
+                "url": urls,
+                "cluster_id": cid_arr,
+                "is_representative": pc.equal(urls, cid_arr),
+            }
+        )
+
+    clusters = new_sig.select_columns(["url", "uid"]).map_batches(
+        assign, batch_format="pyarrow"
+    ).materialize()
+    timings["assign"] = round(time.monotonic() - t0, 3)
+
+    # public edge view: only pairs touching the new shard (the delta a user
+    # acts on); bucket-internal base–base pairs fed the union-find above but
+    # are already known to the base run
+    new_ref = ray.put(new_uids)
+
+    def delta_only(t: pa.Table) -> pa.Table:
+        nu_ = ray.get(new_ref)
+        am = _member_mask(t["a"].to_numpy(zero_copy_only=False), nu_)
+        bm = _member_mask(t["b"].to_numpy(zero_copy_only=False), nu_)
+        return t.filter(pa.array(am | bm))
+
+    e_delta = e.map_batches(delta_only, batch_format="pyarrow").materialize()
+
+    n_dup_new = len(assign_uids)
+    stats = {
+        "new_docs": n_new,
+        "edges_total": n_edges,
+        "edges_delta": e_delta.count(),
+        "new_docs_in_clusters": n_dup_new,
+        "new_singletons": n_new - n_dup_new,
+        "base_cluster_merges": len(base_merges),
+    }
+
+    return {
+        "clusters": clusters,
+        "edges_uid": e_delta,
+        "edges": resolve_edge_urls(e_delta, union_sig, cfg),
+        "base_merges": base_merges,
+        "stats": stats,
+        "timings": timings,
+        "config": cfg,
+    }
