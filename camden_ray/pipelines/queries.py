@@ -967,6 +967,52 @@ def doc_exact_ngram_clusters(sf_dir: str):
     )
 
 
+def doc_incremental_clusters(sf_dir: str):
+    """Incremental exact dedup over documents: rows whose ``md5(url)`` first
+    hex digit is 0-2 (~19 %) form the "new shard"; the rest are the base
+    corpus. The base corpus is deduped with :func:`run_dedup`
+    (methods=exact), then the new shard is attached with
+    :func:`run_dedup_incremental` — new docs ADOPT existing cluster ids
+    (the stability contract of pipelines/incremental.py), unmatched new
+    docs cluster among themselves under the min new url.
+
+    Exact-method semantics are SQL-expressible, so this query pins the
+    incremental path under the full DuckDB oracle: cluster_id =
+    min base url sharing the text, else min new url sharing the text.
+    """
+    import hashlib
+
+    from camden_ray.pipelines.dedup import run_dedup
+    from camden_ray.pipelines.incremental import run_dedup_incremental
+
+    cfg = DedupConfig(methods=("exact",))
+
+    def _split(new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            urls = t["url"].to_pylist()
+            m = np.fromiter(
+                (hashlib.md5(u.encode()).hexdigest()[0] in "012" for u in urls),
+                dtype=bool, count=len(urls),
+            )
+            return t.filter(pa.array(m if new else ~m))
+        return f
+
+    docs = _documents_as_webtext(sf_dir)
+    base = run_dedup(
+        None, cfg, extract=False,
+        input_ds=docs.map_batches(_split(False), batch_format="pyarrow"),
+    )
+    inc = run_dedup_incremental(
+        None,
+        base_sig=base["signatures"],
+        base_clusters=base["clusters"],
+        cfg=cfg,
+        extract=False,
+        new_input_ds=docs.map_batches(_split(True), batch_format="pyarrow"),
+    )
+    return inc["clusters"]
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1006,6 +1052,7 @@ QUERIES = {
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_exact_ngram_clusters": doc_exact_ngram_clusters,
+    "doc_incremental_clusters": doc_incremental_clusters,
     "orders_by_segment": orders_by_segment,
     "customer_region_counts": customer_region_counts,
     "lineitem_part_revenue": lineitem_part_revenue,
@@ -1332,4 +1379,26 @@ ORACLE_SQL["doc_simhash_pairs"] = """
            CAST(bit_count(xor(s1.sh, s2.sh)) AS BIGINT) AS hamming
     FROM sim s1 JOIN sim s2 ON s1.url < s2.url
     WHERE bit_count(xor(s1.sh, s2.sh)) <= 3
+"""
+
+# Incremental attach under the full oracle: new docs (md5(url) first hex
+# digit 0-2) adopt the base corpus's exact-dedup cluster id (min base url
+# sharing the text — the base run's deterministic representative), else
+# cluster among themselves under the min new-shard url. Exact-only config
+# means no base-cluster merges, so this closed form IS the semantics.
+ORACLE_SQL["doc_incremental_clusters"] = """
+    WITH doc AS (
+        SELECT 'doc://' || doc_id AS url, text,
+               substr(md5('doc://' || doc_id), 1, 1) IN ('0','1','2') AS is_new
+        FROM documents
+    ),
+    base_rep AS (SELECT text, min(url) AS rep FROM doc WHERE NOT is_new GROUP BY text),
+    new_rep AS (SELECT text, min(url) AS nrep FROM doc WHERE is_new GROUP BY text)
+    SELECT d.url AS url,
+           COALESCE(b.rep, n.nrep) AS cluster_id,
+           d.url = COALESCE(b.rep, n.nrep) AS is_representative
+    FROM doc d
+    LEFT JOIN base_rep b USING (text)
+    LEFT JOIN new_rep n USING (text)
+    WHERE d.is_new
 """
