@@ -440,25 +440,25 @@ def run_dedup(
         if uf is None:
             nodes = np.empty(0, dtype=np.int64)
             roots = np.empty(0, dtype=np.int64)
-            comp = pa.table(
-                {"root": pa.array([], type=pa.int64()),
-                 "cluster_id": pa.array([], type=pa.string())}
-            )
+            from camden_ray.stages.cluster import _empty_comp_table
+
+            nodes_ref, roots_ref = ray.put(nodes), ray.put(roots)
+            comp_ref = ray.put(_empty_comp_table())
+            n_reps_small = 0
         else:
             nodes, roots = uf
             t1 = time.monotonic()
-            comp_roots, comp_urls = component_min_urls(sig_ds, nodes, roots)
-            timings["comp_minurls"] = round(time.monotonic() - t1, 3)
-            comp = pa.table(
-                {"root": pa.array(comp_roots, type=pa.int64()),
-                 "cluster_id": comp_urls}
+            # comp_ref IS the assignment broadcast object (merged in-cluster;
+            # component-sized strings never cross the driver)
+            comp_ref, n_reps_small, nodes_ref, roots_ref = component_min_urls(
+                sig_ds, nodes, roots
             )
+            timings["comp_minurls"] = round(time.monotonic() - t1, 3)
         clusters = sig_ds.select_columns(["url", "uid"]).map_batches(
-            make_uid_assigner(ray.put(nodes), ray.put(roots), ray.put(comp)),
+            make_uid_assigner(nodes_ref, roots_ref, comp_ref),
             batch_format="pyarrow",
         )
         n_clustered_small = len(nodes)
-        n_reps_small = comp.num_rows
     else:
         # scale path: distributed hash-to-min components + shuffle-join
         # assignment — NO driver-side assignment map at any point (the regime
