@@ -882,10 +882,15 @@ def make_unified_partition_grouper(cfg: DedupConfig, salted_map=None, vsig_ref=N
         n = len(t)
         if n == 0:
             return _empty_grouped_table()
+        # contiguous FIRST: a multi-key sort_indices over the reduce concat's
+        # ~96 chunks is 2.5x the contiguous sort (576 vs 220 ms on a 1.4M-row
+        # partition), and take on chunked pays again (128 vs 42 ms) — one
+        # 25 MB combine pass buys both back
+        t = t.combine_chunks()
         order = pc.sort_indices(
             t, sort_keys=[("gkey", "ascending"), ("uid", "ascending")]
         )
-        t = t.take(order).combine_chunks()
+        t = t.take(order)
         g = t["gkey"].to_numpy()
         branch = t["branch"].to_numpy()
         uids = t["uid"].to_numpy()
@@ -1230,6 +1235,8 @@ def make_simhash_partition_grouper(cfg: DedupConfig):
         n = len(t)
         if n < 2:
             return empty
+        t = t.combine_chunks()  # multi-key sort over the reduce concat's
+        # chunks is 2.5x the contiguous sort — see the unified grouper
         order = pc.sort_indices(
             t,
             sort_keys=[
@@ -1238,7 +1245,7 @@ def make_simhash_partition_grouper(cfg: DedupConfig):
                 ("uid", "ascending"),
             ],
         )
-        t = t.take(order).combine_chunks()
+        t = t.take(order)
         g = t["gkey"].to_numpy()
         shs = t["simhash"].to_numpy().view(np.uint64)
         uids = t["uid"].to_numpy()
