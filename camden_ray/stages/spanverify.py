@@ -540,7 +540,20 @@ def _partition_pairs_and_texts(t: pa.Table):
     is_pair = kind == 0
     pt = t.filter(pa.array(is_pair))
     tt = t.filter(pa.array(~is_pair))
-    texts = dict(zip(tt["a"].to_pylist(), tt["text"].to_pylist()))
+    col = tt["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_list(col.type) and col.null_count == 0:
+        # token-hash streams: zero-copy numpy views into the flat values
+        # buffer instead of to_pylist (which boxed ~400 Python ints per doc
+        # and dominated the span-verify partitions' wall)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]  # filter/slice can leave a nonzero start
+        keys = tt["a"].to_pylist()
+        texts = {k: flat[offs[i] : offs[i + 1]] for i, k in enumerate(keys)}
+    else:
+        texts = dict(zip(tt["a"].to_pylist(), col.to_pylist()))
     return pt, texts
 
 
@@ -554,10 +567,14 @@ def _verify_span_pairs_arrays(
     paths cannot drift semantically."""
     gram_cache: dict = {}
 
-    def grams(u) -> np.ndarray:
+    def grams(u) -> tuple[np.ndarray, np.ndarray]:
         g = gram_cache.get(u)
         if g is None:
-            g = rolling_lgram_hashes(th_of(u), L)
+            raw = rolling_lgram_hashes(th_of(u), L)
+            # sorted-unique twin cached per url: the pair loop intersects via
+            # searchsorted instead of re-sorting both arrays per pair
+            # (np.intersect1d sorts the concatenation on every call)
+            g = (raw, np.unique(raw))
             gram_cache[u] = g
         return g
 
@@ -565,10 +582,14 @@ def _verify_span_pairs_arrays(
     keep_b: list = []
     est: list[float] = []
     for a, b in zip(a_ids, b_ids):
-        ga, gb = grams(a), grams(b)
-        if not len(ga) or not len(gb):
+        (ga, sa), (gb, sb) = grams(a), grams(b)
+        if not len(sa) or not len(sb):
             continue
-        common = np.intersect1d(ga, gb)
+        if len(sa) > len(sb):  # search the smaller set in the bigger one
+            sa, sb = sb, sa
+        idx = np.searchsorted(sb, sa)
+        idx[idx == len(sb)] = 0
+        common = sa[sb[idx] == sa]  # sorted ascending, same as intersect1d
         if not len(common):
             continue
         ta, tb = th_of(a), th_of(b)
