@@ -142,37 +142,41 @@ _TAG_ACTION.update({t: 2 for t in _BLOCK_TAGS})
 def _extract_fast(html: str) -> str:
     """Single-regex-scan extraction, byte-identical to _TextExtractor on every
     construct it accepts (differential-tested incl. hypothesis fuzzing in
-    tests/test_extract.py). ~2.5x the html.parser path: no per-tag attribute
+    tests/test_extract.py): one C-level ``finditer`` pass yields every
+    construct; the Python loop only routes tag state. No per-tag attribute
     parsing, no charref re-buffering, C-speed data segments. Raises
-    _Unsupported on anything ambiguous — the caller falls back."""
+    _Unsupported on anything ambiguous — the caller falls back.
+
+    Two places genuinely differ from a per-position rescan and both bail to
+    the slow path instead of drifting: (1) a stray ``<`` inside gap text that
+    html.parser would open a construct at (``<`` + alpha / ``/`` ``!`` ``?``
+    or at EOF); (2) a construct hidden UNDER an already-consumed match — a
+    cdata jump can land ``pos`` inside e.g. a comment match that swallowed
+    the close tag, and the real tags in that shadow then surface as case (1)
+    in the following gap."""
     chunks: list[str] = []
     skip = 0
     pos = 0
     n = len(html)
-    find = html.find
-    scan = _SCAN_RE.match
     act = _TAG_ACTION
-    while pos < n:
-        lt = find("<", pos)
-        if lt < 0:
-            if skip == 0:
-                seg = html[pos:]
-                chunks.append(unescape(seg) if "&" in seg else seg)
-            break
-        if lt > pos and skip == 0:
+    append = chunks.append
+    for m in _SCAN_RE.finditer(html):
+        lt = m.start()
+        if lt < pos:
+            continue  # consumed by a cdata jump
+        if lt > pos:
             seg = html[pos:lt]
-            chunks.append(unescape(seg) if "&" in seg else seg)
-        m = scan(html, lt)
-        if m is None:
-            nxt = html[lt + 1] if lt + 1 < n else ""
-            if nxt.isalpha() or nxt in "/!?" or not nxt:
-                # a construct html.parser would tolerant-parse differently
-                raise _Unsupported(f"unparsed construct at {lt}")
-            # html.parser: '<' not opening any construct is one char of data
+            j = seg.find("<")
+            while j >= 0:
+                # next char after the stray '<' (a trailing '<' is followed
+                # by this match's own '<' — plain data either way)
+                nxt = seg[j + 1] if j + 1 < len(seg) else "<"
+                if nxt.isalpha() or nxt in "/!?":
+                    # a construct html.parser would tolerant-parse
+                    raise _Unsupported(f"unparsed construct at {pos + j}")
+                j = seg.find("<", j + 1)
             if skip == 0:
-                chunks.append("<")
-            pos = lt + 1
-            continue
+                append(unescape(seg) if "&" in seg else seg)
         li = m.lastindex
         pos = m.end()
         if li == 4:  # end tag
@@ -181,7 +185,7 @@ def _extract_fast(html: str) -> str:
                 if skip:
                     skip -= 1
             elif a == 2:
-                chunks.append("\n")
+                append("\n")
             continue
         if li < 4:  # comment / declaration / PI: no data, no state
             continue
@@ -194,12 +198,12 @@ def _extract_fast(html: str) -> str:
         a = act.get(tag)
         if m.group(7):  # self-closing: handle_startendtag, never CDATA mode
             if a == 2:
-                chunks.append("\n")
+                append("\n")
             continue
         if a == 1:
             skip += 1
         elif a == 2:
-            chunks.append("\n")
+            append("\n")
         cre = _CDATA_CLOSE.get(tag)
         if cre is not None:
             # raw-text content until the matching close tag (html.parser
@@ -217,8 +221,18 @@ def _extract_fast(html: str) -> str:
                 if skip:
                     skip -= 1
             elif a == 2:
-                chunks.append("\n")
+                append("\n")
             pos = mt.end()
+    if pos < n:
+        seg = html[pos:]
+        j = seg.find("<")
+        while j >= 0:
+            nxt = seg[j + 1] if j + 1 < len(seg) else ""
+            if nxt.isalpha() or nxt in "/!?" or not nxt:
+                raise _Unsupported(f"unparsed construct at {pos + j}")
+            j = seg.find("<", j + 1)
+        if skip == 0:
+            append(unescape(seg) if "&" in seg else seg)
     return _normalize("".join(chunks))
 
 
