@@ -30,6 +30,7 @@ from camden_ray.functions.hashing import (
     flat_rolling_grams,
     hash_string_column,
     minhash_params,
+    seg_positions,
 )
 
 SIG_COLUMNS = ["url", "uid", "digest", "sig", "vsig", "simhash", "lgrams", "th"]
@@ -43,6 +44,8 @@ def _list_array(counts: np.ndarray, flat_i64: np.ndarray) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array(off), pa.array(flat_i64))
 
 _U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+# bit 0 of each 16-bit lane — the 4-lane packed SimHash vote accumulator mask
+_LANE_MASK = np.uint64(0x0001000100010001)
 
 
 class SignatureActor:
@@ -136,34 +139,40 @@ class SignatureActor:
         g_all = flat_rolling_grams(th_flat, k)
         has = gm > 0
         short = ~has & (th_lens > 0)  # unigram "shingles" keep segments non-empty
-        # per-doc sorted-unique shingle segments, assembled in doc order.
-        # Segment sorts over ~10²-element doc slices replace the former
-        # global (V, G) lexsort over the whole gram stream — measured 7x
-        # faster at 350k grams/2048 docs (a 2048-iteration Python loop of
-        # tiny np.unique calls beats one 64-bit argsort of 350k), with
-        # byte-identical output (lexsort sorted V within each doc too).
-        parts: list[np.ndarray] = [None] * n  # type: ignore[list-item]
-        if has.any():
-            for i, s, m in zip(
-                np.flatnonzero(has).tolist(),
-                th_off[:-1][has].tolist(),
-                gm[has].tolist(),
-            ):
-                parts[i] = np.unique(g_all[s : s + m])
-        if short.any():
-            for i, s, m in zip(
-                np.flatnonzero(short).tolist(),
-                th_off[:-1][short].tolist(),
-                th_lens[short].tolist(),
-            ):
-                parts[i] = np.unique(th_flat[s : s + m])
+        # per-doc sorted-unique shingle segments, assembled in doc order:
+        # one working buffer gathered in doc order, in-place per-segment
+        # sorts, then ONE global dedup mask + bincount. Byte-identical to
+        # per-doc np.unique (sorted distinct per segment) while skipping
+        # np.unique's per-call machinery (~8 allocations/doc — measured
+        # 1.5x at 256-doc batches; a global (value, doc) lexsort is worse
+        # still, 7x at 350k grams/2048 docs).
         empty = th_lens == 0  # tokenless doc: its digest is its one "shingle"
+        src_counts = np.where(has, gm, np.where(short, th_lens, 1))
+        total_src = int(src_counts.sum())
+        buf = np.empty(total_src, dtype=np.uint64)
+        dst = np.zeros(n, dtype=np.int64)
+        np.cumsum(src_counts[:-1], out=dst[1:])
+        if has.any():
+            buf[seg_positions(dst[has], gm[has])] = g_all[
+                seg_positions(th_off[:-1][has], gm[has])
+            ]
+        if short.any():
+            buf[seg_positions(dst[short], th_lens[short])] = th_flat[
+                seg_positions(th_off[:-1][short], th_lens[short])
+            ]
         if empty.any():
-            for i in np.flatnonzero(empty).tolist():
-                parts[i] = digests[i : i + 1]
-        if n:
-            S = np.concatenate(parts)
-            sh_counts = np.fromiter((len(p) for p in parts), dtype=np.int64, count=n)
+            buf[dst[empty]] = digests[empty]
+        for s, m in zip(dst.tolist(), src_counts.tolist()):
+            if m > 1:
+                buf[s : s + m].sort()
+        if total_src:
+            keepm = np.empty(total_src, dtype=bool)
+            keepm[0] = True
+            np.not_equal(buf[1:], buf[:-1], out=keepm[1:])
+            keepm[dst] = True
+            S = buf[keepm]
+            doc_ids = np.repeat(np.arange(n), src_counts)
+            sh_counts = np.bincount(doc_ids[keepm], minlength=n).astype(np.int64)
         else:
             S = np.empty(0, dtype=np.uint64)
             sh_counts = np.zeros(n, dtype=np.int64)
@@ -178,12 +187,16 @@ class SignatureActor:
         )
 
         # --- MinHash: perm p → min over each doc's shingle segment ---
+        # one reused hv buffer + reduceat(out=) — the naive `a*S + b` form
+        # allocates two shingle-stream temps per permutation (×128)
         sigs = np.empty((cfg.num_perms, n), dtype=np.uint64)
         if n:
+            hv = np.empty(len(S), dtype=np.uint64)
             with np.errstate(over="ignore"):
                 for p in range(cfg.num_perms):
-                    hv = self.perm_a[p] * S + self.perm_b[p]
-                    sigs[p] = np.minimum.reduceat(hv, offsets)
+                    np.multiply(S, self.perm_a[p], out=hv)
+                    hv += self.perm_b[p]
+                    np.minimum.reduceat(hv, offsets, out=sigs[p])
         sigs = np.ascontiguousarray(sigs.T)  # (n, num_perms)
 
         # --- SimHash: sign of per-bit vote over the shingle set ---
@@ -193,15 +206,31 @@ class SignatureActor:
         # 24 s vs 0.08 s per 1024-doc batch; a column-wise cumsum over the
         # unpacked bit matrix is nearly as bad at ~9 s.)
         if n:
-            votes = np.empty((64, n), dtype=np.int64)
-            one = np.uint64(1)
-            for b in range(64):
-                # u64 bit column fed straight to reduceat (accumulating into
-                # the int64 row) — the previous per-plane astype(int64) copy
-                # was 64 full passes over the shingle array for nothing
-                votes[b] = np.add.reduceat((S >> np.uint64(b)) & one, offsets)
-            seg_sizes = np.diff(np.append(offsets, len(S)))[None, :]
-            simhash_bits = (votes * 2 > seg_sizes).astype(np.uint64)
+            seg_sizes_1d = np.diff(np.append(offsets, len(S)))
+            votes = np.empty((64, n), dtype=np.uint64)
+            if seg_sizes_1d.max(initial=0) < 0x10000:
+                # 4 bit-planes per pass: bits b, b+16, b+32, b+48 live in the
+                # four 16-bit lanes of one u64 accumulator, so each reduceat
+                # sums four counters at once (16 passes, measured 3.2x the
+                # 64-pass form). Lanes cannot carry while every segment is
+                # < 65536 shingles; bigger docs take the plain path below.
+                acc = np.empty(len(S), dtype=np.uint64)
+                packed = np.empty(n, dtype=np.uint64)
+                m16 = np.uint64(0xFFFF)
+                for b in range(16):
+                    np.right_shift(S, np.uint64(b), out=acc)
+                    acc &= _LANE_MASK
+                    np.add.reduceat(acc, offsets, out=packed)
+                    votes[b] = packed & m16
+                    votes[b + 16] = (packed >> np.uint64(16)) & m16
+                    votes[b + 32] = (packed >> np.uint64(32)) & m16
+                    votes[b + 48] = (packed >> np.uint64(48)) & m16
+            else:
+                one = np.uint64(1)
+                for b in range(64):
+                    np.add.reduceat((S >> np.uint64(b)) & one, offsets, out=votes[b])
+            seg_sizes = seg_sizes_1d.astype(np.uint64)[None, :]
+            simhash_bits = (votes * np.uint64(2) > seg_sizes).astype(np.uint64)
             simhash = np.bitwise_or.reduce(
                 simhash_bits * self._bit_vals[:, None], axis=0
             )
