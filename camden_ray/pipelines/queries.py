@@ -160,6 +160,81 @@ def source_counts(sf_dir: str):
     )
 
 
+_SOURCE_CAP_K = 5
+
+
+def _source_topk_batch(batch: pa.Table, k: int) -> pa.Table:
+    """Block-local per-source top-k by (md5(doc_id) hex order, doc_id) —
+    the combiner half of :func:`source_cap_sample`. Rank = the md5 digest
+    split into two big-endian u64 halves, so (hi, lo) ordering equals
+    DuckDB's hex-string ordering of ``md5(CAST(doc_id AS VARCHAR))``."""
+    n = batch.num_rows
+    if n == 0:
+        return batch.select(["source", "doc_id"]).append_column(
+            "rhi", pa.array([], type=pa.uint64())
+        ).append_column("rlo", pa.array([], type=pa.uint64()))
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    md5 = hashlib.md5
+    hi = np.empty(n, dtype=np.uint64)
+    lo = np.empty(n, dtype=np.uint64)
+    for i, d in enumerate(doc_id.tolist()):
+        dg = md5(str(d).encode()).digest()
+        hi[i] = int.from_bytes(dg[:8], "big")
+        lo[i] = int.from_bytes(dg[8:], "big")
+    src = batch.column("source")
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    codes = src.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc_id, lo, hi, codes))
+    sc = codes[order]
+    # rank within each source run (sc is grouped after the sort)
+    starts = np.empty(n, dtype=bool)
+    starts[0] = True
+    np.not_equal(sc[1:], sc[:-1], out=starts[1:])
+    run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+    rank = np.arange(n) - run_start
+    keep = order[rank < k]
+    return pa.table(
+        {
+            "source": src.take(pa.array(keep)),
+            "doc_id": pa.array(doc_id[keep]),
+            "rhi": pa.array(hi[keep], type=pa.uint64()),
+            "rlo": pa.array(lo[keep], type=pa.uint64()),
+        }
+    )
+
+
+def source_cap_sample(sf_dir: str):
+    """Per-source quota sampling — the web-pipeline "cap documents per
+    domain" stage (hot domains otherwise dominate a crawl corpus): keep at
+    most K documents per source, chosen deterministically by md5(doc_id)
+    hash order (a seedless uniform random sample that every run and every
+    cluster size agrees on).
+
+    Scale shape: a block-local per-source top-k combiner inside
+    ``map_batches`` first (so the groupby shuffle moves at most K rows per
+    (source, block), not the corpus), then one small per-source reduce.
+    """
+    k = _SOURCE_CAP_K
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    partial = ds.map_batches(
+        lambda b: _source_topk_batch(b, k), batch_format="pyarrow"
+    )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g.column("doc_id").to_numpy(zero_copy_only=False),
+                g.column("rlo").to_numpy(zero_copy_only=False),
+                g.column("rhi").to_numpy(zero_copy_only=False),
+            )
+        )[:k]
+        kept = g.take(pa.array(np.sort(order)))
+        return kept.select(["source", "doc_id"])
+
+    return partial.groupby("source").map_groups(final_topk, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1035,6 +1110,7 @@ QUERIES = {
     "dup_count": dup_count,
     "lang_filter_count": lang_filter_count,
     "source_counts": source_counts,
+    "source_cap_sample": source_cap_sample,
     "doc_token_counts": doc_token_counts,
     "top_docs_by_chars": top_docs_by_chars,
     "doc_quality": doc_quality,
@@ -1081,6 +1157,16 @@ ORACLE_SQL = {
         WHERE lang IN ('en', 'de') GROUP BY lang
     """,
     "source_counts": "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+    "source_cap_sample": """
+        SELECT source, doc_id FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 5
+    """,
     "doc_token_counts": """
         SELECT doc_id,
                CASE WHEN trim(text) = '' THEN 0

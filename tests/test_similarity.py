@@ -136,3 +136,33 @@ def test_ivf_params_prune_at_scale():
             f"scale regime n={n} must prune: {nprobe}/{nlist}"
         )
         assert nprobe * (n / nlist) >= 8192, "candidate floor violated"
+
+
+def test_source_cap_sample_matches_duckdb(ray_session):
+    """Per-source quota sampling equals the windowed-SQL oracle row-for-row
+    (DuckDB md5-hex ordering == the engine's big-endian digest ordering),
+    and the block-local combiner never lets a source exceed its cap."""
+    import duckdb
+
+    from camden_ray.pipelines.queries import ORACLE_SQL, source_cap_sample
+
+    df = (
+        source_cap_sample(SF_DIR)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    od = (
+        con.execute(ORACLE_SQL["source_cap_sample"])
+        .df()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    df["doc_id"] = df["doc_id"].astype(od["doc_id"].dtype)
+    assert df.equals(od)
+    assert (df.groupby("source").size() <= 5).all()
