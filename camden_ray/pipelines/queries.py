@@ -162,6 +162,35 @@ def source_counts(sf_dir: str):
 
 _SOURCE_CAP_K = 5
 
+# hash-threshold Bernoulli sampling cutoff: keep iff md5(doc_id) < 0.3·2^128.
+# As a 32-hex-digit string it is ALSO the DuckDB oracle's cutoff (comparing
+# md5 hexdigests lexicographically == comparing the 128-bit digests).
+_BERNOULLI_RATE = 0.3
+_BERNOULLI_CUTOFF_HEX = format(int(_BERNOULLI_RATE * (1 << 128)), "032x")
+
+
+def doc_bernoulli_sample(sf_dir: str):
+    """Deterministic Bernoulli downsampling — keep each document iff
+    ``md5(doc_id) < rate·2^128``. The standard corpus-downsampling primitive:
+    map-only (NO shuffle, no state, no RNG), every run and every cluster
+    size selects the identical subset, and composing pipelines can re-derive
+    membership from the key alone."""
+    cutoff = _BERNOULLI_CUTOFF_HEX
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        md5 = hashlib.md5
+        keep = np.fromiter(
+            (md5(str(d).encode()).hexdigest() < cutoff for d in ids.tolist()),
+            dtype=bool,
+            count=len(ids),
+        )
+        return batch.filter(pa.array(keep))
+
+    return _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
 
 def _source_topk_batch(batch: pa.Table, k: int) -> pa.Table:
     """Block-local per-source top-k by (md5(doc_id) hex order, doc_id) —
@@ -1111,6 +1140,7 @@ QUERIES = {
     "lang_filter_count": lang_filter_count,
     "source_counts": source_counts,
     "source_cap_sample": source_cap_sample,
+    "doc_bernoulli_sample": doc_bernoulli_sample,
     "doc_token_counts": doc_token_counts,
     "top_docs_by_chars": top_docs_by_chars,
     "doc_quality": doc_quality,
@@ -1157,6 +1187,10 @@ ORACLE_SQL = {
         WHERE lang IN ('en', 'de') GROUP BY lang
     """,
     "source_counts": "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+    "doc_bernoulli_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < '{_BERNOULLI_CUTOFF_HEX}'
+    """,
     "source_cap_sample": """
         SELECT source, doc_id FROM (
             SELECT source, doc_id,

@@ -166,3 +166,37 @@ def test_source_cap_sample_matches_duckdb(ray_session):
     df["doc_id"] = df["doc_id"].astype(od["doc_id"].dtype)
     assert df.equals(od)
     assert (df.groupby("source").size() <= 5).all()
+
+
+def test_bernoulli_sample_matches_duckdb(ray_session):
+    """Hash-threshold Bernoulli sampling equals the oracle subset exactly
+    (engine digest compare == DuckDB hex-string compare) and lands near the
+    configured rate."""
+    import duckdb
+
+    from camden_ray.pipelines.queries import (
+        _BERNOULLI_RATE,
+        ORACLE_SQL,
+        doc_bernoulli_sample,
+    )
+
+    df = (
+        doc_bernoulli_sample(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    od = (
+        con.execute(ORACLE_SQL["doc_bernoulli_sample"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df["doc_id"] = df["doc_id"].astype(od["doc_id"].dtype)
+    assert df.equals(od)
+    assert abs(len(df) / 500 - _BERNOULLI_RATE) < 0.1
