@@ -294,6 +294,77 @@ def doc_token_counts(sf_dir: str):
     )
 
 
+_TOP_BIGRAMS_K = 20
+
+
+def doc_top_bigrams(sf_dir: str):
+    """Corpus-level top-K most frequent word bigrams — the n-gram corpus
+    statistic behind boilerplate screens and contamination checks.
+
+    Scale shape: bigram extraction + per-block partial counts inside
+    ``map_batches`` (one Arrow ``value_counts`` per block — the combiner),
+    ONE ``groupby(gram).sum`` over the partial counts (gram-vocabulary-sized,
+    ≪ corpus), then a driver-side top-K of the summed table. Tokenization is
+    RE2 ``\\s+`` splitting (Arrow and DuckDB share the RE2 engine, so the
+    whitespace class matches the oracle's ``regexp_extract_all('\\S+')``
+    bit-for-bit; doc-edge empty tokens are dropped without merging tokens
+    across documents)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(col, ""), pattern=r"\s+")
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        offs = offs - offs[0]
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        # per-doc non-empty token counts (empties appear only at doc edges,
+        # so dropping them never merges adjacent documents' tokens)
+        kept_before = np.zeros(len(nonempty) + 1, dtype=np.int64)
+        np.cumsum(nonempty, out=kept_before[1:])
+        counts = kept_before[offs[1:]] - kept_before[offs[:-1]]
+        kept_idx = np.flatnonzero(nonempty)
+        tok_arr = flat.take(pa.array(kept_idx))
+        # bigram index pairs within each doc's kept-token run
+        m = np.maximum(counts - 1, 0)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        from camden_ray.functions.hashing import seg_positions
+
+        first = seg_positions(starts[m > 0], m[m > 0])
+        if not len(first):
+            return pa.table(
+                {"gram": pa.array([], type=pa.string()),
+                 "cnt": pa.array([], type=pa.int64())}
+            )
+        a = tok_arr.take(pa.array(first))
+        b = tok_arr.take(pa.array(first + 1))
+        grams = pc.binary_join_element_wise(a, b, " ")
+        vc = grams.value_counts()
+        return pa.table(
+            {"gram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    summed = (
+        _read(sf_dir, "documents", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    # top-K of the vocabulary-sized summed table (deterministic tie-break)
+    df = summed.to_pandas()
+    df = df.sort_values(["cnt", "gram"], ascending=[False, True]).head(
+        _TOP_BIGRAMS_K
+    )
+    return pa.table(
+        {
+            "gram": pa.array(df["gram"].tolist(), type=pa.string()),
+            "cnt": pa.array(df["cnt"].tolist(), type=pa.int64()),
+        }
+    )
+
+
 def top_docs_by_chars(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
@@ -1142,6 +1213,7 @@ QUERIES = {
     "source_cap_sample": source_cap_sample,
     "doc_bernoulli_sample": doc_bernoulli_sample,
     "doc_token_counts": doc_token_counts,
+    "doc_top_bigrams": doc_top_bigrams,
     "top_docs_by_chars": top_docs_by_chars,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -1187,6 +1259,20 @@ ORACLE_SQL = {
         WHERE lang IN ('en', 'de') GROUP BY lang
     """,
     "source_counts": "SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+    "doc_top_bigrams": f"""
+        WITH toks AS (
+            SELECT regexp_extract_all(COALESCE(text, ''), '\\S+') AS t
+            FROM documents
+        )
+        SELECT gram, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i+1])) AS gram
+            FROM toks
+        )
+        GROUP BY gram
+        ORDER BY cnt DESC, gram
+        LIMIT {_TOP_BIGRAMS_K}
+    """,
     "doc_bernoulli_sample": f"""
         SELECT doc_id, lang FROM documents
         WHERE md5(CAST(doc_id AS VARCHAR)) < '{_BERNOULLI_CUTOFF_HEX}'

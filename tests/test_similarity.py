@@ -200,3 +200,22 @@ def test_bernoulli_sample_matches_duckdb(ray_session):
     df["doc_id"] = df["doc_id"].astype(od["doc_id"].dtype)
     assert df.equals(od)
     assert abs(len(df) / 500 - _BERNOULLI_RATE) < 0.1
+
+
+def test_top_bigrams_matches_duckdb(ray_session):
+    """Corpus top-K bigrams equal the unnest/list_transform oracle exactly
+    (RE2 tokenization parity + deterministic (cnt desc, gram) tie-break)."""
+    import duckdb
+
+    from camden_ray.pipelines.queries import ORACLE_SQL, doc_top_bigrams
+
+    tbl = doc_top_bigrams(SF_DIR)
+    df = tbl.to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    od = con.execute(ORACLE_SQL["doc_top_bigrams"]).df().reset_index(drop=True)
+    assert df.equals(od)
+    assert len(df) == 20 and (df["cnt"].diff().dropna() <= 0).all()
