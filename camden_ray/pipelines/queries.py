@@ -1197,6 +1197,7 @@ def doc_incremental_clusters(sf_dir: str):
 from camden_ray.pipelines.relational import (  # noqa: E402
     ORACLE_SQL_RELATIONAL,
     customer_region_counts,
+    events_asof_view,
     events_distinct_users,
     events_props_stats,
     events_sessions,
@@ -1237,6 +1238,7 @@ QUERIES = {
     "customer_region_counts": customer_region_counts,
     "lineitem_part_revenue": lineitem_part_revenue,
     "events_sessions": events_sessions,
+    "events_asof_view": events_asof_view,
     "events_distinct_users": events_distinct_users,
     "events_props_stats": events_props_stats,
 }

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -186,6 +187,88 @@ def events_sessions(sf_dir: str):
     )
 
 
+def events_asof_view(sf_dir: str):
+    """As-of join — an operator Ray Data has no native form of (SURVEY.md
+    §2's custom-operator class): every 'click' event is joined to the same
+    user's most recent 'view' at-or-before it (ties on ts broken by max
+    view event_id; clicks with no prior view drop — inner as-of semantics).
+
+    Scale shape: both sides co-hash-partition by user_id in ONE exchange
+    (they travel as one table tagged by kind), then each partition runs one
+    vectorized merge: sort by (user_id, ts, kind, event_id) — views sort
+    before clicks at equal ts so the match is inclusive — a single
+    ``maximum.accumulate`` forward-fills the latest view position, and a
+    per-user segment-start guard voids fills that leak across users. No
+    per-user Python, no pairwise blowup on hot users (the oracle's
+    equi-join + window does O(clicks·views) per user; this is O(n log n)
+    per partition).
+    """
+    from camden_ray.config import DedupConfig
+    from camden_ray.stages.candidates import default_partitions, partition_map
+
+    P = default_partitions(DedupConfig())
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["view", "click"]))
+        t = t.filter(keep)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        kind = pc.equal(t["event_type"], "click").cast(pa.int8())
+        t = t.drop_columns(["event_type"]).append_column("kind", kind)
+        return t.append_column(
+            "pkey", pa.array((uid % P).astype(np.int64), type=pa.int64())
+        )
+
+    def asof(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "view_event_id": pa.array([], type=pa.int64()),
+                    "gap_us": pa.array([], type=pa.int64()),
+                }
+            )
+        t = t.combine_chunks()
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("kind", "ascending"),  # views (0) before clicks (1) at equal ts
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        is_click = t["kind"].to_numpy(zero_copy_only=False) == 1
+        n = len(uid)
+        pos = np.arange(n, dtype=np.int64)
+        last_view = np.maximum.accumulate(np.where(~is_click, pos, -1))
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        seg_start = np.maximum.accumulate(np.where(new_user, pos, 0))
+        hit = is_click & (last_view >= seg_start)
+        vp = last_view[hit]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[hit], type=pa.int64()),
+                "view_event_id": pa.array(eid[vp], type=pa.int64()),
+                "gap_us": pa.array(
+                    (ts[hit] - ts[vp]).astype("timedelta64[us]").astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    return partition_map(
+        ds.map_batches(add_pkey, batch_format="pyarrow"),
+        P,
+        asof,
+        batch_format="pyarrow",
+    )
+
+
 def events_props_stats(sf_dir: str):
     """Semi-structured extraction: parse the JSON ``props`` column per batch
     (stdlib json inside map_batches — no driver-side loop) and aggregate the
@@ -267,6 +350,20 @@ ORACLE_SQL_RELATIONAL = {
     """,
     "events_distinct_users": """
         SELECT count(DISTINCT user_id) AS n_users FROM events
+    """,
+    "events_asof_view": """
+        WITH c AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             v AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'view'),
+             j AS (SELECT c.event_id, v.event_id AS view_event_id,
+                          epoch_us(c.ts) - epoch_us(v.ts) AS gap_us,
+                          row_number() OVER (
+                              PARTITION BY c.event_id
+                              ORDER BY v.ts DESC, v.event_id DESC) AS rn
+                   FROM c JOIN v
+                     ON c.user_id = v.user_id AND v.ts <= c.ts)
+        SELECT event_id, view_event_id, gap_us FROM j WHERE rn = 1
     """,
     "events_props_stats": """
         SELECT event_type, count(*) AS n,

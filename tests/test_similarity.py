@@ -219,3 +219,35 @@ def test_top_bigrams_matches_duckdb(ray_session):
     od = con.execute(ORACLE_SQL["doc_top_bigrams"]).df().reset_index(drop=True)
     assert df.equals(od)
     assert len(df) == 20 and (df["cnt"].diff().dropna() <= 0).all()
+
+
+def test_asof_view_matches_duckdb(ray_session):
+    """The as-of join (click -> most recent prior view per user) equals the
+    window-function oracle row-for-row, including inclusive equal-ts matches
+    and the max-event_id tie-break."""
+    import duckdb
+
+    from camden_ray.pipelines.relational import events_asof_view
+    from camden_ray.pipelines.queries import ORACLE_SQL
+
+    df = (
+        events_asof_view(SF_DIR)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    od = (
+        con.execute(ORACLE_SQL["events_asof_view"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for c in df.columns:
+        df[c] = df[c].astype(od[c].dtype)
+    assert df.equals(od)
+    assert (df["gap_us"] >= 0).all()
