@@ -297,6 +297,44 @@ def doc_token_counts(sf_dir: str):
 _TOP_BIGRAMS_K = 20
 
 
+def _batch_ngrams(col, n: int) -> tuple[pa.Array, np.ndarray]:
+    """Text column → (word n-gram strings, per-gram row index) for one batch,
+    fully vectorized (no per-row Python). Tokenization is RE2 ``\\s+``
+    splitting — Arrow and DuckDB share the RE2 engine, so the whitespace
+    class matches the oracles' ``regexp_extract_all('\\S+')`` bit-for-bit;
+    doc-edge empty tokens are dropped without merging tokens across
+    documents. Returns an empty string array + empty seg when no document
+    has ≥ n tokens."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(pc.fill_null(col, ""), pattern=r"\s+")
+    flat = toks.flatten()
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    offs = offs - offs[0]
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    # per-doc non-empty token counts (empties appear only at doc edges,
+    # so dropping them never merges adjacent documents' tokens)
+    kept_before = np.zeros(len(nonempty) + 1, dtype=np.int64)
+    np.cumsum(nonempty, out=kept_before[1:])
+    counts = kept_before[offs[1:]] - kept_before[offs[:-1]]
+    kept_idx = np.flatnonzero(nonempty)
+    tok_arr = flat.take(pa.array(kept_idx))
+    # n-gram start positions within each doc's kept-token run
+    m = np.maximum(counts - (n - 1), 0)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    from camden_ray.functions.hashing import seg_positions
+
+    has = m > 0
+    first = seg_positions(starts[has], m[has])
+    seg = np.repeat(np.flatnonzero(has), m[has])
+    if not len(first):
+        return pa.array([], type=pa.string()), seg
+    parts = [tok_arr.take(pa.array(first + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return grams, seg
+
+
 def doc_top_bigrams(sf_dir: str):
     """Corpus-level top-K most frequent word bigrams — the n-gram corpus
     statistic behind boilerplate screens and contamination checks.
@@ -311,36 +349,12 @@ def doc_top_bigrams(sf_dir: str):
     across documents)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        col = t.column("text")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.split_pattern_regex(pc.fill_null(col, ""), pattern=r"\s+")
-        flat = toks.flatten()
-        offs = toks.offsets.to_numpy(zero_copy_only=False)
-        offs = offs - offs[0]
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        # per-doc non-empty token counts (empties appear only at doc edges,
-        # so dropping them never merges adjacent documents' tokens)
-        kept_before = np.zeros(len(nonempty) + 1, dtype=np.int64)
-        np.cumsum(nonempty, out=kept_before[1:])
-        counts = kept_before[offs[1:]] - kept_before[offs[:-1]]
-        kept_idx = np.flatnonzero(nonempty)
-        tok_arr = flat.take(pa.array(kept_idx))
-        # bigram index pairs within each doc's kept-token run
-        m = np.maximum(counts - 1, 0)
-        starts = np.zeros(len(counts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        from camden_ray.functions.hashing import seg_positions
-
-        first = seg_positions(starts[m > 0], m[m > 0])
-        if not len(first):
+        grams, _ = _batch_ngrams(t.column("text"), 2)
+        if not len(grams):
             return pa.table(
                 {"gram": pa.array([], type=pa.string()),
                  "cnt": pa.array([], type=pa.int64())}
             )
-        a = tok_arr.take(pa.array(first))
-        b = tok_arr.take(pa.array(first + 1))
-        grams = pc.binary_join_element_wise(a, b, " ")
         vc = grams.value_counts()
         return pa.table(
             {"gram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
@@ -363,6 +377,261 @@ def doc_top_bigrams(sf_dir: str):
             "cnt": pa.array(df["cnt"].tolist(), type=pa.int64()),
         }
     )
+
+
+# Decontamination: benchmark holdout = docs with md5(doc_id) below this
+# cutoff (~5% of the corpus — standing in for an eval/benchmark set, which
+# is small by definition). Contamination n-gram size 4.
+_DECON_N = 4
+_DECON_CUTOFF_HEX = format(int(0.05 * (1 << 128)), "032x")
+
+
+def _md5_below(ids, cutoff_hex: str) -> np.ndarray:
+    """Boolean mask: md5(str(id)) hexdigest < cutoff (the engine's
+    deterministic hash-bucket membership; hexdigest string compare ==
+    128-bit digest compare)."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (md5(str(d).encode()).hexdigest() < cutoff_hex for d in ids),
+        dtype=bool,
+        count=len(ids),
+    )
+
+
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination — the training-data hygiene stage that flags
+    corpus documents sharing any word 4-gram with a benchmark/eval holdout
+    (Brown et al. 2020 §4 style n-gram overlap). Output: every non-benchmark
+    document with its count of DISTINCT 4-grams that also occur in the
+    benchmark set (0 = clean).
+
+    Scale shape: the benchmark side is small by definition — its distinct
+    gram hashes are reduced per-block in ``map_batches``, unioned on the
+    driver, and broadcast ONCE via ``ray.put`` (a sorted uint64 array read
+    zero-copy by every scoring task; never re-shipped per batch). The corpus
+    side is a single map-only pass: vectorized n-gram extraction, per-doc
+    dedup via one lexsort, membership via ``searchsorted`` into the
+    broadcast array. Grams compare by 64-bit hash — a collision needs
+    ~2^32 distinct grams (birthday bound) and could only overcount by 1;
+    exact-string parity is verified against the DuckDB oracle at test scale.
+    """
+    from camden_ray.functions.hashing import hash_string_column
+
+    cutoff = _DECON_CUTOFF_HEX
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(_md5_below(ids.tolist(), cutoff)))
+        grams, _ = _batch_ngrams(sub.column("text"), _DECON_N)
+        gh = np.unique(hash_string_column(grams)) if len(grams) else np.empty(
+            0, dtype=np.uint64
+        )
+        return pa.table({"gh": pa.array(gh, type=pa.uint64())})
+
+    parts = [
+        b["gh"].to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(bench_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    bench_gh = np.unique(np.concatenate(parts)) if parts else np.empty(
+        0, dtype=np.uint64
+    )
+    bench_ref = ray.put(bench_gh)
+
+    def score(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)  # zero-copy plasma read, once per task
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(~_md5_below(ids.tolist(), cutoff)))
+        n = sub.num_rows
+        grams, seg = _batch_ngrams(sub.column("text"), _DECON_N)
+        overlap = np.zeros(n, dtype=np.int64)
+        if len(grams) and len(bench):
+            gh = hash_string_column(grams)
+            # per-doc distinct grams: one lexsort + neighbor-dedup mask
+            order = np.lexsort((gh, seg))
+            ss, gs = seg[order], gh[order]
+            keep = np.empty(len(order), dtype=bool)
+            keep[0] = True
+            keep[1:] = (ss[1:] != ss[:-1]) | (gs[1:] != gs[:-1])
+            ss, gs = ss[keep], gs[keep]
+            pos = np.searchsorted(bench, gs).clip(max=len(bench) - 1)
+            member = bench[pos] == gs
+            overlap = np.bincount(ss[member], minlength=n).astype(np.int64)
+        return pa.table(
+            {"doc_id": sub["doc_id"], "n_overlap": pa.array(overlap, pa.int64())}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_repetition(sf_dir: str):
+    """Per-document repetition quality metrics (the Gopher-rule family,
+    Rae et al. 2021 §A1.1): bigram multiset stats — count of the most
+    frequent bigram, distinct-bigram count, fraction of bigram occurrences
+    taken by the top bigram, and fraction of bigram occurrences belonging
+    to any repeated bigram. High values mark boilerplate/spam for
+    filtering. Map-only, fully vectorized: per-batch Arrow dictionary
+    encoding (exact — no hashes), one lexsort, run-length reduceats."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        grams, seg = _batch_ngrams(t.column("text"), 2)
+        mx = np.zeros(n, dtype=np.int64)
+        ndist = np.zeros(n, dtype=np.int64)
+        dup = np.zeros(n, dtype=np.int64)
+        ntot = np.bincount(seg, minlength=n).astype(np.int64)
+        if len(grams):
+            codes = grams.dictionary_encode().indices.to_numpy(
+                zero_copy_only=False
+            )
+            order = np.lexsort((codes, seg))
+            ss, cs = seg[order], codes[order]
+            newrun = np.empty(len(order), dtype=bool)
+            newrun[0] = True
+            newrun[1:] = (ss[1:] != ss[:-1]) | (cs[1:] != cs[:-1])
+            run_starts = np.flatnonzero(newrun)
+            rl = np.diff(np.append(run_starts, len(order)))
+            rs = ss[run_starts]  # doc of each run; runs grouped by doc
+            ndist = np.bincount(rs, minlength=n).astype(np.int64)
+            segnew = np.empty(len(rs), dtype=bool)
+            segnew[0] = True
+            segnew[1:] = rs[1:] != rs[:-1]
+            seg_starts = np.flatnonzero(segnew)
+            present = rs[seg_starts]
+            mx[present] = np.maximum.reduceat(rl, seg_starts)
+            dup[present] = np.add.reduceat(np.where(rl > 1, rl, 0), seg_starts)
+        denom = np.maximum(ntot, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "max_bigram_cnt": pa.array(mx, pa.int64()),
+                "n_distinct_bigrams": pa.array(ndist, pa.int64()),
+                "top_bigram_frac_fp": pa.array(
+                    _fp_round(mx / denom, scale=1_000_000), pa.int64()
+                ),
+                "dup_bigram_frac_fp": pa.array(
+                    _fp_round(dup / denom, scale=1_000_000), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def corpus_vocab_stats(sf_dir: str):
+    """Corpus vocabulary statistics in one pass: total token occurrences,
+    distinct unigram vocabulary, distinct bigram vocabulary, and hapax
+    bigrams (frequency 1 — the tail that dominates open-vocab corpora).
+
+    Scale shape: unigram+bigram partial ``value_counts`` per block (the
+    combiner), ONE vocabulary-sized ``groupby((kind, tk)).sum``, then
+    single-row partial aggregates summed by Ray — the corpus itself is
+    never re-shuffled and nothing corpus-sized reaches the driver."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        kinds, tks, cnts = [], [], []
+        for kind, n in ((0, 1), (1, 2)):
+            grams, _ = _batch_ngrams(t.column("text"), n)
+            if not len(grams):
+                continue
+            vc = grams.value_counts()
+            k = len(vc)
+            kinds.append(np.full(k, kind, dtype=np.int8))
+            tks.append(vc.field("values"))
+            cnts.append(vc.field("counts").cast(pa.int64()))
+        if not kinds:
+            return pa.table(
+                {"kind": pa.array([], pa.int8()),
+                 "tk": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(kinds), pa.int8()),
+                "tk": pa.concat_arrays(
+                    [
+                        a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                        for a in tks
+                    ]
+                ),
+                "cnt": pa.concat_arrays(cnts),
+            }
+        )
+
+    summed = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "tk"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        uni = kind == 0
+        bi = ~uni
+        return pa.table(
+            {
+                "n_tokens": pa.array([int(cnt[uni].sum())], pa.int64()),
+                "n_distinct_tokens": pa.array([int(uni.sum())], pa.int64()),
+                "n_distinct_bigrams": pa.array([int(bi.sum())], pa.int64()),
+                "n_hapax_bigrams": pa.array(
+                    [int((bi & (cnt == 1)).sum())], pa.int64()
+                ),
+            }
+        )
+
+    partials = summed.map_batches(finalize, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame([partials.sum(axis=0).astype("int64")]).reset_index(
+        drop=True
+    )
+
+
+_QUANTILE_PS = (0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
+
+
+def corpus_token_quantiles(sf_dir: str):
+    """Exact corpus-level quantiles of per-document token counts — the
+    length-distribution report every corpus build starts from. Distributed
+    shape: the token counts reduce to a VALUE HISTOGRAM via one
+    ``groupby(n).count`` (domain = distinct document lengths, bounded and
+    tiny vs the corpus), and quantiles are read off the cumulative
+    histogram on the driver — exact at any corpus size, no sort, no
+    sampling, no corpus-sized collect.
+
+    Quantile semantics replicate DuckDB's ``quantile_disc``: the value at
+    the smallest k ≥ 1 with k/N ≥ q under IEEE double compare (probed
+    around ceil(q·N) to dodge float boundary error)."""
+    import math
+
+    hist = (
+        doc_token_counts(sf_dir)
+        .groupby("n_ws_tokens")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+        .sort_values("n_ws_tokens")
+        .reset_index(drop=True)
+    )
+    vals = hist["n_ws_tokens"].to_numpy(dtype=np.int64)
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n_docs = int(cum[-1]) if len(cum) else 0
+
+    def disc(q: float) -> int:
+        if n_docs == 0:
+            return 0
+        k0 = math.ceil(q * n_docs)
+        kstar = next(
+            k for k in range(max(1, k0 - 2), k0 + 3) if k / n_docs >= q
+        )
+        return int(vals[np.searchsorted(cum, kstar, side="left")])
+
+    row = {"n_docs": n_docs}
+    for q in _QUANTILE_PS:
+        row[f"p{int(round(q * 100))}"] = disc(q)
+    return pd.DataFrame([row]).astype("int64")
 
 
 def top_docs_by_chars(sf_dir: str):
@@ -1215,6 +1484,10 @@ QUERIES = {
     "doc_bernoulli_sample": doc_bernoulli_sample,
     "doc_token_counts": doc_token_counts,
     "doc_top_bigrams": doc_top_bigrams,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_repetition": doc_repetition,
+    "corpus_vocab_stats": corpus_vocab_stats,
+    "corpus_token_quantiles": corpus_token_quantiles,
     "top_docs_by_chars": top_docs_by_chars,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -1278,6 +1551,94 @@ ORACLE_SQL = {
     "doc_bernoulli_sample": f"""
         SELECT doc_id, lang FROM documents
         WHERE md5(CAST(doc_id AS VARCHAR)) < '{_BERNOULLI_CUTOFF_HEX}'
+    """,
+    "doc_decontaminate": f"""
+        WITH tok AS (
+            SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, len(t) - 2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+            ))) AS gram
+            FROM tok
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM g
+            WHERE md5(CAST(doc_id AS VARCHAR)) < '{_DECON_CUTOFF_HEX}'
+        ),
+        hits AS (
+            SELECT g.doc_id, count(*) AS n_overlap
+            FROM g JOIN bench USING (gram)
+            WHERE md5(CAST(g.doc_id AS VARCHAR)) >= '{_DECON_CUTOFF_HEX}'
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, COALESCE(h.n_overlap, 0)::BIGINT AS n_overlap
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE md5(CAST(d.doc_id AS VARCHAR)) >= '{_DECON_CUTOFF_HEX}'
+    """,
+    "doc_repetition": """
+        WITH tok AS (
+            SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+            FROM tok
+        ),
+        c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+        a AS (
+            SELECT doc_id, max(cnt) AS mx, count(*) AS ndist, sum(cnt) AS ntot,
+                   sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+            FROM c GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(a.mx, 0)::BIGINT AS max_bigram_cnt,
+               COALESCE(a.ndist, 0)::BIGINT AS n_distinct_bigrams,
+               CASE WHEN a.ntot IS NULL OR a.ntot = 0 THEN 0
+                    ELSE CAST(round(a.mx / a.ntot * 1000000) AS BIGINT)
+               END AS top_bigram_frac_fp,
+               CASE WHEN a.ntot IS NULL OR a.ntot = 0 THEN 0
+                    ELSE CAST(round(a.dup / a.ntot * 1000000) AS BIGINT)
+               END AS dup_bigram_frac_fp
+        FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+    """,
+    "corpus_vocab_stats": """
+        WITH tok AS (
+            SELECT regexp_extract_all(COALESCE(text, ''), '\\S+') AS t
+            FROM documents
+        ),
+        uni AS (SELECT unnest(t) AS tk FROM tok),
+        bi AS (
+            SELECT unnest(list_transform(
+                range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS tk
+            FROM tok
+        ),
+        cu AS (SELECT tk, count(*) AS cnt FROM uni GROUP BY tk),
+        cb AS (SELECT tk, count(*) AS cnt FROM bi GROUP BY tk)
+        SELECT
+            (SELECT CAST(COALESCE(sum(cnt), 0) AS BIGINT) FROM cu) AS n_tokens,
+            (SELECT count(*)::BIGINT FROM cu) AS n_distinct_tokens,
+            (SELECT count(*)::BIGINT FROM cb) AS n_distinct_bigrams,
+            (SELECT count(*) FILTER (cnt = 1)::BIGINT FROM cb) AS n_hapax_bigrams
+    """,
+    "corpus_token_quantiles": """
+        WITH tc AS (
+            SELECT CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(string_split_regex(trim(text), '\\s+'))
+                   END::BIGINT AS n
+            FROM documents
+        )
+        SELECT count(*)::BIGINT AS n_docs,
+               quantile_disc(n, 0.10)::BIGINT AS p10,
+               quantile_disc(n, 0.25)::BIGINT AS p25,
+               quantile_disc(n, 0.50)::BIGINT AS p50,
+               quantile_disc(n, 0.75)::BIGINT AS p75,
+               quantile_disc(n, 0.90)::BIGINT AS p90,
+               quantile_disc(n, 0.99)::BIGINT AS p99
+        FROM tc
     """,
     "source_cap_sample": """
         SELECT source, doc_id FROM (

@@ -1,0 +1,103 @@
+"""Corpus-statistics / data-hygiene operators vs their DuckDB oracles:
+decontamination, repetition quality metrics, vocabulary stats, exact
+length quantiles."""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _doc_view(con):
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+
+
+def _compare(query_fn, sql, sort_cols):
+    import duckdb
+
+    res = query_fn(SF_DIR)
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    res = res.sort_values(sort_cols).reset_index(drop=True)
+    con = duckdb.connect()
+    _doc_view(con)
+    od = con.execute(sql).df().sort_values(sort_cols).reset_index(drop=True)
+    assert list(res.columns).sort() == list(od.columns).sort()
+    od = od[list(res.columns)]
+    for c in res.columns:
+        res[c] = res[c].astype(od[c].dtype)
+    assert res.equals(od), f"{query_fn.__name__} diverges from its oracle"
+    return res
+
+
+def test_decontaminate_matches_duckdb(ray_session):
+    """Benchmark 4-gram decontamination equals the unnest/join oracle
+    row-for-row (hash-set membership == exact string-gram membership at this
+    scale), the benchmark holdout itself is excluded from the output, and
+    contamination is non-trivially present in the fixture."""
+    from camden_ray.pipelines.queries import (
+        _DECON_CUTOFF_HEX,
+        _md5_below,
+        ORACLE_SQL,
+        doc_decontaminate,
+    )
+
+    df = _compare(
+        doc_decontaminate, ORACLE_SQL["doc_decontaminate"], ["doc_id"]
+    )
+    assert (df["n_overlap"] > 0).any(), "fixture should show contamination"
+    assert (df["n_overlap"] == 0).any(), "fixture should have clean docs"
+    bench_mask = _md5_below(
+        [str(d) for d in df["doc_id"].tolist()], _DECON_CUTOFF_HEX
+    )
+    assert not bench_mask.any(), "benchmark docs must not appear in output"
+
+
+def test_repetition_matches_duckdb(ray_session):
+    """Per-doc bigram repetition metrics equal the group-by oracle exactly
+    (dictionary-encode path is hash-free), with sane metric bounds."""
+    from camden_ray.pipelines.queries import ORACLE_SQL, doc_repetition
+
+    df = _compare(doc_repetition, ORACLE_SQL["doc_repetition"], ["doc_id"])
+    assert len(df) == 500
+    assert (df["top_bigram_frac_fp"] <= 1_000_000).all()
+    assert (df["dup_bigram_frac_fp"] <= 1_000_000).all()
+    assert (df["max_bigram_cnt"] >= 1).all()  # every fixture doc has >= 2 tokens
+    assert (df["dup_bigram_frac_fp"] > 0).any()
+
+
+def test_vocab_stats_matches_duckdb(ray_session):
+    """Corpus vocabulary stats (one combiner pass + one vocab-sized groupby)
+    equal the exact SQL aggregates."""
+    from camden_ray.pipelines.queries import ORACLE_SQL, corpus_vocab_stats
+
+    df = _compare(
+        corpus_vocab_stats, ORACLE_SQL["corpus_vocab_stats"], ["n_tokens"]
+    )
+    row = df.iloc[0]
+    assert row["n_tokens"] > row["n_distinct_tokens"] > 0
+    assert row["n_distinct_bigrams"] >= row["n_hapax_bigrams"] >= 0
+
+
+def test_token_quantiles_match_duckdb(ray_session):
+    """Histogram-derived exact quantiles replicate DuckDB's quantile_disc
+    (smallest k with k/N >= q under double compare) at every probed p."""
+    from camden_ray.pipelines.queries import (
+        ORACLE_SQL,
+        corpus_token_quantiles,
+    )
+
+    df = _compare(
+        corpus_token_quantiles, ORACLE_SQL["corpus_token_quantiles"], ["n_docs"]
+    )
+    row = df.iloc[0]
+    assert row["n_docs"] == 500
+    assert row["p10"] <= row["p25"] <= row["p50"] <= row["p75"] <= row["p90"] <= row["p99"]
