@@ -634,6 +634,179 @@ def corpus_token_quantiles(sf_dir: str):
     return pd.DataFrame([row]).astype("int64")
 
 
+_TFIDF_K = 5
+
+
+def source_tfidf_terms(sf_dir: str):
+    """Top-K distinctive terms per source by tf·idf — the corpus-analytics
+    operator behind domain profiling and boilerplate diagnosis. idf is the
+    rational S/df (S = number of sources, df = number of sources containing
+    the term) — no transcendentals, so the engine and the SQL oracle agree
+    bit-for-bit (IEEE division is correctly rounded; ln() library rounding
+    is not portable).
+
+    Scale shape: per-block (source, token) partial counts (the combiner) →
+    ONE vocabulary×source-sized ``groupby.sum`` = the global tf table; df
+    derives from tf by a token-keyed count whose result — (token-hash, df),
+    vocabulary-sized ≪ corpus — is broadcast ONCE via ``ray.put``; scoring
+    + block-local per-source top-K runs map-only over tf; one final
+    K-rows-per-(source, block) groupby picks the global top-K."""
+    from camden_ray.functions.hashing import hash_string_column
+
+    k = _TFIDF_K
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, seg = _batch_ngrams(t.column("text"), 1)
+        if not len(toks):
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "tk": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        src = t.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        scodes = src.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        tcodes = toks.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        sk = scodes[seg]
+        order = np.lexsort((tcodes, sk))
+        ss, ts = sk[order], tcodes[order]
+        newrun = np.empty(len(order), dtype=bool)
+        newrun[0] = True
+        newrun[1:] = (ss[1:] != ss[:-1]) | (ts[1:] != ts[:-1])
+        starts = np.flatnonzero(newrun)
+        rl = np.diff(np.append(starts, len(order)))
+        return pa.table(
+            {
+                "source": src.take(pa.array(ss[starts])),
+                "tk": toks.take(pa.array(order[starts])),
+                "cnt": pa.array(rl, pa.int64()),
+            }
+        )
+
+    tf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "tk"])
+        .aggregate(Sum("cnt", alias_name="tf_cnt"))
+    )
+    # S: number of distinct sources in the corpus (a tiny aggregate)
+    n_sources = _read(sf_dir, "documents", columns=["source"]).groupby(
+        "source"
+    ).aggregate(Count(alias_name="c")).count()
+    # df: sources-per-token, derived from tf (one row per (source, token));
+    # vocabulary-sized — broadcast as (sorted token hash, df) arrays
+    dft = tf.groupby("tk").aggregate(Count(alias_name="df_cnt"))
+    dh, dc = [], []
+    for b in dft.iter_batches(batch_format="pyarrow"):
+        dh.append(hash_string_column(b["tk"].combine_chunks()))
+        dc.append(b["df_cnt"].to_numpy(zero_copy_only=False))
+    dh = np.concatenate(dh) if dh else np.empty(0, dtype=np.uint64)
+    dc = np.concatenate(dc) if dc else np.empty(0, dtype=np.int64)
+    o = np.argsort(dh)
+    df_ref = ray.put((dh[o], dc[o].astype(np.int64)))
+
+    def score_topk(t: pa.Table) -> pa.Table:
+        keys, dfs = ray.get(df_ref)
+        tk = t["tk"].combine_chunks() if isinstance(
+            t["tk"], pa.ChunkedArray
+        ) else t["tk"]
+        th = hash_string_column(tk)
+        pos = np.searchsorted(keys, th)
+        if len(keys) and not np.array_equal(keys[pos.clip(max=len(keys) - 1)], th):
+            raise ValueError("token missing from broadcast df table")
+        df_col = dfs[pos]
+        tfv = t["tf_cnt"].to_numpy(zero_copy_only=False)
+        score = tfv * n_sources / df_col  # BIGINT·BIGINT exact, then one IEEE divide
+        scored = pa.table(
+            {
+                "source": t["source"],
+                "tk": tk,
+                "tf_cnt": t["tf_cnt"],
+                "df_cnt": pa.array(df_col, pa.int64()),
+                "score_fp": pa.array(_fp_round(score, 1_000_000), pa.int64()),
+                "_score": pa.array(score, pa.float64()),
+            }
+        )
+        idx = pc.sort_indices(
+            scored,
+            sort_keys=[("source", "ascending"), ("_score", "descending"),
+                       ("tk", "ascending")],
+        ).to_numpy(zero_copy_only=False)
+        srt = scored.take(pa.array(idx))
+        sc = srt["source"].combine_chunks().dictionary_encode().indices.to_numpy(
+            zero_copy_only=False
+        )
+        n = len(sc)
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        np.not_equal(sc[1:], sc[:-1], out=starts[1:])
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(n), 0))
+        keep = (np.arange(n) - run_start) < k
+        return srt.filter(pa.array(keep))
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("_score", "descending"), ("tk", "ascending")],
+        )[:k]
+        return g.take(idx).drop_columns(["_score"])
+
+    scored = tf.map_batches(score_topk, batch_format="pyarrow")
+    return scored.groupby("source").map_groups(final_topk, batch_format="pyarrow")
+
+
+def source_token_quantiles(sf_dir: str):
+    """Per-source exact token-count quantiles (p50/p90) — the grouped form
+    of :func:`corpus_token_quantiles`: one (source, n)-keyed count reduces
+    each source to its length histogram (domain-sized, tiny vs the corpus),
+    and quantiles read off the per-group cumulative histogram inside
+    ``map_groups`` — exact at any corpus size, no per-source sort of
+    documents."""
+
+    def add_src(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pattern=r"\S+")
+        return pa.table(
+            {"source": t["source"],
+             "n": pc.fill_null(n, 0).cast(pa.int64())}
+        )
+
+    hist = (
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(add_src, batch_format="pyarrow")
+        .groupby(["source", "n"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        import math
+
+        vals = g["n"].to_numpy(zero_copy_only=False)
+        cnts = g["cnt"].to_numpy(zero_copy_only=False)
+        o = np.argsort(vals)
+        vals, cnts = vals[o], cnts[o]
+        cum = cnts.cumsum()
+        n_docs = int(cum[-1])
+
+        def disc(q: float) -> int:
+            k0 = math.ceil(q * n_docs)
+            kstar = next(
+                kk for kk in range(max(1, k0 - 2), k0 + 3) if kk / n_docs >= q
+            )
+            return int(vals[np.searchsorted(cum, kstar, side="left")])
+
+        return pa.table(
+            {
+                "source": pa.array([g["source"][0].as_py()], pa.string()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "p50": pa.array([disc(0.50)], pa.int64()),
+                "p90": pa.array([disc(0.90)], pa.int64()),
+            }
+        )
+
+    return hist.groupby("source").map_groups(quantiles, batch_format="pyarrow")
+
+
 def top_docs_by_chars(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
     return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
@@ -1488,6 +1661,8 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "corpus_vocab_stats": corpus_vocab_stats,
     "corpus_token_quantiles": corpus_token_quantiles,
+    "source_tfidf_terms": source_tfidf_terms,
+    "source_token_quantiles": source_token_quantiles,
     "top_docs_by_chars": top_docs_by_chars,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -1639,6 +1814,41 @@ ORACLE_SQL = {
                quantile_disc(n, 0.90)::BIGINT AS p90,
                quantile_disc(n, 0.99)::BIGINT AS p99
         FROM tc
+    """,
+    "source_tfidf_terms": f"""
+        WITH tok AS (
+            SELECT source,
+                   unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS tk
+            FROM documents
+        ),
+        tf AS (SELECT source, tk, count(*) AS tf_cnt FROM tok GROUP BY 1, 2),
+        dfx AS (SELECT tk, count(*) AS df_cnt FROM tf GROUP BY tk),
+        sx AS (SELECT count(DISTINCT source) AS s FROM documents),
+        scored AS (
+            SELECT tf.source, tf.tk, tf.tf_cnt, dfx.df_cnt,
+                   CAST(round(tf.tf_cnt * sx.s / dfx.df_cnt * 1000000)
+                        AS BIGINT) AS score_fp,
+                   row_number() OVER (
+                       PARTITION BY tf.source
+                       ORDER BY tf.tf_cnt * sx.s / dfx.df_cnt DESC, tf.tk
+                   ) AS rn
+            FROM tf JOIN dfx USING (tk), sx
+        )
+        SELECT source, tk, tf_cnt, df_cnt, score_fp
+        FROM scored WHERE rn <= {_TFIDF_K}
+    """,
+    "source_token_quantiles": """
+        WITH tc AS (
+            SELECT source,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(string_split_regex(trim(text), '\\s+'))
+                   END::BIGINT AS n
+            FROM documents
+        )
+        SELECT source, count(*)::BIGINT AS n_docs,
+               quantile_disc(n, 0.50)::BIGINT AS p50,
+               quantile_disc(n, 0.90)::BIGINT AS p90
+        FROM tc GROUP BY source
     """,
     "source_cap_sample": """
         SELECT source, doc_id FROM (

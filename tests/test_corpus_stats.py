@@ -87,6 +87,42 @@ def test_vocab_stats_matches_duckdb(ray_session):
     assert row["n_distinct_bigrams"] >= row["n_hapax_bigrams"] >= 0
 
 
+def test_source_tfidf_matches_duckdb(ray_session):
+    """Per-source top-K tf·idf terms equal the window-function oracle
+    row-for-row (rational idf S/df keeps both sides on exact IEEE division;
+    the broadcast df join hard-errors on missing tokens)."""
+    from camden_ray.pipelines.queries import (
+        _TFIDF_K,
+        ORACLE_SQL,
+        source_tfidf_terms,
+    )
+
+    df = _compare(
+        source_tfidf_terms,
+        ORACLE_SQL["source_tfidf_terms"],
+        ["source", "tk"],
+    )
+    assert (df.groupby("source").size() == _TFIDF_K).all()
+    assert (df["df_cnt"] >= 1).all() and (df["tf_cnt"] >= 1).all()
+
+
+def test_source_token_quantiles_match_duckdb(ray_session):
+    """Grouped exact quantiles (per-source p50/p90 via the per-group value
+    histogram) equal DuckDB's grouped quantile_disc."""
+    from camden_ray.pipelines.queries import (
+        ORACLE_SQL,
+        source_token_quantiles,
+    )
+
+    df = _compare(
+        source_token_quantiles,
+        ORACLE_SQL["source_token_quantiles"],
+        ["source"],
+    )
+    assert (df["p50"] <= df["p90"]).all()
+    assert df["n_docs"].sum() == 500
+
+
 def test_token_quantiles_match_duckdb(ray_session):
     """Histogram-derived exact quantiles replicate DuckDB's quantile_disc
     (smallest k with k/N >= q under double compare) at every probed p."""
