@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "top_docs_by_chars",
     "knn_brute_force",
     "doc_token_counts",
+    "doc_decontaminate",
+    "source_tfidf_terms",
     "doc_dedup_clusters",
 ]
 
