@@ -815,35 +815,39 @@ def top_docs_by_chars(sf_dir: str):
 def doc_quality(sf_dir: str):
     """Quality features per document, emitted as fixed-point int64 (×1e6,
     half-away-from-zero) so the DuckDB oracle can replicate every value
-    exactly — counts stay plain int64."""
+    exactly — counts stay plain int64. One vectorized byte-level pass per
+    batch (functions.text.batch_quality_features), not a Python call per
+    row."""
 
     _INT_COLS = ("n_chars", "n_tokens")
 
-    class Scorer:
-        def __call__(self, t: pa.Table) -> pa.Table:
-            feats = [quality_features(x or "") for x in t["text"].to_pylist()]
-            cols = {"doc_id": t["doc_id"]}
-            keys = feats[0] if feats else []
-            for k in keys:
-                v = np.array([f[k] for f in feats], dtype=np.float64)
-                if k in _INT_COLS:
-                    cols[k] = pa.array(v.astype(np.int64), type=pa.int64())
-                else:
-                    cols[f"{k}_fp"] = pa.array(
-                        _fp_round(v, scale=1_000_000), type=pa.int64()
-                    )
-            return pa.table(cols)
+    def scorer(t: pa.Table) -> pa.Table:
+        from camden_ray.functions.text import batch_quality_features
+
+        feats = batch_quality_features(t["text"])
+        cols = {"doc_id": t["doc_id"]}
+        for k, v in feats.items():
+            if k in _INT_COLS:
+                cols[k] = pa.array(v.astype(np.int64), type=pa.int64())
+            else:
+                cols[f"{k}_fp"] = pa.array(
+                    _fp_round(v, scale=1_000_000), type=pa.int64()
+                )
+        return pa.table(cols)
 
     return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
-        Scorer, batch_format="pyarrow", concurrency=2
+        scorer, batch_format="pyarrow"
     )
 
 
 def doc_lang_id(sf_dir: str):
-    """Heuristic language ID vs the labeled lang column (rows-only check)."""
+    """Heuristic language ID vs the labeled lang column — batch-vectorized
+    (functions.text.batch_detect_lang)."""
 
     def f(t: pa.Table) -> pa.Table:
-        det = [detect_lang(x or "") for x in t["text"].to_pylist()]
+        from camden_ray.functions.text import batch_detect_lang
+
+        det = batch_detect_lang(t["text"])
         return pa.table(
             {"doc_id": t["doc_id"], "lang": t["lang"],
              "detected": pa.array(det, type=pa.string())}
@@ -1167,12 +1171,23 @@ def media_byte_features(sf_dir: str):
     from camden_ray.stages.multimodal import media_features
 
     def to_media(t: pa.Table) -> pa.Table:
-        payloads = [(x or "").encode() for x in t["text"].to_pylist()]
-        md5s = [hashlib.md5(p).hexdigest() for p in payloads]
+        from camden_ray.functions.hashing import _string_array_view
+
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        # zero-copy utf-8 → binary; md5 runs over buffer views (the digest
+        # itself is the irreducible per-row cost — no bytes objects built)
+        data, offs = _string_array_view(txt)
+        md5s = [
+            hashlib.md5(data[offs[i] : offs[i + 1]]).hexdigest()
+            for i in range(len(txt))
+        ]
         return pa.table(
             {
                 "media_id": t["doc_id"],
-                "payload": pa.array(payloads, type=pa.binary()),
+                "payload": txt.cast(pa.binary()),
                 "media_type": pa.array(["image"] * len(t), type=pa.string()),
                 "digest_md5": pa.array(md5s, type=pa.string()),
             }

@@ -137,3 +137,53 @@ def test_token_quantiles_match_duckdb(ray_session):
     row = df.iloc[0]
     assert row["n_docs"] == 500
     assert row["p10"] <= row["p25"] <= row["p50"] <= row["p75"] <= row["p90"] <= row["p99"]
+
+
+def test_batch_text_kernels_match_reference():
+    """Differential fuzz: the vectorized batch_quality_features /
+    batch_detect_lang kernels are bit-identical to the per-row reference
+    implementations on adversarial inputs — empty/null rows, unicode (which
+    routes to the per-row fallback), CJK, >16-byte tokens (packing
+    non-injective → fallback), odd ASCII whitespace (\\x1c is isspace in
+    Python), the 2000-char detect_lang truncation boundary, and random
+    mixed-alphabet fuzz."""
+    import random
+    import string
+
+    import pyarrow as pa
+
+    from camden_ray.functions.text import (
+        batch_detect_lang,
+        batch_quality_features,
+        detect_lang,
+        quality_features,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        "", " ", None, "the and of to", "foo_bar baz",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaa bb",      # > 16-byte token
+        "abcdefghijklmnop qrstuvwx",           # exactly-16-byte token
+        "abcdefgh the",                        # exactly-8-byte token
+        "Hello, World! 123 45.6??",
+        "der die das und ist von zu",
+        "le la les de et un une est pour",
+        "一" * 200 + " hello",             # CJK ratio → zh
+        "für die straße",            # non-ASCII → fallback row
+        "x" * 3000 + " the the the",           # tokens beyond the 2000-char cut
+        "the " * 600,
+        "ab\tcd\nef\x1cgh",
+    ]
+    alpha = string.ascii_letters + string.digits + " .,_!\t\näü"
+    for _ in range(200):
+        n = rng.randrange(0, 400)
+        cases.append("".join(rng.choice(alpha) for _ in range(n)))
+
+    col = pa.array(cases, type=pa.string())
+    bq = batch_quality_features(col)
+    bl = batch_detect_lang(col)
+    for i, c in enumerate(cases):
+        ref = quality_features(c or "")
+        for k, v in ref.items():
+            assert bq[k][i] == v, (i, k, c, v, bq[k][i])
+        assert bl[i] == detect_lang(c or ""), (i, c)
