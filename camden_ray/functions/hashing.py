@@ -729,6 +729,43 @@ def md5_poly_fingerprints(texts: list[str | None]) -> np.ndarray:
     return out
 
 
+#: modulus for the md5-parity MinHash twin permutations: prime 2^31 - 1.
+#: SMALL on purpose — A*(h mod M) + B stays under 2^62, so BOTH numpy uint64
+#: and DuckDB UBIGINT evaluate the affine map without 128-bit intermediates.
+MD5_MINHASH_M = 2147483647
+
+
+def md5_affine_minhash(
+    texts: "list[str | None]", k: int, ab: "list[tuple[int, int]]"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-text MinHash signatures with DuckDB-replicable hashing: shingle
+    base hash = ``md5_lower64`` of the space-joined word-``k``-gram (DISTINCT
+    set, whitespace tokens), permutation ``j`` value =
+    ``(A_j * (h % M) + B_j) % M`` with ``M = MD5_MINHASH_M`` and fixed
+    ``(A_j, B_j)`` pairs, signature = per-permutation minimum.
+
+    Returns ``(has_sig: bool[n], sig: uint64[n, len(ab)])`` — texts with
+    fewer than ``k`` tokens have no shingles and ``has_sig`` False.
+    """
+    n = len(texts)
+    P = len(ab)
+    M = np.uint64(MD5_MINHASH_M)
+    A = np.array([a for a, _ in ab], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in ab], dtype=np.uint64)[:, None]
+    sig = np.zeros((n, P), dtype=np.uint64)
+    has = np.zeros(n, dtype=bool)
+    cache: dict = {}
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if len(toks) < k:
+            continue
+        sh = list({" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)})
+        h = md5_lower64(sh, cache) % M
+        sig[i] = ((A * h[None, :] + B) % M).min(axis=1)
+        has[i] = True
+    return has, sig
+
+
 def md5_shingle_simhash(texts: list[str | None], k: int) -> np.ndarray:
     """Per-text 64-bit SimHash over the DISTINCT word-``k``-gram set, shingle
     hash = md5_lower64 of the space-joined shingle (DuckDB-replicable). Bit b

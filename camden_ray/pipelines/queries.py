@@ -1483,12 +1483,115 @@ def doc_dedup_clusters(sf_dir: str):
     return res["clusters"]
 
 
-def doc_minhash_pairs(sf_dir: str):
-    """MinHash+LSH candidate pairs over documents (rows-only check)."""
-    from camden_ray.pipelines.dedup import build_edges
+# Fixed affine-permutation constants for the md5-parity MinHash twin
+# (random.Random(4242) draw, frozen as literals so the SQL oracle embeds the
+# identical values). 8 permutations = 4 bands x 2 rows.
+_MINHASH_TWIN_AB = [
+    (1852099020, 2037822335), (892695477, 282947329),
+    (61098809, 1324107815), (838085128, 813788856),
+    (689317831, 590803523), (397091626, 1107121707),
+    (1060106689, 51411011), (1747350150, 1007537441),
+]
+_MINHASH_TWIN_BANDS = 4
+_MINHASH_TWIN_ROWS = 2
 
-    cfg = DedupConfig(jaccard_threshold=0.5, methods=("minhash",))
-    return build_edges(_doc_sig(sf_dir, cfg), cfg)
+
+def doc_minhash_pairs(sf_dir: str):
+    """MinHash+LSH candidate pairs, hash-exact vs the DuckDB oracle (the
+    ``doc_simhash_pairs`` md5-parity-twin recipe applied to MinHash): shingle
+    base hash = ``md5_number_lower`` of the distinct word-5-gram, permutation
+    j = ``(A_j * (h % M) + B_j) % M`` with ``M = 2^31 - 1`` and the fixed
+    ``_MINHASH_TWIN_AB`` constants — both numpy uint64 and DuckDB UBIGINT
+    evaluate this without 128-bit intermediates — signature = per-permutation
+    min, banded b=4 × r=2. A band's two 31-bit row values pack EXACTLY into
+    one int64 bucket key ``(band << 62) | (v0 << 31) | v1`` (no band-hash
+    collision mode at all); candidate generation runs through the engine's
+    partition_map exchange with all-pairs emission per bucket, and
+    ``n_bands`` (distinct colliding bands per pair) is the byte-stable
+    agreement measure. Docs with < 5 tokens have no shingles and emit no
+    rows, matching the SQL. The production star-salted minhash path stays
+    covered by doc_dedup_clusters / doc_ngram_jaccard_pairs."""
+    from camden_ray.functions.hashing import md5_affine_minhash, mix64
+    from camden_ray.stages.candidates import partition_map, partitions_for
+
+    k = DedupConfig().shingle_k
+    P = partitions_for(DedupConfig(), 4096)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        has, sig = md5_affine_minhash(
+            t["text"].to_pylist(), k, _MINHASH_TWIN_AB
+        )
+        urls = pc.binary_join_element_wise(
+            pa.array(["doc://"] * len(t)), pc.cast(t["doc_id"], pa.string()), ""
+        ).filter(pa.array(has))
+        sig = sig[has]
+        n = len(urls)
+        parts = []
+        for band in range(_MINHASH_TWIN_BANDS):
+            v0 = sig[:, 2 * band]
+            v1 = sig[:, 2 * band + 1]
+            gkey = (
+                (np.uint64(band) << np.uint64(62))
+                | (v0 << np.uint64(31))
+                | v1
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "gkey": pa.array(gkey.view(np.int64), type=pa.int64()),
+                        "url": urls,
+                        "pkey": pa.array(
+                            (mix64(gkey) % np.uint64(P)).view(np.int64),
+                            type=pa.int64(),
+                        ),
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {"gkey": pa.array([], type=pa.int64()),
+                 "url": pa.array([], type=pa.string()),
+                 "pkey": pa.array([], type=pa.int64())}
+            )
+        return pa.concat_tables(parts)
+
+    def allpairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], type=pa.string()),
+             "b": pa.array([], type=pa.string())}
+        )
+        if t.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            t, sort_keys=[("gkey", "ascending"), ("url", "ascending")]
+        )
+        t = t.take(order)
+        g = t["gkey"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        ia_parts, ib_parts = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            m = e - s
+            if m < 2:
+                continue
+            iu, iv = np.triu_indices(m, k=1)
+            ia_parts.append(iu + s)
+            ib_parts.append(iv + s)
+        if not ia_parts:
+            return empty
+        urls = t["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        ia = pa.array(np.concatenate(ia_parts))
+        ib = pa.array(np.concatenate(ib_parts))
+        # segment-sorted by url, so take(ia) < take(ib) lexicographically
+        return pa.table({"a": urls.take(ia), "b": urls.take(ib)})
+
+    rows = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        band_rows, batch_format="pyarrow"
+    )
+    pairs = partition_map(rows, P, allpairs, key="pkey")
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
 
 
 def doc_simhash_pairs(sf_dir: str):
@@ -2143,6 +2246,48 @@ ORACLE_SQL["doc_fingerprints"] = """
 # vote across the distinct word-5-gram md5 shingle set; < 5 tokens → 0).
 # The Ray pipeline's 16-table pigeonhole exchange is provably complete for
 # hamming <= 3, so this complete oracle must match it exactly.
+# md5-parity MinHash twin: identical shingling to the simhash twin, affine
+# permutations over h % (2^31-1) with the frozen _MINHASH_TWIN_AB constants
+# (CASTs keep every product inside UBIGINT — max A*(h%M) < 2^62), band = two
+# consecutive signature rows; pairs share a band iff both rows are equal.
+def _minhash_twin_sql() -> str:
+    mins = ",\n            ".join(
+        f"min((CAST({a} AS UBIGINT) * h + CAST({b} AS UBIGINT)) "
+        f"% 2147483647) AS v{j}"
+        for j, (a, b) in enumerate(_MINHASH_TWIN_AB)
+    )
+    bands = "\n        UNION ALL\n".join(
+        f"""        SELECT s1.url AS a, s2.url AS b
+        FROM sig s1 JOIN sig s2
+          ON s1.url < s2.url
+         AND s1.v{2 * i} = s2.v{2 * i} AND s1.v{2 * i + 1} = s2.v{2 * i + 1}"""
+        for i in range(_MINHASH_TWIN_BANDS)
+    )
+    return f"""
+    WITH d AS (
+        SELECT 'doc://' || doc_id AS url,
+               string_split(COALESCE(text, ''), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT url, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 4, 0) + 1),
+            i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        FROM d
+    ), u AS (
+        SELECT url, md5_number_lower(unnest(sh)) % 2147483647 AS h FROM s
+    ), sig AS (
+        SELECT url,
+            {mins}
+        FROM u GROUP BY url
+    ), pb AS (
+{bands}
+    )
+    SELECT a, b, count(*) AS n_bands FROM pb GROUP BY a, b
+    """
+
+
+ORACLE_SQL["doc_minhash_pairs"] = _minhash_twin_sql()
+
 ORACLE_SQL["doc_simhash_pairs"] = """
     WITH d AS (
         SELECT 'doc://' || doc_id AS url,

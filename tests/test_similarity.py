@@ -77,15 +77,20 @@ def test_exact_near_dup_delegates_above_row_cap(monkeypatch):
 
 
 def test_minhash_pairs_bound_by_exact_jaccard(ray_session):
-    """doc_minhash_pairs has no SQL oracle (MinHash estimates aren't
-    SQL-expressible); bound it by the pair-COMPLETE exact-Jaccard set
-    instead (doc_ngram_jaccard_pairs passes the full DuckDB oracle): at the
-    same τ=0.5 the estimated pair set must cover ≥ 0.99 of the true pairs,
-    and most of what it emits must be real (est≥τ on 128 perms is noisy ±,
-    so precision is bounded loosely)."""
-    from camden_ray.pipelines.queries import doc_minhash_pairs, doc_ngram_jaccard_pairs
+    """The PRODUCTION minhash path (128-perm signatures, star-salted LSH
+    exchange, est-threshold verification — the registry's doc_minhash_pairs
+    is now the md5-parity twin under a full SQL oracle, so this test keeps
+    the production config covered): bound it by the pair-COMPLETE
+    exact-Jaccard set (doc_ngram_jaccard_pairs passes the full DuckDB
+    oracle): at the same τ=0.5 the estimated pair set must cover ≥ 0.99 of
+    the true pairs, and most of what it emits must be real (est≥τ on 128
+    perms is noisy ±, so precision is bounded loosely)."""
+    from camden_ray.config import DedupConfig
+    from camden_ray.pipelines.dedup import build_edges
+    from camden_ray.pipelines.queries import _doc_sig, doc_ngram_jaccard_pairs
 
-    est = doc_minhash_pairs(SF_DIR).to_pandas()
+    cfg = DedupConfig(jaccard_threshold=0.5, methods=("minhash",))
+    est = build_edges(_doc_sig(SF_DIR, cfg), cfg).to_pandas()
     exact = doc_ngram_jaccard_pairs(SF_DIR).to_pandas()
     est_pairs = set(zip(est["a"], est["b"]))
     true_pairs = set(zip(exact["a"], exact["b"]))
