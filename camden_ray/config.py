@@ -129,7 +129,23 @@ class DedupConfig:
     driver_unionfind_max_edges: int = 50_000_000
     methods: tuple[str, ...] = ("exact", "minhash", "simhash", "substring")
 
+    # --- representative selection (K1 generalized) ---
+    # "min_url": cluster id = lexicographic min url (the deterministic fix of
+    # camden's arrival-order keep-first, /root/reference/src/operations.rs:50).
+    # "quality": keep the BEST cluster member instead — argmax of the
+    # fixed-point quality score (functions.text.quality_features, stamped as
+    # a ``q`` column by the signature stage), min-url tiebreak so runs stay
+    # bit-reproducible. Implemented by packing (q, url) into one sortable
+    # key, so both the driver and the distributed clustering paths reuse the
+    # min-aggregate machinery unchanged (stages/cluster.py).
+    representative: str = "min_url"
+
     def __post_init__(self) -> None:
+        if self.representative not in ("min_url", "quality"):
+            raise ValueError(
+                f"representative must be 'min_url' or 'quality', "
+                f"got {self.representative!r}"
+            )
         if self.num_bands * self.rows_per_band != self.num_perms:
             raise ValueError(
                 f"num_bands*rows_per_band must equal num_perms "

@@ -449,9 +449,20 @@ def run_dedup(
             nodes, roots = uf
             t1 = time.monotonic()
             # comp_ref IS the assignment broadcast object (merged in-cluster;
-            # component-sized strings never cross the driver)
+            # component-sized strings never cross the driver). Quality mode:
+            # the same min aggregate runs over skey-packed urls, selecting
+            # the argmax-quality member (cluster.quality_rep_view).
+            if cfg.representative == "quality":
+                from camden_ray.stages.cluster import (
+                    REP_PREFIX_LEN,
+                    quality_rep_view,
+                )
+
+                rep_view, strip = quality_rep_view(sig_ds), REP_PREFIX_LEN
+            else:
+                rep_view, strip = sig_ds, 0
             comp_ref, n_reps_small, nodes_ref, roots_ref = component_min_urls(
-                sig_ds, nodes, roots
+                rep_view, nodes, roots, strip=strip
             )
             timings["comp_minurls"] = round(time.monotonic() - t1, 3)
         clusters = sig_ds.select_columns(["url", "uid"]).map_batches(
@@ -473,9 +484,21 @@ def run_dedup(
         )
 
         P = default_partitions(cfg)
+        if cfg.representative == "quality":
+            # skey-packed node dimension: the distributed groupby-Min fixup
+            # then selects quality-argmax reps; prefix stripped before the
+            # assignment join (comp's own url column stays skeyed — unused
+            # by the assigner's dim side)
+            from camden_ray.stages.cluster import quality_rep_view, strip_rep_prefix
+
+            node_dim = quality_rep_view(sig_ds)
+        else:
+            node_dim = sig_ds.select_columns(["uid", "url"])
         comp = hash_to_min_components_uid(
-            uid_edges, sig_ds.select_columns(["uid", "url"]), num_partitions=P
+            uid_edges, node_dim, num_partitions=P
         ).materialize()
+        if cfg.representative == "quality":
+            comp = strip_rep_prefix(comp).materialize()
         clusters = assign_clusters_distributed_uid(
             sig_ds.select_columns(["url", "uid"]), comp, num_partitions=P
         )

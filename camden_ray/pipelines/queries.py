@@ -1704,6 +1704,84 @@ def doc_exact_ngram_clusters(sf_dir: str):
     )
 
 
+def doc_quality_rep_clusters(sf_dir: str):
+    """Quality-aware representative selection (K1 generalized twice: camden's
+    arrival-order keep-first → deterministic min-url → keep the BEST member)
+    under a FULL DuckDB oracle.
+
+    Clusters = connected components over the two deterministic edge sources
+    (exact digest + exact 5-gram Jaccard ≥ 0.5 — the doc_exact_ngram_clusters
+    graph); cluster_id = the member with the highest fixed-point quality
+    score (doc_quality's oracle-proven ×1e6 score), min-url tiebreak. Runs
+    the SAME skey mechanism as the pipeline's ``representative="quality"``
+    mode (stages/cluster.quality_rep_view packing): endpoints are mapped to
+    ``f"{9999999-q:07d}|url"`` keys, the unchanged min-label union-find picks
+    the argmax-quality rep, and the fixed-width prefix is stripped.
+
+    The (url → skey) map here is broadcast once (documents-table-sized at
+    registry scale); the pipeline path instead carries ``q`` as a signature
+    column so no broadcast grows with the corpus.
+    """
+    from camden_ray.functions.text import batch_quality_features
+    from camden_ray.pipelines.dedup import build_edges
+    from camden_ray.stages.cluster import REP_PREFIX_LEN, unionfind_table
+
+    cfg = DedupConfig(methods=("exact",))
+    exact = build_edges(_doc_sig(sf_dir, cfg), cfg).select_columns(["a", "b"])
+    ngram = doc_ngram_jaccard_pairs(sf_dir).select_columns(["a", "b"])
+    edges = exact.union(ngram)
+
+    def score_rows(t: pa.Table) -> pa.Table:
+        urls = pc.binary_join_element_wise(
+            pa.array(["doc://"] * len(t)), pc.cast(t["doc_id"], pa.string()), ""
+        )
+        q = _fp_round(
+            batch_quality_features(t["text"])["quality_score"], scale=1_000_000
+        )
+        inv = 9_999_999 - np.clip(q, 0, 1_000_000)
+        pad = pc.utf8_lpad(
+            pc.cast(pa.array(inv, type=pa.int64()), pa.string()), 7, "0"
+        )
+        skey = pc.binary_join_element_wise(pad, urls, "|")
+        return pa.table({"url": urls, "skey": skey})
+
+    smap_tabs = ray.get(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(score_rows, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    smap = pa.concat_tables([t for t in smap_tabs if t.num_rows]).combine_chunks()
+    order = pc.sort_indices(smap["url"])
+    s_urls = smap["url"].take(order).combine_chunks()
+    s_keys = smap["skey"].take(order).combine_chunks()
+    smap_ref = ray.put((s_urls, s_keys))
+
+    def to_skey(t: pa.Table) -> pa.Table:
+        su, sk = ray.get(smap_ref)
+        out = {}
+        for c in ("a", "b"):
+            idx = pc.index_in(t[c], value_set=su)
+            out[c] = sk.take(idx)
+        return pa.table(out)
+
+    tab = unionfind_table(edges.map_batches(to_skey, batch_format="pyarrow"))
+    if tab is None:
+        return pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "cluster_id": pa.array([], type=pa.string())}
+        )
+    return pa.table(
+        {
+            "url": pc.utf8_slice_codeunits(
+                tab["url"], REP_PREFIX_LEN, 1 << 30
+            ).cast(pa.string()),
+            "cluster_id": pc.utf8_slice_codeunits(
+                tab["cluster_id"], REP_PREFIX_LEN, 1 << 30
+            ).cast(pa.string()),
+        }
+    )
+
+
 def doc_incremental_clusters(sf_dir: str):
     """Incremental exact dedup over documents: rows whose ``md5(url)`` first
     hex digit is 0-2 (~19 %) form the "new shard"; the rest are the base
@@ -1799,6 +1877,7 @@ QUERIES = {
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_exact_ngram_clusters": doc_exact_ngram_clusters,
+    "doc_quality_rep_clusters": doc_quality_rep_clusters,
     "doc_incremental_clusters": doc_incremental_clusters,
     "orders_by_segment": orders_by_segment,
     "customer_region_counts": customer_region_counts,
@@ -2214,6 +2293,84 @@ ORACLE_SQL["doc_exact_ngram_clusters"] = """
     )
     SELECT src AS url, least(src, min(dst)) AS cluster_id
     FROM reach GROUP BY src
+"""
+
+# Quality-rep twin of doc_exact_ngram_clusters: the identical
+# transitive-closure graph, but each component's representative is the
+# member with the max doc_quality fixed-point score (min-url tiebreak) —
+# the score expression is doc_quality's oracle-proven formula verbatim.
+ORACLE_SQL["doc_quality_rep_clusters"] = """
+    WITH RECURSIVE d AS (
+        SELECT 'doc://' || doc_id AS url, COALESCE(text, '') AS text,
+               string_split(COALESCE(text, ''), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT url,
+               list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 4, 0) + 1),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        FROM d
+    ), cand AS (
+        SELECT s1.url AS a, s2.url AS b
+        FROM (SELECT url, unnest(sh) AS g FROM s) s1
+        JOIN (SELECT url, unnest(sh) AS g FROM s) s2
+          ON s1.g = s2.g AND s1.url < s2.url
+        GROUP BY 1, 2
+    ), jac AS (
+        SELECT cand.a, cand.b
+        FROM cand
+        JOIN s sa ON sa.url = cand.a
+        JOIN s sb ON sb.url = cand.b
+        WHERE len(list_intersect(sa.sh, sb.sh))
+              / greatest(len(sa.sh) + len(sb.sh)
+                         - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.5
+    ), ex AS (
+        SELECT d1.url AS a, d2.url AS b
+        FROM d d1 JOIN d d2
+          ON md5(d1.text) = md5(d2.text) AND d1.url < d2.url
+    ), sym AS (
+        SELECT a, b FROM jac UNION SELECT a, b FROM ex
+        UNION SELECT b AS a, a AS b FROM jac
+        UNION SELECT b AS a, a AS b FROM ex
+    ), reach(src, dst) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN sym e ON e.a = r.dst
+    ), comp AS (
+        SELECT src AS url, least(src, min(dst)) AS comp_id
+        FROM reach GROUP BY src
+    ), qf AS (
+        SELECT 'doc://' || doc_id AS url,
+               length(COALESCE(text, '')) AS nc,
+               CASE WHEN COALESCE(text, '') = '' THEN 0
+                    ELSE len(string_split(COALESCE(text, ''), ' ')) END AS ntok,
+               length(regexp_replace(COALESCE(text, ''),
+                                     '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+               length(regexp_replace(COALESCE(text, ''),
+                                     '[^0-9]', '', 'g')) AS digits,
+               len(list_distinct(string_split(COALESCE(text, ''), ' '))) AS uniq
+        FROM documents
+    ), q AS (
+        SELECT url,
+               CASE WHEN nc = 0 OR ntok = 0 THEN 0
+                    ELSE CAST(round(
+                        least(1.0, ntok / 50.0)
+                        * sqrt(uniq / ntok)
+                        * (1.0 - least(0.5, punct / nc) / 0.5 * 0.5)
+                        * (1.0 - least(0.5, digits / nc) / 0.5 * 0.5)
+                        * 1000000) AS BIGINT)
+               END AS qs
+        FROM qf
+    ), reps AS (
+        SELECT comp_id, url AS rep FROM (
+            SELECT c.comp_id, c.url,
+                   row_number() OVER (PARTITION BY c.comp_id
+                                      ORDER BY q.qs DESC, c.url ASC) AS rn
+            FROM comp c JOIN q ON q.url = c.url
+        ) WHERE rn = 1
+    )
+    SELECT c.url, r.rep AS cluster_id
+    FROM comp c JOIN reps r ON r.comp_id = c.comp_id
 """
 
 # md5-token polynomial fingerprint: token hash = md5_number_lower (parity

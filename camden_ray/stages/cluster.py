@@ -225,8 +225,55 @@ def _empty_comp_table() -> pa.Table:
     )
 
 
+#: width of the quality prefix "NNNNNNN|" packed in front of urls by
+#: :func:`quality_rep_view` (7 zero-padded digits + separator)
+REP_PREFIX_LEN = 8
+
+
+def quality_rep_view(sig_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(uid, url, q) → (uid, url=skey) where ``skey = f"{9999999-q:07d}|url"``.
+
+    The fixed-point quality score q ∈ [0, 1e6] is folded into a FIXED-WIDTH
+    descending prefix, so *lexicographic min of skey ≡ argmax quality, min-url
+    tiebreak*. Both representative-selection paths (the driver comp-table
+    min aggregate and the distributed groupby-Min fixup) then run unchanged
+    on skeys; the prefix is stripped (``REP_PREFIX_LEN``) before assignments
+    are emitted. No new shuffle, no new aggregate kernel, bit-reproducible.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        q = t["q"].to_numpy(zero_copy_only=False)
+        inv = 9_999_999 - np.clip(q, 0, 1_000_000)
+        pad = pc.utf8_lpad(
+            pc.cast(pa.array(inv, type=pa.int64()), pa.string()), 7, "0"
+        )
+        skey = pc.binary_join_element_wise(pad, t["url"], "|")
+        return pa.table({"uid": t["uid"], "url": skey})
+
+    return sig_ds.select_columns(["uid", "url", "q"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def strip_rep_prefix(ds: "ray.data.Dataset", columns=("cluster_id",)) -> "ray.data.Dataset":
+    """Remove the quality skey prefix from the given string columns."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        for c in columns:
+            t = t.set_column(
+                t.schema.get_field_index(c), c,
+                pc.utf8_slice_codeunits(t[c], REP_PREFIX_LEN, 1 << 30),
+            )
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 @ray.remote(num_cpus=2, num_returns=2)
-def _merge_comp_partials(*tabs: "pa.Table"):
+def _merge_comp_partials(strip: int, *tabs: "pa.Table"):
     """Merge per-block (root, url_min) partials → the sorted comp table.
 
     Runs as a cluster task: block-level group_by rarely combines anything
@@ -245,15 +292,17 @@ def _merge_comp_partials(*tabs: "pa.Table"):
     merged = pa.concat_tables(tabs).group_by("root").aggregate([("url_min", "min")])
     order = pc.sort_indices(merged["root"])
     merged = merged.take(order)
-    comp = pa.table(
-        {"root": merged["root"],
-         "cluster_id": merged["url_min_min"].combine_chunks()}
-    )
+    cid = merged["url_min_min"].combine_chunks()
+    if strip:  # quality-rep skeys: drop the fixed-width score prefix
+        cid = pc.utf8_slice_codeunits(cid, strip, 1 << 30)
+        if isinstance(cid, pa.ChunkedArray):
+            cid = cid.combine_chunks()
+    comp = pa.table({"root": merged["root"], "cluster_id": cid})
     return comp, comp.num_rows
 
 
 def component_min_urls(
-    sig_ds: "ray.data.Dataset", nodes, roots
+    sig_ds: "ray.data.Dataset", nodes, roots, strip: int = 0
 ) -> "tuple":
     """Per-component lexicographic-min url, as a broadcastable comp table:
     ``(comp_ref, n_comps, nodes_ref, roots_ref)`` where ``comp_ref`` is an
@@ -265,6 +314,10 @@ def component_min_urls(
     broadcast object — no component-sized strings ever cross the driver.
     The ``nodes``/``roots`` broadcast refs are returned so the assignment
     wave reuses them instead of re-putting the arrays.
+
+    ``strip``: pass ``REP_PREFIX_LEN`` when ``sig_ds`` is a
+    :func:`quality_rep_view` (skey urls) — min-skey selects the
+    quality-argmax representative and the prefix is removed in the merge.
     """
     import numpy as np
 
@@ -292,7 +345,7 @@ def component_min_urls(
     )
     if not refs:
         return ray.put(_empty_comp_table()), 0, nodes_ref, roots_ref
-    comp_ref, n_ref = _merge_comp_partials.remote(*refs)
+    comp_ref, n_ref = _merge_comp_partials.remote(strip, *refs)
     return comp_ref, int(ray.get(n_ref)), nodes_ref, roots_ref
 
 

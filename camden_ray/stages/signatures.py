@@ -279,6 +279,16 @@ class SignatureActor:
             # span verification will actually consume it — it is roughly
             # text-sized and inflates every signature checkpoint otherwise.
             cols["th"] = _list_array(th_lens, th_flat.view(np.int64))
+        if cfg.representative == "quality":
+            # fixed-point quality score (×1e6, ∈ [0, 1e6]): computed here —
+            # the only stage that still holds the text — so representative
+            # selection never re-reads a document (stages/cluster.py packs
+            # it with the url into one sortable key)
+            from camden_ray.functions.text import batch_quality_features
+
+            score = batch_quality_features(text_arr)["quality_score"]
+            qfp = np.trunc(score * 1_000_000 + 0.5).astype(np.int64)
+            cols["q"] = pa.array(np.clip(qfp, 0, 1_000_000), type=pa.int64())
         return pa.table(cols)
 
 

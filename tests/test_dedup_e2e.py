@@ -160,3 +160,61 @@ def test_vsig_coshuffle_matches_broadcast(webtext_path, dedup_result):
     b = res["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
     assert a.equals(b)
     assert res["stats"] == dedup_result["stats"]
+
+
+def test_quality_representative_selection(webtext_path, dedup_result):
+    """representative="quality": each cluster keeps its argmax-quality member
+    (min-url tiebreak) instead of the min url; cluster MEMBERSHIP is
+    identical to the default run; the distributed clustering path
+    (driver_unionfind_max_edges=0) picks the same representatives."""
+    import numpy as np
+
+    from camden_ray.functions.text import quality_features
+
+    cfg = DedupConfig(representative="quality")
+    res = run_dedup(webtext_path, cfg, extract=True)
+    cl = res["clusters"].to_pandas()
+    base = dedup_result["clusters"].to_pandas()
+
+    # same partition of urls into clusters (ids differ, membership must not)
+    def groups(df):
+        return {
+            frozenset(g["url"]) for _, g in df.groupby("cluster_id")
+        }
+
+    assert groups(cl) == groups(base)
+
+    # recompute scores independently from the extracted text and assert the
+    # rep of every non-trivial cluster is argmax-q (min-url tiebreak)
+    from camden_ray.stages.extract import FastTextExtractor
+
+    import pyarrow.parquet as pq
+    import glob
+    import os
+
+    ext = FastTextExtractor()
+    tabs = [pq.read_table(p) for p in glob.glob(os.path.join(webtext_path, "*.parquet"))]
+    url_q = {}
+    for t in tabs:
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            txt = ext.extract(h.decode("utf-8", "replace")) if h is not None else ""
+            s = quality_features(txt)["quality_score"]
+            url_q[u] = int(np.trunc(s * 1_000_000 + 0.5))
+    for cid, g in cl.groupby("cluster_id"):
+        if len(g) < 2:
+            continue
+        best = sorted(g["url"], key=lambda u: (-url_q[u], u))[0]
+        assert cid == best, (cid, best, [(u, url_q[u]) for u in g["url"]])
+        rep_rows = g[g.is_representative]
+        assert list(rep_rows["url"]) == [best]
+
+    # distributed path parity
+    res_d = run_dedup(
+        webtext_path,
+        DedupConfig(representative="quality", driver_unionfind_max_edges=0),
+        extract=True,
+    )
+    cl_d = res_d["clusters"].to_pandas()
+    a = cl.sort_values("url").reset_index(drop=True)
+    b = cl_d.sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
