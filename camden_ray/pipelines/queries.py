@@ -1704,6 +1704,28 @@ def doc_exact_ngram_clusters(sf_dir: str):
     )
 
 
+_SPAN_TRIM_L = 15
+
+
+def doc_span_trim(sf_dir: str):
+    """Span-trimmed corpus output (Lee et al. 2021; stages/spantrim.py —
+    the sub-document generalization of W3's move-duplicates,
+    /root/reference/src/operations.rs:40-64) under a FULL DuckDB oracle:
+    every token span ≥ L=15 that also appears in an earlier document
+    (winner = min doc_id containing the gram) is cut from the later doc.
+    Projection emitted for the oracle: per doc, its token count, the number
+    of removed tokens, and the md5 of the space-joined kept tokens — the
+    cleaned text itself plus exact removed byte extents stay on the stage
+    API (pytest-pinned in tests/test_spantrim.py)."""
+    from camden_ray.stages.candidates import partitions_for
+    from camden_ray.stages.spantrim import span_trim
+
+    P = partitions_for(DedupConfig(), 4096)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = span_trim(docs, _SPAN_TRIM_L, P, key="doc_id", text="text")
+    return out.select_columns(["doc_id", "n_tokens", "n_removed", "cleaned_md5"])
+
+
 def doc_quality_rep_clusters(sf_dir: str):
     """Quality-aware representative selection (K1 generalized twice: camden's
     arrival-order keep-first → deterministic min-url → keep the BEST member)
@@ -1877,6 +1899,7 @@ QUERIES = {
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_exact_ngram_clusters": doc_exact_ngram_clusters,
+    "doc_span_trim": doc_span_trim,
     "doc_quality_rep_clusters": doc_quality_rep_clusters,
     "doc_incremental_clusters": doc_incremental_clusters,
     "orders_by_segment": orders_by_segment,
@@ -2293,6 +2316,55 @@ ORACLE_SQL["doc_exact_ngram_clusters"] = """
     )
     SELECT src AS url, least(src, min(dst)) AS cluster_id
     FROM reach GROUP BY src
+"""
+
+# Exact span-trim semantics in SQL: gram at 1-based token position pos =
+# L consecutive \S+ tokens; winner(gram) = min doc_id; a position is covered
+# iff some gram window containing it has winner < doc_id; cleaned = kept
+# tokens joined by ' '. DuckDB list slices are 1-based inclusive
+# (t[pos:pos+L-1] = L elements); fully-covered and token-less docs both
+# clean to md5('') on each side.
+ORACLE_SQL["doc_span_trim"] = f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS t
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               unnest(range(1, greatest(len(t) - {_SPAN_TRIM_L} + 1, 0) + 1))
+                   AS pos,
+               t
+        FROM tok
+    ), g2 AS (
+        SELECT doc_id, pos,
+               array_to_string(t[pos:pos+{_SPAN_TRIM_L - 1}], ' ') AS gram
+        FROM g
+    ), w AS (
+        SELECT gram, min(doc_id) AS win FROM g2 GROUP BY gram
+    ), cov AS (
+        SELECT g2.doc_id,
+               unnest(range(g2.pos, g2.pos + {_SPAN_TRIM_L})) AS cpos
+        FROM g2 JOIN w USING (gram) WHERE w.win < g2.doc_id
+    ), covd AS (
+        SELECT DISTINCT doc_id, cpos FROM cov
+    ), pt AS (
+        SELECT doc_id, unnest(t) AS tk,
+               unnest(range(1, len(t) + 1)) AS pos
+        FROM tok
+    ), kept AS (
+        SELECT p.doc_id, p.pos, p.tk
+        FROM pt p LEFT JOIN covd c
+          ON p.doc_id = c.doc_id AND p.pos = c.cpos
+        WHERE c.doc_id IS NULL
+    ), agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(tk, ' ' ORDER BY pos)) AS cleaned_md5
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+    FROM tok t LEFT JOIN agg a USING (doc_id)
 """
 
 # Quality-rep twin of doc_exact_ngram_clusters: the identical

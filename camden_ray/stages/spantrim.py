@@ -1,0 +1,353 @@
+"""Span-trimmed corpus output: cut duplicated token spans ≥ L from every
+losing document and emit the cleaned text.
+
+This is the Lee et al. 2021 ("Deduplicating Training Data Makes Language
+Models Better") *product* deliverable — the sub-document generalization of
+camden's W3 "move the duplicate" (/root/reference/src/operations.rs:40-64):
+instead of moving whole duplicate files, the duplicated BYTES are removed
+from each losing document while the winning occurrence keeps them.
+
+Semantics (exact, deterministic, SQL-expressible — the DuckDB oracle for
+``doc_span_trim`` replicates it verbatim):
+
+* tokens = RE2 ``\\S+`` runs (the class DuckDB's ``regexp_extract_all('\\S+')``
+  uses; byte-level here — multi-byte UTF-8 chars are non-space bytes, so the
+  runs agree with RE2 on any input);
+* the *gram* at token position i = the L consecutive tokens starting there;
+* a gram's **winner** is the minimum key (doc_id / url order) among all
+  documents containing it;
+* token position p of doc d is **covered** iff some gram window containing p
+  (start in [p-L+1, p]) has a winner < d — i.e. the span also appears in an
+  earlier document;
+* the cleaned document drops every covered token. Two flavors are emitted:
+  ``cleaned_md5`` hashes the space-joined kept tokens (the oracle contract),
+  and ``text_clean`` removes the covered spans' exact byte extents from the
+  original text (surrounding whitespace kept), with the removed byte ranges
+  reported in ``span_starts``/``span_ends``.
+
+Physical plan — two partition_map exchanges, never an all-pairs step:
+
+1. gram exchange: rows (ghash, key, pos) hash-partitioned on the 64-bit
+   rolling gram hash; each partition computes per-gram winners with one
+   sort and emits only the **covered** (key, pos) rows (losing occurrences);
+2. trim exchange: covered rows co-partitioned with the documents on the doc
+   key; one vectorized pass per partition rebuilds each doc.
+
+A 64-bit gram-hash collision can only *add* coverage (two different spans
+colliding marks the later doc's span as duplicated) — never lose any — at
+~n²/2⁶⁴ odds over the gram count; the same documented mode as every other
+hashed exchange in the engine.
+
+Scale notes: exchange 1 moves one skinny row per token (16-24 B) — the
+honest cost floor of exact span dedup (Lee et al.'s suffix arrays touch the
+same volume); exchange 2 moves each doc's text once plus the covered-start
+rows. Keys should be compact (int64 doc ids; map urls to ranks first if url
+order is the required winner order).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from camden_ray.functions.hashing import (
+    _string_array_view,
+    flat_rolling_grams,
+    mix64,
+    poly_hash_segments,
+    seg_positions,
+)
+from camden_ray.stages.candidates import partition_map
+
+_GRAM_MIX = np.uint64(0x8F5C28F5C28F5C29)
+_KEY_MIX = np.uint64(0xD1B54A32D192ED03)
+
+# RE2 \s = {\t, \n, \f, \r, ' '}; token bytes are everything else (including
+# every byte ≥ 0x80 — multi-byte UTF-8 chars are never whitespace)
+_T_TOK = np.ones(256, dtype=bool)
+_T_TOK[[9, 10, 12, 13, 32]] = False
+
+
+def _ws_token_runs(data: np.ndarray, offsets: np.ndarray):
+    """RE2 ``\\S+`` token runs over a row-segmented byte buffer.
+
+    Returns (starts_idx, ends_idx, counts): global byte index of each
+    token's first byte, one-past-last byte, and per-row token counts.
+    Tokens never straddle row boundaries."""
+    w = _T_TOK[data]
+    prev = np.zeros(len(w), dtype=bool)
+    if len(w) > 1:
+        prev[1:] = w[:-1]
+    nxt = np.zeros(len(w), dtype=bool)
+    if len(w) > 1:
+        nxt[:-1] = w[1:]
+    nonempty = offsets[1:] > offsets[:-1]
+    row_starts = offsets[:-1][nonempty]
+    row_ends = offsets[1:][nonempty] - 1
+    prev[row_starts] = False
+    nxt[row_ends] = False
+    starts_idx = np.flatnonzero(w & ~prev)
+    ends_idx = np.flatnonzero(w & ~nxt) + 1
+    cs = np.zeros(len(w) + 1, dtype=np.int64)
+    np.cumsum(w & ~prev, out=cs[1:])
+    counts = cs[offsets[1:]] - cs[offsets[:-1]]
+    return starts_idx, ends_idx, counts
+
+
+def _key_ids(col) -> np.ndarray:
+    """64-bit partition ids for a key column (int64 columns are their own
+    ids; strings hash)."""
+    from camden_ray.functions.hashing import hash_string_column
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).view(np.uint64)
+    return hash_string_column(col)
+
+
+def make_gram_rows(L: int, P: int, key: str = "key", text: str = "text"):
+    """map_batches fn: (key, text) rows → (g, key, pos, pkey) gram rows —
+    one row per L-gram start, hash-partitioned on the gram hash."""
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = t[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        texts = t[text]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        data, offs = _string_array_view(texts)
+        tok_s, tok_e, counts = _ws_token_runs(data, offs)
+        th_flat = poly_hash_segments(data, tok_s, tok_e)
+        th_off = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(counts, out=th_off[1:])
+        m = np.maximum(counts - L + 1, 0)  # valid gram starts per doc
+        g_all = flat_rolling_grams(th_flat, L)
+        has = m > 0
+        if not has.any():
+            return pa.table(
+                {"g": pa.array([], type=pa.int64()),
+                 key: keys.slice(0, 0),
+                 "pos": pa.array([], type=pa.int64()),
+                 "pkey": pa.array([], type=pa.int64())}
+            )
+        src = seg_positions(th_off[:-1][has], m[has])
+        g = mix64(g_all[src] ^ _GRAM_MIX)
+        doc_idx = np.repeat(np.flatnonzero(has), m[has])
+        pos = np.arange(len(src), dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(m[has])[:-1]], m[has]
+        )
+        return pa.table(
+            {
+                "g": pa.array(g.view(np.int64), type=pa.int64()),
+                key: keys.take(pa.array(doc_idx)),
+                "pos": pa.array(pos, type=pa.int64()),
+                "pkey": pa.array(
+                    (g % np.uint64(P)).view(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return f
+
+
+def _winner_cover(key: str):
+    """Exchange-1 reduce: per gram, keep only the LOSING occurrences
+    (key > per-gram min key) as (key, pos) covered-gram-start rows."""
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {key: t[key], "pos": pa.array([], type=pa.int64())}
+            )
+        order = pc.sort_indices(
+            t, sort_keys=[("g", "ascending"), (key, "ascending")]
+        )
+        t = t.take(order)
+        g = t["g"].to_numpy()
+        seg_start = np.r_[True, g[1:] != g[:-1]]
+        seg_id = np.cumsum(seg_start) - 1
+        first_idx = np.flatnonzero(seg_start)
+        keys = t[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        winners = keys.take(pa.array(first_idx[seg_id]))
+        lose = pc.not_equal(keys, winners)  # sorted: != winner ⇒ > winner
+        out = t.filter(lose)
+        return pa.table({key: out[key], "pos": out["pos"]})
+
+    return f
+
+
+def _trim_doc(doc_bytes, tok_s, tok_e, cov_starts, L: int):
+    """One doc: covered-start positions → (kept_md5, n_removed, text_clean,
+    span byte extents). ``tok_s``/``tok_e`` are byte offsets local to
+    ``doc_bytes``; ``cov_starts`` sorted unique gram-start token positions."""
+    ntok = len(tok_s)
+    if ntok == 0 or len(cov_starts) == 0:
+        joined = b" ".join(
+            doc_bytes[s:e] for s, e in zip(tok_s.tolist(), tok_e.tolist())
+        )
+        return (
+            hashlib.md5(joined).hexdigest(), 0,
+            None, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+        )
+    # diff-array coverage: +1 at each covered start, -1 at start+L
+    d = np.zeros(ntok + 1, dtype=np.int64)
+    np.add.at(d, cov_starts, 1)
+    np.add.at(d, np.minimum(cov_starts + L, ntok), -1)
+    covered = np.cumsum(d[:-1]) > 0
+    kept_idx = np.flatnonzero(~covered)
+    joined = b" ".join(
+        doc_bytes[tok_s[i] : tok_e[i]] for i in kept_idx.tolist()
+    )
+    n_removed = int(ntok - len(kept_idx))
+    # maximal covered runs → byte extents [tok_s[i], tok_e[j])
+    cov_idx = np.flatnonzero(covered)
+    run_start = np.r_[True, np.diff(cov_idx) > 1]
+    run_end = np.r_[run_start[1:], True]
+    starts_b = tok_s[cov_idx[run_start]]
+    ends_b = tok_e[cov_idx[run_end]]
+    # cleaned text: drop the span byte ranges, keep everything else
+    keep_mask = np.ones(len(doc_bytes), dtype=bool)
+    for s, e in zip(starts_b.tolist(), ends_b.tolist()):
+        keep_mask[s:e] = False
+    text_clean = doc_bytes[keep_mask].tobytes().decode("utf-8")
+    return hashlib.md5(joined).hexdigest(), n_removed, text_clean, starts_b, ends_b
+
+
+def make_trim_reduce(L: int, key: str = "key", text: str = "text"):
+    """Exchange-2 reduce: doc rows (kind=0: key, text) + covered rows
+    (kind=1: key, pos) → one cleaned row per doc."""
+
+    def f(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        dt = t.filter(pa.array(kind == 0))
+        ct = t.filter(pa.array(kind == 1))
+        keys = dt[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        texts = dt[text]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        data, offs = _string_array_view(texts)
+        tok_s, tok_e, counts = _ws_token_runs(data, offs)
+        tok_off = np.zeros(len(dt) + 1, dtype=np.int64)
+        np.cumsum(counts, out=tok_off[1:])
+        # covered rows → doc row index (exact Arrow match, any key type)
+        cov_doc = pc.index_in(ct[key], value_set=keys)
+        valid = pc.is_valid(cov_doc)
+        cov_doc = cov_doc.filter(valid).to_numpy(zero_copy_only=False)
+        cov_pos = ct["pos"].filter(valid).to_numpy(zero_copy_only=False)
+        order = np.lexsort((cov_pos, cov_doc))
+        cov_doc, cov_pos = cov_doc[order], cov_pos[order]
+        doc_cov_off = np.searchsorted(
+            cov_doc, np.arange(len(dt) + 1, dtype=np.int64)
+        )
+        md5s: list[str] = []
+        n_rem: list[int] = []
+        clean: list[str | None] = []
+        sp_s: list[list[int]] = []
+        sp_e: list[list[int]] = []
+        texts_py = None
+        for i in range(len(dt)):
+            b0 = offs[i]
+            lo = np.searchsorted(tok_s, b0)
+            hi = np.searchsorted(tok_s, offs[i + 1])
+            ts = tok_s[lo:hi] - b0
+            te = tok_e[lo:hi] - b0
+            cov = cov_pos[doc_cov_off[i] : doc_cov_off[i + 1]]
+            m, r, tc, ss, ee = _trim_doc(
+                data[offs[i] : offs[i + 1]], ts, te, cov, L
+            )
+            md5s.append(m)
+            n_rem.append(r)
+            if tc is None:  # untouched doc: reuse the original string
+                if texts_py is None:
+                    texts_py = texts.to_pylist()
+                tc = texts_py[i]
+            clean.append(tc)
+            sp_s.append(ss.tolist())
+            sp_e.append(ee.tolist())
+        return pa.table(
+            {
+                key: keys,
+                "n_tokens": pa.array(counts, type=pa.int64()),
+                "n_removed": pa.array(n_rem, type=pa.int64()),
+                "cleaned_md5": pa.array(md5s, type=pa.string()),
+                "text_clean": pa.array(clean, type=pa.string()),
+                "span_starts": pa.array(sp_s, type=pa.list_(pa.int64())),
+                "span_ends": pa.array(sp_e, type=pa.list_(pa.int64())),
+            }
+        )
+
+    return f
+
+
+def span_trim(
+    docs: "ray.data.Dataset",
+    L: int,
+    num_partitions: int,
+    key: str = "key",
+    text: str = "text",
+) -> "ray.data.Dataset":
+    """Distributed span-level dedup over (key, text) rows — see module
+    docstring. Winner order = the key column's natural order (int64 doc ids
+    or lexicographic strings). Returns one row per input doc:
+    (key, n_tokens, n_removed, cleaned_md5, text_clean, span_starts,
+    span_ends)."""
+    P = num_partitions
+    Pu = np.uint64(P)
+
+    covered = partition_map(
+        docs.map_batches(
+            make_gram_rows(L, P, key=key, text=text), batch_format="pyarrow"
+        ),
+        P,
+        _winner_cover(key),
+        key="pkey",
+    )
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        ids = _key_ids(t[key])
+        return pa.table(
+            {
+                key: t[key],
+                text: pc.fill_null(t[text], ""),
+                "pos": pa.nulls(len(t), type=pa.int64()),
+                "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
+                "pkey": pa.array(
+                    (mix64(ids ^ _KEY_MIX) % Pu).view(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def tag_cov(t: pa.Table) -> pa.Table:
+        ids = _key_ids(t[key])
+        return pa.table(
+            {
+                key: t[key],
+                text: pa.nulls(len(t), type=pa.string()),
+                "pos": t["pos"],
+                "kind": pa.array(np.ones(len(t), dtype=np.int8)),
+                "pkey": pa.array(
+                    (mix64(ids ^ _KEY_MIX) % Pu).view(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    rows = docs.map_batches(tag_doc, batch_format="pyarrow").union(
+        covered.map_batches(tag_cov, batch_format="pyarrow")
+    )
+    return partition_map(
+        rows, P, make_trim_reduce(L, key=key, text=text), key="pkey"
+    )
