@@ -466,6 +466,75 @@ def doc_decontaminate(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def doc_decontaminate_spans(sf_dir: str):
+    """Span-granular decontamination: where :func:`doc_decontaminate` FLAGS
+    documents overlapping the benchmark split, this emits the overlap
+    LOCATIONS — one row per (doc_id, 1-based gram start position) whose
+    4-gram also occurs in the benchmark set — so a training pipeline can
+    surgically remove the contaminated spans (each hit marks tokens
+    [pos, pos+3]) instead of dropping whole documents. Same scale shape:
+    benchmark gram hashes reduced per-block → one ``ray.put`` broadcast;
+    corpus side map-only. Full DuckDB oracle (exact string-gram join twin).
+    """
+    from camden_ray.functions.hashing import hash_string_column
+
+    cutoff = _DECON_CUTOFF_HEX
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(_md5_below(ids.tolist(), cutoff)))
+        grams, _ = _batch_ngrams(sub.column("text"), _DECON_N)
+        gh = np.unique(hash_string_column(grams)) if len(grams) else np.empty(
+            0, dtype=np.uint64
+        )
+        return pa.table({"gh": pa.array(gh, type=pa.uint64())})
+
+    parts = [
+        b["gh"].to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(bench_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    bench_gh = np.unique(np.concatenate(parts)) if parts else np.empty(
+        0, dtype=np.uint64
+    )
+    bench_ref = ray.put(bench_gh)
+
+    def hits(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(~_md5_below(ids.tolist(), cutoff)))
+        grams, seg = _batch_ngrams(sub.column("text"), _DECON_N)
+        empty = pa.table(
+            {"doc_id": pa.array([], type=sub["doc_id"].type),
+             "pos": pa.array([], type=pa.int64())}
+        )
+        if not len(grams) or not len(bench):
+            return empty
+        # gram start position within its doc: grams are emitted doc-by-doc
+        # in order, so position = index − its segment's first index
+        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        runs = np.diff(np.r_[starts, len(seg)])
+        pos = np.arange(len(seg), dtype=np.int64) - np.repeat(starts, runs)
+        gh = hash_string_column(grams)
+        p = np.searchsorted(bench, gh).clip(max=len(bench) - 1)
+        member = bench[p] == gh
+        if not member.any():
+            return empty
+        doc_ids = sub["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": doc_ids.take(pa.array(seg[member])),
+                "pos": pa.array(pos[member] + 1, type=pa.int64()),  # 1-based
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pyarrow")
+
+
 def doc_repetition(sf_dir: str):
     """Per-document repetition quality metrics (the Gopher-rule family,
     Rae et al. 2021 §A1.1): bigram multiset stats — count of the most
@@ -1876,6 +1945,7 @@ QUERIES = {
     "doc_token_counts": doc_token_counts,
     "doc_top_bigrams": doc_top_bigrams,
     "doc_decontaminate": doc_decontaminate,
+    "doc_decontaminate_spans": doc_decontaminate_spans,
     "doc_repetition": doc_repetition,
     "corpus_vocab_stats": corpus_vocab_stats,
     "corpus_token_quantiles": corpus_token_quantiles,
@@ -1972,6 +2042,29 @@ ORACLE_SQL = {
         SELECT d.doc_id, COALESCE(h.n_overlap, 0)::BIGINT AS n_overlap
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         WHERE md5(CAST(d.doc_id AS VARCHAR)) >= '{_DECON_CUTOFF_HEX}'
+    """,
+    "doc_decontaminate_spans": f"""
+        WITH tok AS (
+            SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS t
+            FROM documents
+        ),
+        gp AS (
+            SELECT doc_id,
+                   unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS pos, t
+            FROM tok
+        ),
+        g AS (
+            SELECT doc_id, pos,
+                   array_to_string(t[pos:pos+3], ' ') AS gram
+            FROM gp
+        ),
+        bench AS (
+            SELECT DISTINCT gram FROM g
+            WHERE md5(CAST(doc_id AS VARCHAR)) < '{_DECON_CUTOFF_HEX}'
+        )
+        SELECT g.doc_id, g.pos
+        FROM g JOIN bench USING (gram)
+        WHERE md5(CAST(g.doc_id AS VARCHAR)) >= '{_DECON_CUTOFF_HEX}'
     """,
     "doc_repetition": """
         WITH tok AS (

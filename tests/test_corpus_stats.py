@@ -187,3 +187,22 @@ def test_batch_text_kernels_match_reference():
         for k, v in ref.items():
             assert bq[k][i] == v, (i, k, c, v, bq[k][i])
         assert bl[i] == detect_lang(c or ""), (i, c)
+
+
+def test_decontaminate_spans_consistent_with_flags(ray_session):
+    """Span-granular decontamination agrees with the doc-level flagger: a
+    doc has >= 1 overlap span iff its n_overlap > 0, and its DISTINCT
+    overlapping grams (n_overlap) never exceed its span-hit count."""
+    from camden_ray.pipelines.queries import (
+        doc_decontaminate,
+        doc_decontaminate_spans,
+    )
+
+    flags = doc_decontaminate(SF_DIR).to_pandas().set_index("doc_id")
+    spans = doc_decontaminate_spans(SF_DIR).to_pandas()
+    hit_counts = spans.groupby("doc_id").size()
+    flagged = set(flags[flags.n_overlap > 0].index)
+    assert set(hit_counts.index) == flagged
+    for d in flagged:
+        assert flags.loc[d, "n_overlap"] <= hit_counts[d]
+    assert len(spans) > 0
