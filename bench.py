@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "doc_token_counts",
     "doc_decontaminate",
     "source_tfidf_terms",
+    "doc_span_trim",
     "doc_dedup_clusters",
 ]
 

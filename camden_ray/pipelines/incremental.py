@@ -40,11 +40,19 @@ keyed by cluster id). When a new doc bridges several existing clusters they
 merge under the lexicographically smallest existing id; the merges are
 reported in ``base_merges``.
 
-Driver-state caps (documented, loud): the new shard's uid/url id maps and
-the delta edge set are driver-resident — the same memory bar as
-``driver_unionfind_max_edges`` in the full pipeline. A "new shard" is by
-definition ≪ corpus; a shard large enough to break that bar should be
-deduped internally with :func:`run_dedup` first (or in slices).
+Scale regimes (code-level, not doc caveats): below
+``cfg.driver_unionfind_max_edges`` the delta edges are collected and
+clustered on the driver (the fast small regime); above it
+:func:`_cluster_delta_distributed` takes over — base endpoints are remapped
+to their existing cluster reps by a co-partition merge, components run
+through the distributed hash-to-min propagation, and assignments
+shuffle-join onto the new shard, so NO edge-sized driver state exists in
+that regime (parity with the driver path is pinned by
+tests/test_incremental.py with the bar forced to 0). What remains
+driver/broadcast-resident is *shard-sized* by construction — the new
+shard's distinct bucket keys and uid set, which the broadcast-filter
+architecture itself requires (the same bounded role as the benchmark gram
+broadcast in decontamination).
 """
 
 from __future__ import annotations
@@ -291,6 +299,256 @@ def _incremental_simhash_edges(
     )
 
 
+def _remap_endpoint_col(
+    edges: "ray.data.Dataset",
+    bmap: "ray.data.Dataset",
+    col: str,
+    other: str,
+    new_ref,
+    P: int,
+) -> "ray.data.Dataset":
+    """Distributed endpoint remap: edge column ``col`` values found in
+    ``bmap`` (uid → rep_uid) are replaced by their base cluster-rep uid;
+    values in the new-shard set pass through. A base endpoint matching
+    NEITHER means ``base_clusters`` does not cover every base doc — the
+    merge task raises, mirroring the driver path's validation."""
+    from camden_ray.functions.hashing import mix64
+    from camden_ray.stages.candidates import partition_map
+
+    Pu = np.uint64(P)
+    KMIX = np.uint64(0x94D049BB133111EB)
+
+    def _pkey(vals: np.ndarray) -> pa.Array:
+        return pa.array(
+            (mix64(vals.view(np.uint64) ^ KMIX) % Pu).view(np.int64),
+            type=pa.int64(),
+        )
+
+    def tag_fact(t: pa.Table) -> pa.Table:
+        k = t[col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": t[col],
+                "other": t[other],
+                "m": pa.nulls(len(t), type=pa.int64()),
+                "is_dim": pa.array(np.zeros(len(t), dtype=bool)),
+                "pkey": _pkey(k),
+            }
+        )
+
+    def tag_dim(t: pa.Table) -> pa.Table:
+        k = t["uid"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": t["uid"],
+                "other": pa.nulls(len(t), type=pa.int64()),
+                "m": t["rep_uid"],
+                "is_dim": pa.array(np.ones(len(t), dtype=bool)),
+                "pkey": _pkey(k),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        is_dim = t["is_dim"].to_numpy(zero_copy_only=False)
+        k = t["k"].to_numpy(zero_copy_only=False)
+        dk = k[is_dim]
+        order = np.argsort(dk)
+        dk = dk[order]
+        # fill the cross-kind null slots BEFORE to_numpy: a null-bearing
+        # int64 column converts to float64 + NaN, which silently rounds
+        # 64-bit uid hashes past double precision
+        m_all = pc.fill_null(t["m"], 0).to_numpy(zero_copy_only=False)
+        o_all = pc.fill_null(t["other"], 0).to_numpy(zero_copy_only=False)
+        dm = m_all[is_dim][order]
+        fmask = ~is_dim
+        fk = k[fmask]
+        fo = o_all[fmask]
+        if len(dk):
+            pos = np.searchsorted(dk, fk)
+            ok = pos < len(dk)
+            pos_c = np.minimum(pos, len(dk) - 1)
+            ok &= dk[pos_c] == fk
+            mapped = np.where(ok, dm[pos_c], fk)
+        else:
+            ok = np.zeros(len(fk), dtype=bool)
+            mapped = fk
+        unmatched = fk[~ok]
+        if len(unmatched):
+            is_new = _member_mask(unmatched, ray.get(new_ref))
+            n_miss = int((~is_new).sum())
+            if n_miss:
+                raise ValueError(
+                    f"{n_miss} base edge endpoints are missing from "
+                    "base_clusters — it must cover every base document"
+                )
+        return pa.table(
+            {col: pa.array(mapped, type=pa.int64()),
+             other: pa.array(fo, type=pa.int64())}
+        )
+
+    rows = edges.map_batches(tag_fact, batch_format="pyarrow").union(
+        bmap.map_batches(tag_dim, batch_format="pyarrow")
+    )
+    return partition_map(rows, P, merge, key="pkey")
+
+
+def _cluster_delta_distributed(
+    e: "ray.data.Dataset",
+    new_sig: "ray.data.Dataset",
+    base_sig: "ray.data.Dataset",
+    base_clusters: "ray.data.Dataset | None",
+    new_uids: np.ndarray,
+    P: int,
+) -> tuple:
+    """Delta clustering above ``driver_unionfind_max_edges`` — NO edge-sized
+    driver state (the code-level fallback for the module's one remaining
+    driver cap): base endpoints are remapped to their existing cluster-rep
+    uid with a co-partition merge, components run through
+    ``hash_to_min_components_uid``, and assignments shuffle-join onto the
+    new shard. The incremental naming contract (existing ids take priority,
+    min existing id on merges, else min new url) is encoded by a 1-byte
+    name prefix — "0"+cluster_id for base reps, "1"+url for new docs — so
+    the unchanged distributed Min(name) fixup picks exactly the driver
+    path's representative; the prefix is stripped before assignment.
+    Parity with the driver path is asserted by
+    tests/test_incremental.py (cap forced to 0).
+
+    Returns ``(clusters, base_merges, n_dup_new)``.
+    """
+    from camden_ray.functions.hashing import hash_string_column
+    from camden_ray.stages.cluster import (
+        assign_clusters_distributed_uid,
+        hash_to_min_components_uid,
+    )
+
+    new_ref = ray.put(new_uids)
+    e2 = e.select_columns(["a", "b"])
+
+    def _prefix(tag: str, col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.binary_join_element_wise(
+            pa.array([tag] * len(col)), col, ""
+        )
+
+    if base_clusters is not None:
+        def to_bmap(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "uid": pa.array(
+                        hash_string_column(t["url"]).view(np.int64),
+                        type=pa.int64(),
+                    ),
+                    "rep_uid": pa.array(
+                        hash_string_column(t["cluster_id"]).view(np.int64),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        bmap = base_clusters.select_columns(["url", "cluster_id"]).map_batches(
+            to_bmap, batch_format="pyarrow"
+        ).materialize()
+        e2 = _remap_endpoint_col(e2, bmap, "a", "b", new_ref, P)
+        e2 = _remap_endpoint_col(e2, bmap, "b", "a", new_ref, P).materialize()
+
+        def rep_names(t: pa.Table) -> pa.Table:
+            cid = t["cluster_id"]
+            if isinstance(cid, pa.ChunkedArray):
+                cid = cid.combine_chunks()
+            return pa.table(
+                {
+                    "uid": pa.array(
+                        hash_string_column(cid).view(np.int64), type=pa.int64()
+                    ),
+                    "url": _prefix("0", cid),
+                }
+            )
+
+        base_names = base_clusters.select_columns(["cluster_id"]).map_batches(
+            rep_names, batch_format="pyarrow"
+        )
+    else:
+        # no base assignment state: every base doc is its own rep
+        def base_self_names(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"uid": t["uid"], "url": _prefix("0", t["url"])}
+            )
+
+        base_names = base_sig.select_columns(["uid", "url"]).map_batches(
+            base_self_names, batch_format="pyarrow"
+        )
+
+    def new_names(t: pa.Table) -> pa.Table:
+        return pa.table({"uid": t["uid"], "url": _prefix("1", t["url"])})
+
+    name_dim = base_names.union(
+        new_sig.select_columns(["uid", "url"]).map_batches(
+            new_names, batch_format="pyarrow"
+        )
+    )
+    comp = hash_to_min_components_uid(e2, name_dim, num_partitions=P).materialize()
+
+    def strip_cid(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "uid": t["uid"],
+                "url": t["url"],
+                "cluster_id": pc.utf8_slice_codeunits(
+                    t["cluster_id"], 1, 1 << 30
+                ),
+            }
+        )
+
+    comp_s = comp.map_batches(strip_cid, batch_format="pyarrow").materialize()
+    clusters = assign_clusters_distributed_uid(
+        new_sig.select_columns(["url", "uid"]), comp_s, num_partitions=P
+    ).materialize()
+
+    # stats + base-merge reporting (merge groups are rare — only the
+    # multi-base-name components come back to the driver)
+    def base_members(t: pa.Table) -> pa.Table:
+        url = t["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        is_base = pc.equal(pc.utf8_slice_codeunits(url, 0, 1), "0")
+        sub = t.filter(is_base)
+        surl = sub["url"]
+        if isinstance(surl, pa.ChunkedArray):
+            surl = surl.combine_chunks()
+        return pa.table(
+            {
+                "cid": sub["cluster_id"],
+                "name": pc.utf8_slice_codeunits(surl, 1, 1 << 30),
+            }
+        )
+
+    bm_rows = comp_s.map_batches(base_members, batch_format="pyarrow")
+    counts = bm_rows.groupby("cid").count()
+    cnt_col = [c for c in counts.schema().names if c != "cid"][0]
+    multi = counts.map_batches(
+        lambda t: t.filter(pc.greater(t[cnt_col], 1)), batch_format="pyarrow"
+    )
+    multi_df = multi.to_pandas()
+    base_merges: list = []
+    if len(multi_df):
+        cids = set(multi_df["cid"])
+        bm_df = bm_rows.to_pandas()
+        bm_df = bm_df[bm_df["cid"].isin(cids)]
+        for cid, g in sorted(bm_df.groupby("cid"), key=lambda kv: kv[0]):
+            others = sorted(set(g["name"]) - {cid})
+            base_merges.append((cid, others))
+
+    # new docs appearing in any component (the driver path's assign set)
+    n_dup_new = comp_s.map_batches(
+        lambda t: t.filter(
+            pc.equal(pc.utf8_slice_codeunits(t["url"], 0, 1), "1")
+        ),
+        batch_format="pyarrow",
+    ).count()
+    return clusters, base_merges, n_dup_new
+
+
 def _load_base(base: "ray.data.Dataset | str", stage: str) -> "ray.data.Dataset":
     if isinstance(base, str):
         sdir = os.path.join(base, f"stage={stage}")
@@ -383,22 +641,30 @@ def run_dedup_incremental(
         e = refine_substring_edges(e, union_sig, cfg, timings=timings).materialize()
         timings["span_verify"] = round(time.monotonic() - t0, 3)
 
-    # --- driver clustering over the delta ----------------------------------
-    # Edge set is bucket-mate-sized (≪ corpus); the same driver-memory bar
-    # as the full pipeline's driver_unionfind_max_edges applies.
+    # --- clustering over the delta ------------------------------------------
+    # Edge set is bucket-mate-sized (≪ corpus). Below the driver bar the
+    # delta is collected and clustered on the driver (fast small regime);
+    # above it the whole delta stays in the cluster
+    # (:func:`_cluster_delta_distributed` — remap, hash-to-min and
+    # assignment are all shuffles, no edge-sized driver state; parity with
+    # the driver path is asserted by tests with the bar forced to 0).
     t0 = time.monotonic()
+    n_edges = e.count()
+    if n_edges > cfg.driver_unionfind_max_edges:
+        clusters, base_merges, n_dup_new = _cluster_delta_distributed(
+            e, new_sig, base_sig, base_clusters, new_uids, P
+        )
+        timings["clustering_distributed"] = round(time.monotonic() - t0, 3)
+        return _finish_incremental(
+            e, clusters, base_merges, n_dup_new, n_new, n_edges,
+            new_uids, union_sig, cfg, timings,
+        )
+
     tabs = ray.get(e.select_columns(["a", "b"]).to_arrow_refs())
     a_parts = [t["a"].to_numpy(zero_copy_only=False) for t in tabs if t.num_rows]
     b_parts = [t["b"].to_numpy(zero_copy_only=False) for t in tabs if t.num_rows]
     a = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=np.int64)
     b = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=np.int64)
-    n_edges = len(a)
-    if n_edges > cfg.driver_unionfind_max_edges:
-        raise ValueError(
-            f"incremental delta has {n_edges} edges — above the driver bar "
-            f"({cfg.driver_unionfind_max_edges}); dedup the shard with "
-            "run_dedup first or split it"
-        )
 
     a_new = _member_mask(a, new_uids)
     b_new = _member_mask(b, new_uids)
@@ -628,8 +894,22 @@ def run_dedup_incremental(
     ).materialize()
     timings["assign"] = round(time.monotonic() - t0, 3)
 
+    return _finish_incremental(
+        e, clusters, base_merges, len(assign_uids), n_new, n_edges,
+        new_uids, union_sig, cfg, timings,
+    )
+
+
+def _finish_incremental(
+    e, clusters, base_merges, n_dup_new, n_new, n_edges,
+    new_uids, union_sig, cfg, timings,
+) -> dict:
+    """Common result tail of both clustering regimes: the new-shard-touching
+    edge view, stats, and the public dict."""
+    from camden_ray.stages.candidates import resolve_edge_urls
+
     # public edge view: only pairs touching the new shard (the delta a user
-    # acts on); bucket-internal base–base pairs fed the union-find above but
+    # acts on); bucket-internal base–base pairs fed the clustering above but
     # are already known to the base run
     new_ref = ray.put(new_uids)
 
@@ -641,7 +921,6 @@ def run_dedup_incremental(
 
     e_delta = e.map_batches(delta_only, batch_format="pyarrow").materialize()
 
-    n_dup_new = len(assign_uids)
     stats = {
         "new_docs": n_new,
         "edges_total": n_edges,

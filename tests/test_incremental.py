@@ -217,3 +217,64 @@ def truth_pairs(fixture_dir):
     return pq.read_table(
         os.path.join(fixture_dir, "truth_pairs.parquet")
     ).to_pandas()
+
+
+def test_distributed_delta_matches_driver_path(split_fixture):
+    """Force the scale path (driver_unionfind_max_edges=0): the distributed
+    delta clustering — co-partition base-rep remap, hash-to-min, shuffle
+    assignment, NO edge-sized driver state — must produce the SAME new-shard
+    clusters, base merges and stats as the driver union-find path."""
+    _, base_t, new_t = split_fixture
+    cfg = DedupConfig()
+    base = run_dedup(None, cfg, input_ds=ray.data.from_arrow(base_t), extract=True)
+
+    def attach(c):
+        return run_dedup_incremental(
+            None,
+            base_sig=base["signatures"],
+            base_clusters=base["clusters"],
+            cfg=c,
+            extract=True,
+            new_input_ds=ray.data.from_arrow(new_t),
+        )
+
+    drv = attach(cfg)
+    dist = attach(DedupConfig(driver_unionfind_max_edges=0))
+    assert dist["stats"]["edges_total"] > 0  # the forced path actually ran
+
+    a = drv["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    b = dist["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+    assert drv["base_merges"] == dist["base_merges"]
+    assert drv["stats"] == dist["stats"]
+    assert "clustering_distributed" in dist["timings"]
+
+
+def test_distributed_delta_no_base_clusters(ray_session):
+    """Scale path with base_clusters=None (duplicate-free base): base
+    endpoints act as their own reps; parity with the driver path."""
+    cfg = DedupConfig(methods=("exact",))
+    base = run_dedup(
+        None, cfg, extract=False,
+        input_ds=_text_table(
+            [("http://a/1", "one two three four five"),
+             ("http://a/2", "six seven eight nine ten")]
+        ),
+    )
+
+    def attach(c):
+        return run_dedup_incremental(
+            None, base_sig=base["signatures"], base_clusters=None,
+            cfg=c, extract=False,
+            new_input_ds=_text_table(
+                [("http://b/1", "one two three four five"),
+                 ("http://b/2", "unrelated words entirely here now")]
+            ),
+        )
+
+    drv = attach(cfg)
+    dist = attach(DedupConfig(methods=("exact",), driver_unionfind_max_edges=0))
+    a = drv["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    b = dist["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b)
+    assert a.set_index("url").loc["http://b/1", "cluster_id"] == "http://a/1"
