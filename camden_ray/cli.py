@@ -77,6 +77,28 @@ def build_parser() -> argparse.ArgumentParser:
         "identical_files.json analogue, reference src/reporting.rs:42-61); "
         "default file name identical_urls.json",
     )
+    p.add_argument(
+        "--representative",
+        choices=["min_url", "quality"],
+        default="min_url",
+        help="cluster representative: lexicographic min url (default) or "
+        "the argmax-quality member (min-url tiebreak)",
+    )
+    p.add_argument(
+        "--span-trim",
+        metavar="DIR",
+        default=None,
+        help="ALSO emit a span-deduplicated corpus to DIR: every token span "
+        ">= --span-trim-l that appears in a lexicographically earlier url "
+        "is cut from the later doc (stages/spantrim.py; Lee et al. 2021)",
+    )
+    p.add_argument(
+        "--span-trim-l",
+        type=int,
+        default=50,
+        metavar="L",
+        help="minimum duplicated span length in tokens for --span-trim",
+    )
     return p
 
 
@@ -112,8 +134,66 @@ def parse_args(argv: list[str]) -> tuple[str, str | None, DedupConfig, argparse.
         jaccard_threshold=args.threshold,
         shuffle_partitions=1 if args.sequential else 0,
         extract_concurrency=(1, 1) if args.sequential else (1, 8),
+        representative=args.representative,
     )
     return inp, out, cfg, args
+
+
+def run_span_trim(
+    inp: str, out_dir: str, cfg: DedupConfig, L: int, extract: bool
+) -> dict:
+    """--span-trim: emit the span-deduplicated corpus (url, text_clean,
+    n_tokens, n_removed) as partitioned Parquet; winner order =
+    lexicographic url. Returns summary stats."""
+    from camden_ray.sources.webtext import read_webtext
+    from camden_ray.stages.candidates import partitions_for
+    from camden_ray.stages.spantrim import span_trim
+
+    columns = ["url", "html"] if extract else ["url", "text"]
+    ds = read_webtext(
+        inp, columns=columns, langs=cfg.langs,
+        min_text_chars=0 if extract else cfg.min_text_chars,
+    )
+    if extract:
+        from camden_ray.stages.extract import HtmlExtractorActor
+
+        ds = ds.map_batches(
+            HtmlExtractorActor,
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            concurrency=cfg.extract_concurrency,
+            num_cpus=1,
+        ).select_columns(["url", "text"])
+    try:
+        n = ds.count()
+    except Exception:
+        n = 0
+    P = partitions_for(cfg, n)
+    out = span_trim(ds, L=L, num_partitions=P, key="url", text="text")
+    out = out.select_columns(["url", "n_tokens", "n_removed", "text_clean"])
+    out = out.materialize()
+    out.write_parquet(out_dir)
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    def summary(t: "pa.Table") -> "pa.Table":
+        return pa.table(
+            {
+                "removed": [int(_pc.sum(t["n_removed"]).as_py() or 0)],
+                "touched": [
+                    int(_pc.sum(_pc.cast(
+                        _pc.greater(t["n_removed"], 0), "int64")).as_py() or 0)
+                ],
+            }
+        )
+
+    agg = out.map_batches(summary, batch_format="pyarrow").to_pandas()
+    return {
+        "docs": n,
+        "docs_trimmed": int(agg["touched"].sum()),
+        "tokens_removed": int(agg["removed"].sum()),
+        "out_dir": out_dir,
+    }
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -142,6 +222,11 @@ def main(argv: list[str] | None = None) -> int:
 
         stats["json_report_groups"] = write_json_report(
             res["clusters"], args.json_report
+        )
+    if args.span_trim:
+        stats["span_trim"] = run_span_trim(
+            inp, args.span_trim, cfg,
+            L=args.span_trim_l, extract=not args.no_extract,
         )
     print(json.dumps({"stats": stats, "config": dataclasses.asdict(cfg)}))
     ray.shutdown()

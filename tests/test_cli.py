@@ -65,3 +65,67 @@ def test_json_report_flag():
     assert args.json_report == "/tmp/r.json"
     _, _, _, args = parse_args(["/d"])
     assert args.json_report is None
+
+
+def test_cli_span_trim_output(ray_session, tmp_path):
+    """--span-trim emits a span-deduplicated parquet corpus whose rows match
+    a direct span_trim() call at the same L, and reports summary stats."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from camden_ray.cli import main
+    from camden_ray.stages.spantrim import span_trim
+
+    W = [f"w{i}" for i in range(40)]
+    docs = pa.table(
+        {
+            "url": pa.array(["http://a/1", "http://a/2"], type=pa.string()),
+            "text": pa.array(
+                [" ".join(W[:30]), "pre " + " ".join(W[:20]) + " post"],
+                type=pa.string(),
+            ),
+        }
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pq.write_table(docs, inp / "part.parquet")
+    out_dir = tmp_path / "trimmed"
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            [str(inp), "--no-extract", "--methods", "exact",
+             "--span-trim", str(out_dir), "--span-trim-l", "10"]
+        )
+    assert rc == 0
+    stats = json.loads(buf.getvalue())["stats"]["span_trim"]
+    assert stats["docs"] == 2 and stats["docs_trimmed"] == 1
+    assert stats["tokens_removed"] == 20
+
+    got = (
+        ray.data.read_parquet(str(out_dir))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = (
+        span_trim(ray.data.from_arrow(docs), L=10, num_partitions=4,
+                  key="url", text="text")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)[["url", "n_tokens", "n_removed", "text_clean"]]
+    )
+    assert got[["url", "n_tokens", "n_removed", "text_clean"]].equals(want)
+
+
+def test_cli_representative_flag_parses():
+    from camden_ray.cli import parse_args
+
+    _, _, cfg, _ = parse_args(["in", "--representative", "quality"])
+    assert cfg.representative == "quality"
