@@ -1233,6 +1233,101 @@ def knn_ivf(sf_dir: str):
     return ds.sort(["cos_fp", "vec_id"], descending=[True, False]).limit(10)
 
 
+_KMEANS_K = 10
+_KMEANS_ITERS = 3
+_KMEANS_SCALE = 1_000_000
+
+
+def embedding_kmeans(sf_dir: str):
+    """Iterative ML under a FULL DuckDB oracle: fixed-point Lloyd k-means
+    over the embeddings table (k=10, 3 update iterations, deterministic
+    init = the k smallest vec_ids). Every quantity is integer — embeddings
+    quantized to ×1e6 int64 (DuckDB round parity), distances are exact
+    int64 squared-L2, centroid update is exact integer FLOOR division
+    (empty cluster keeps its previous centroid), ties break to the lowest
+    cluster index — so per-block partial sums commute and the distributed
+    result is bit-identical to the oracle's unrolled-CTE iterations
+    regardless of block order or parallelism.
+
+    Scale shape: per iteration ONE map-only pass (centroids broadcast via
+    ``ray.put``, per-block (k×d) int64 partial sums + counts) and a tiny
+    driver-side k×d update — the classic mini-batch-free distributed Lloyd
+    step; no shuffle at any point. Output: (vec_id, cluster) final
+    assignment."""
+    k, iters = _KMEANS_K, _KMEANS_ITERS
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
+
+    def quant(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        X = _emb_matrix(t["embedding"], dtype=np.float64)
+        return ids, _fp_round(X, scale=_KMEANS_SCALE)
+
+    # deterministic init: embeddings of the k smallest vec_ids
+    seed_t = pa.concat_tables(
+        ray.get(ds.sort("vec_id").limit(k).to_arrow_refs())
+    )
+    _, C = quant(seed_t)
+    C = C[np.argsort(seed_t["vec_id"].to_numpy(zero_copy_only=False))]
+
+    def partials_fn(c_ref):
+        def f(t: pa.Table) -> pa.Table:
+            Cb = ray.get(c_ref)
+            ids, X = quant(t)
+            x2 = (X * X).sum(axis=1)
+            c2 = (Cb * Cb).sum(axis=1)
+            d2 = x2[:, None] + c2[None, :] - 2 * (X @ Cb.T)
+            a = np.argmin(d2, axis=1)  # first occurrence = lowest cluster
+            S = np.zeros((k, X.shape[1]), dtype=np.int64)
+            np.add.at(S, a, X)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table(
+                {
+                    "cl": pa.array(np.arange(k, dtype=np.int64)),
+                    "cnt": pa.array(cnt, type=pa.int64()),
+                    "s": pa.array(list(S), type=pa.list_(pa.int64())),
+                }
+            )
+
+        return f
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+        parts = ray.get(
+            ds.map_batches(partials_fn(c_ref), batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        S = np.zeros_like(C)
+        cnt = np.zeros(k, dtype=np.int64)
+        for p in parts:
+            if not p.num_rows:
+                continue
+            cnt += p["cnt"].to_numpy(zero_copy_only=False)
+            sm = p["s"].combine_chunks()
+            flat = sm.flatten().to_numpy(zero_copy_only=False)
+            S += flat.reshape(k, -1)
+        nz = cnt > 0
+        C = C.copy()
+        C[nz] = np.floor_divide(S[nz], cnt[nz, None])  # exact floor, like SQL
+
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cb = ray.get(c_ref)
+        ids, X = quant(t)
+        x2 = (X * X).sum(axis=1)
+        c2 = (Cb * Cb).sum(axis=1)
+        d2 = x2[:, None] + c2[None, :] - 2 * (X @ Cb.T)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster": pa.array(np.argmin(d2, axis=1), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def media_byte_features(sf_dir: str):
     """Multimodal plumbing demo: documents' text bytes as opaque payloads
     through the media decoder actor pool (fake decoder — see
@@ -1963,6 +2058,7 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "embedding_kmeans": embedding_kmeans,
     "media_byte_features": media_byte_features,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_minhash_pairs": doc_minhash_pairs,
@@ -2410,6 +2506,76 @@ ORACLE_SQL["doc_exact_ngram_clusters"] = """
     SELECT src AS url, least(src, min(dst)) AS cluster_id
     FROM reach GROUP BY src
 """
+
+# Fixed-point k-means oracle: the engine's integer semantics (×1e6
+# quantization, exact int squared-L2, exact integer floor-division centroid
+# update, lowest-index tie-break) unrolled as one CTE chain per iteration.
+# The ((s % c) + c) % c adjustment makes the numerator divisible, so
+# DuckDB's truncating // equals numpy's flooring // on negatives too.
+def _kmeans_sql() -> str:
+    k, iters, scale = _KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE
+    steps = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    , d{i} AS (
+        SELECT e.vec_id, c.cl,
+               sum((e.v - c.cv) * (e.v - c.cv)) AS dist
+        FROM e JOIN {prev} c ON c.dim = e.dim
+        GROUP BY 1, 2
+    ), a{i} AS (
+        SELECT vec_id, cl FROM (
+            SELECT vec_id, cl,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cl) AS rn
+            FROM d{i}
+        ) WHERE rn = 1
+    ), s{i} AS (
+        SELECT a.cl, e.dim, sum(e.v) AS s, count(*) AS c
+        FROM a{i} a JOIN e ON e.vec_id = a.vec_id
+        GROUP BY 1, 2
+    ), c{i} AS (
+        SELECT p.cl, p.dim,
+               COALESCE((s{i}.s - ((s{i}.s % s{i}.c) + s{i}.c) % s{i}.c)
+                        // s{i}.c, p.cv) AS cv
+        FROM {prev} p LEFT JOIN s{i}
+          ON s{i}.cl = p.cl AND s{i}.dim = p.dim
+    )""")
+        prev = f"c{i}"
+    return f"""
+    WITH e0 AS (
+        SELECT vec_id,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               unnest(embedding) AS x
+        FROM embeddings
+    ), e AS (
+        SELECT vec_id, dim,
+               CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT) AS v
+        FROM e0
+    ), init AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, vec_id
+        FROM (SELECT DISTINCT vec_id FROM embeddings
+              ORDER BY vec_id LIMIT {k})
+    ), c0 AS (
+        SELECT i.cl, e.dim, e.v AS cv
+        FROM init i JOIN e ON e.vec_id = i.vec_id
+    ){''.join(steps)}
+    , df AS (
+        SELECT e.vec_id, c.cl,
+               sum((e.v - c.cv) * (e.v - c.cv)) AS dist
+        FROM e JOIN {prev} c ON c.dim = e.dim
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, cl AS cluster FROM (
+        SELECT vec_id, cl,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cl) AS rn
+        FROM df
+    ) WHERE rn = 1
+    """
+
+
+ORACLE_SQL["embedding_kmeans"] = _kmeans_sql()
 
 # Exact span-trim semantics in SQL: gram at 1-based token position pos =
 # L consecutive \S+ tokens; winner(gram) = min doc_id; a position is covered

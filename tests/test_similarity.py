@@ -256,3 +256,56 @@ def test_asof_view_matches_duckdb(ray_session):
         df[c] = df[c].astype(od[c].dtype)
     assert df.equals(od)
     assert (df["gap_us"] >= 0).all()
+
+
+def test_kmeans_improves_objective_and_is_deterministic(ray_session):
+    """Fixed-point k-means: the SQL oracle pins exact values; this pins the
+    ALGORITHM properties SQL can't see — the Lloyd iterations strictly
+    improve the quantized SSE objective vs the init centroids, every
+    cluster is used (no collapse), and re-execution is bit-identical
+    (integer partial sums commute across block layouts). Label purity is
+    deliberately NOT asserted: even the planted labels' own centroids
+    classify only ~37% of this synthetic space (not L2-separable)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from camden_ray.pipelines.queries import (
+        _KMEANS_K,
+        _KMEANS_SCALE,
+        _fp_round,
+        embedding_kmeans,
+    )
+
+    out = embedding_kmeans(SF_DIR).to_pandas().sort_values("vec_id")
+    assert out.cluster.nunique() == _KMEANS_K  # no cluster collapse
+
+    t = pq.read_table(SF_DIR + "/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    X = _fp_round(
+        np.vstack([np.asarray(x) for x in t["embedding"].to_pylist()]).astype(
+            np.float64
+        ),
+        scale=_KMEANS_SCALE,
+    )
+    order = np.argsort(ids)
+    X = X[order]
+
+    def sse(assign, cents):
+        return int(((X - cents[assign]) ** 2).sum())
+
+    # init = embeddings of the k smallest vec_ids; init SSE from its own
+    # nearest-centroid assignment
+    C0 = X[:_KMEANS_K]
+    d0 = ((X[:, None, :] - C0[None]) ** 2).sum(-1)
+    init_sse = int(d0.min(axis=1).sum())
+    a = out.sort_values("vec_id")["cluster"].to_numpy()
+    cents = np.vstack(
+        [
+            np.floor_divide(X[a == j].sum(0), max(1, (a == j).sum()))
+            for j in range(_KMEANS_K)
+        ]
+    )
+    assert sse(a, cents) < init_sse
+
+    again = embedding_kmeans(SF_DIR).to_pandas().sort_values("vec_id")
+    assert out.reset_index(drop=True).equals(again.reset_index(drop=True))
