@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "doc_decontaminate",
     "source_tfidf_terms",
     "doc_span_trim",
+    "embedding_kmeans",
     "doc_dedup_clusters",
 ]
 

@@ -142,3 +142,19 @@ def test_string_keys_lexicographic_winner(ray_session):
     )
     assert out.loc["doc://a"].n_removed == 0
     assert out.loc["doc://b"].n_removed == 15
+
+
+def test_hot_gram_skew(ray_session):
+    """A span shared by MANY docs (hot gram bucket): winner election is one
+    sort per partition — never an all-pairs step — so a 400-doc bucket must
+    both finish and trim every non-winner doc completely."""
+    shared = [f"s{i}" for i in range(15)]
+    rows = [(0, " ".join(shared))]  # winner
+    rows += [
+        (i, " ".join([f"u{i}"] + shared + [f"v{i}"])) for i in range(1, 400)
+    ]
+    out = _run(rows, L=10, P=8)
+    assert out.loc[0].n_removed == 0
+    losers = out.drop(index=0)
+    assert (losers.n_removed == 15).all()
+    assert (losers.n_tokens == 17).all()
