@@ -164,6 +164,9 @@ def run_span_trim(
             concurrency=cfg.extract_concurrency,
             num_cpus=1,
         ).select_columns(["url", "text"])
+    # materialize: count() + span_trim's two traversals would otherwise
+    # re-run the read (and the extraction actor pool) three times
+    ds = ds.materialize()
     try:
         n = ds.count()
     except Exception:

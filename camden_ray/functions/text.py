@@ -289,19 +289,16 @@ def batch_quality_features(col) -> dict[str, np.ndarray]:
     wc = _row_counts(_T_WORD[lb], offsets)  # Σ len(tok) per row
 
     lo, hi = _pack_tokens(lb, starts_idx, lens)
+    tok_row_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ntok, out=tok_row_off[1:])
     # rows needing the reference fallback: non-ASCII bytes, or a token the
     # 16-byte packing can't identify exactly
     fallback = ~ascii_rows
     if len(lens) and int(lens.max()) > 16:
-        tok_row_off = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(ntok, out=tok_row_off[1:])
         long_rows = np.unique(
             np.searchsorted(tok_row_off[1:], np.flatnonzero(lens > 16), side="right")
         )
         fallback[long_rows] = True
-
-    tok_row_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(ntok, out=tok_row_off[1:])
     stop_mask = np.isin(lo, _STOP_EN_PACKED) & (hi == 0)
     scs = np.zeros(len(stop_mask) + 1, dtype=np.int64)
     np.cumsum(stop_mask, out=scs[1:])
@@ -390,7 +387,6 @@ def batch_detect_lang(col) -> list[str]:
         best_hits[upd] = hits[upd]  # the reference's dict-order loop
         best_lang[upd] = lang
     best_lang[(lens_full == 0) | (ntok == 0) | (best_hits == 0)] = "unknown"
-    best_lang[lens_full == 0] = "unknown"
 
     out = best_lang.tolist()
     for i in np.flatnonzero(~ascii_rows):

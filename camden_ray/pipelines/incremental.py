@@ -363,24 +363,27 @@ def _remap_endpoint_col(
         fmask = ~is_dim
         fk = k[fmask]
         fo = o_all[fmask]
+        # NEW-shard membership takes precedence over the base map — same
+        # rule as the driver path (a url present in BOTH shards is a new
+        # doc; remapping it to its base rep would silently drop it from
+        # the components)
+        is_new = _member_mask(fk, ray.get(new_ref))
         if len(dk):
             pos = np.searchsorted(dk, fk)
             ok = pos < len(dk)
             pos_c = np.minimum(pos, len(dk) - 1)
             ok &= dk[pos_c] == fk
+            ok &= ~is_new
             mapped = np.where(ok, dm[pos_c], fk)
         else:
             ok = np.zeros(len(fk), dtype=bool)
             mapped = fk
-        unmatched = fk[~ok]
-        if len(unmatched):
-            is_new = _member_mask(unmatched, ray.get(new_ref))
-            n_miss = int((~is_new).sum())
-            if n_miss:
-                raise ValueError(
-                    f"{n_miss} base edge endpoints are missing from "
-                    "base_clusters — it must cover every base document"
-                )
+        n_miss = int((~ok & ~is_new).sum())
+        if n_miss:
+            raise ValueError(
+                f"{n_miss} base edge endpoints are missing from "
+                "base_clusters — it must cover every base document"
+            )
         return pa.table(
             {col: pa.array(mapped, type=pa.int64()),
              other: pa.array(fo, type=pa.int64())}
@@ -523,7 +526,7 @@ def _cluster_delta_distributed(
             }
         )
 
-    bm_rows = comp_s.map_batches(base_members, batch_format="pyarrow")
+    bm_rows = comp_s.map_batches(base_members, batch_format="pyarrow").materialize()
     counts = bm_rows.groupby("cid").count()
     cnt_col = [c for c in counts.schema().names if c != "cid"][0]
     multi = counts.map_batches(
@@ -532,9 +535,21 @@ def _cluster_delta_distributed(
     multi_df = multi.to_pandas()
     base_merges: list = []
     if len(multi_df):
-        cids = set(multi_df["cid"])
-        bm_df = bm_rows.to_pandas()
-        bm_df = bm_df[bm_df["cid"].isin(cids)]
+        # only the MERGED components' rows come to the driver: the multi-cid
+        # set is broadcast and filtered inside the map tasks (collecting the
+        # full bm_rows table would be corpus-cluster-scale — exactly the
+        # driver state this path exists to avoid)
+        cids_arr = pa.array(sorted(set(multi_df["cid"])), type=pa.string())
+        cids_ref = ray.put(cids_arr)
+
+        def pick_merged(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.is_in(t["cid"], value_set=ray.get(cids_ref))
+            )
+
+        bm_df = bm_rows.map_batches(
+            pick_merged, batch_format="pyarrow"
+        ).to_pandas()
         for cid, g in sorted(bm_df.groupby("cid"), key=lambda kv: kv[0]):
             others = sorted(set(g["name"]) - {cid})
             base_merges.append((cid, others))

@@ -1254,7 +1254,7 @@ def embedding_kmeans(sf_dir: str):
     driver-side k×d update — the classic mini-batch-free distributed Lloyd
     step; no shuffle at any point. Output: (vec_id, cluster) final
     assignment."""
-    k, iters = _KMEANS_K, _KMEANS_ITERS
+    iters = _KMEANS_ITERS
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).materialize()
 
@@ -1263,12 +1263,14 @@ def embedding_kmeans(sf_dir: str):
         X = _emb_matrix(t["embedding"], dtype=np.float64)
         return ids, _fp_round(X, scale=_KMEANS_SCALE)
 
-    # deterministic init: embeddings of the k smallest vec_ids
+    # deterministic init: embeddings of the k smallest vec_ids (fewer than
+    # k rows ⇒ k shrinks, matching the oracle's LIMIT k)
     seed_t = pa.concat_tables(
-        ray.get(ds.sort("vec_id").limit(k).to_arrow_refs())
+        ray.get(ds.sort("vec_id").limit(_KMEANS_K).to_arrow_refs())
     )
     _, C = quant(seed_t)
     C = C[np.argsort(seed_t["vec_id"].to_numpy(zero_copy_only=False))]
+    k = C.shape[0]
 
     def partials_fn(c_ref):
         def f(t: pa.Table) -> pa.Table:
@@ -1931,12 +1933,21 @@ def doc_quality_rep_clusters(sf_dir: str):
         skey = pc.binary_join_element_wise(pad, urls, "|")
         return pa.table({"url": urls, "skey": skey})
 
-    smap_tabs = ray.get(
-        _read(sf_dir, "documents", columns=["doc_id", "text"])
-        .map_batches(score_rows, batch_format="pyarrow")
-        .to_arrow_refs()
-    )
-    smap = pa.concat_tables([t for t in smap_tabs if t.num_rows]).combine_chunks()
+    smap_tabs = [
+        t
+        for t in ray.get(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(score_rows, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not smap_tabs:  # empty documents table: no edges, no clusters
+        return pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "cluster_id": pa.array([], type=pa.string())}
+        )
+    smap = pa.concat_tables(smap_tabs).combine_chunks()
     order = pc.sort_indices(smap["url"])
     s_urls = smap["url"].take(order).combine_chunks()
     s_keys = smap["skey"].take(order).combine_chunks()

@@ -681,6 +681,7 @@ def _copartition_lookup(
     holds no driver state.
     """
     import numpy as np
+    import pyarrow.compute as pc
 
     from camden_ray.functions.hashing import mix64
 
@@ -707,9 +708,19 @@ def _copartition_lookup(
         is_dim = t["is_dim"].to_numpy(zero_copy_only=False)
         k = t["k"].to_numpy()
         dk = k[is_dim]
-        order = np.argsort(dk, kind="stable")
+        dval_all = t["val"].filter(pa.array(is_dim))
+        if isinstance(dval_all, pa.ChunkedArray):
+            dval_all = dval_all.combine_chunks()
+        # two-key sort: duplicate dim keys resolve DETERMINISTICALLY to the
+        # min value (k unique in most callers; the incremental name dim can
+        # carry two names for a uid that is both a base rep and a re-crawled
+        # new doc — min picks the base-prefixed name, the driver's priority)
+        order = pc.sort_indices(
+            pa.table({"k": pa.array(dk), "v": dval_all}),
+            sort_keys=[("k", "ascending"), ("v", "ascending")],
+        ).to_numpy(zero_copy_only=False)
         dk = dk[order]
-        dval = t["val"].filter(pa.array(is_dim)).take(pa.array(order))
+        dval = dval_all.take(pa.array(order))
         fmask = ~is_dim
         fk = k[fmask]
         if len(dk) == 0:

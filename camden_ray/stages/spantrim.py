@@ -99,13 +99,15 @@ def _ws_token_runs(data: np.ndarray, offsets: np.ndarray):
 
 
 def _key_ids(col) -> np.ndarray:
-    """64-bit partition ids for a key column (int64 columns are their own
-    ids; strings hash)."""
+    """64-bit partition ids for a key column (integer columns widen to
+    int64 and are their own ids; strings hash)."""
     from camden_ray.functions.hashing import hash_string_column
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
+        if col.type != pa.int64():
+            col = col.cast(pa.int64())
         return col.to_numpy(zero_copy_only=False).view(np.uint64)
     return hash_string_column(col)
 

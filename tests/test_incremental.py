@@ -278,3 +278,42 @@ def test_distributed_delta_no_base_clusters(ray_session):
     b = dist["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
     assert a.equals(b)
     assert a.set_index("url").loc["http://b/1", "cluster_id"] == "http://a/1"
+
+
+def test_url_in_both_shards_parity(ray_session):
+    """A url present in BOTH the base corpus and the new shard (a re-crawl)
+    must be treated as a NEW doc in both clustering regimes — the
+    distributed path's base-rep remap must not swallow it (new-membership
+    precedence, same rule as the driver path)."""
+    cfg = DedupConfig(methods=("exact",))
+    base = run_dedup(
+        None, cfg, extract=False,
+        input_ds=_text_table(
+            [("http://a/1", "alpha beta gamma delta epsilon"),
+             ("http://a/2", "alpha beta gamma delta epsilon"),
+             ("http://a/3", "zeta eta theta iota kappa")]
+        ),
+    )
+
+    new_rows = [
+        # same URL re-crawled, same content: must adopt its own base cluster
+        ("http://a/2", "alpha beta gamma delta epsilon"),
+        ("http://b/1", "zeta eta theta iota kappa"),  # dup of a/3
+        ("http://b/2", "totally fresh content right here"),
+    ]
+
+    def attach(c):
+        return run_dedup_incremental(
+            None, base_sig=base["signatures"], base_clusters=base["clusters"],
+            cfg=c, extract=False, new_input_ds=_text_table(new_rows),
+        )
+
+    drv = attach(cfg)
+    dist = attach(DedupConfig(methods=("exact",), driver_unionfind_max_edges=0))
+    a = drv["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    b = dist["clusters"].to_pandas().sort_values("url").reset_index(drop=True)
+    assert a.equals(b), (a, b)
+    assert drv["stats"] == dist["stats"]
+    m = a.set_index("url")["cluster_id"]
+    assert m["http://a/2"] == "http://a/1"  # re-crawl adopts its base cluster
+    assert m["http://b/1"] == "http://a/3"
