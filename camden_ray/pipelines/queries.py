@@ -1892,6 +1892,43 @@ def doc_span_trim(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens", "n_removed", "cleaned_md5"])
 
 
+def corpus_span_dup_rate(sf_dir: str):
+    """Corpus-level duplication headline (the Lee-et-al number a corpus
+    owner reports): one row of (n_docs, total_tokens, removed_tokens,
+    dup_rate_fp) aggregated from the span-trim operator — dup_rate_fp =
+    round(removed/total × 1e6), half away from zero on both sides."""
+    out = doc_span_trim(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_docs": pa.array([len(t)], type=pa.int64()),
+                "total_tokens": pa.array(
+                    [int(pc.sum(t["n_tokens"]).as_py() or 0)], type=pa.int64()
+                ),
+                "removed_tokens": pa.array(
+                    [int(pc.sum(t["n_removed"]).as_py() or 0)], type=pa.int64()
+                ),
+            }
+        )
+
+    df = out.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(df["n_docs"].sum())
+    tot = int(df["total_tokens"].sum())
+    rem = int(df["removed_tokens"].sum())
+    rate = _fp_round(
+        np.array([rem / tot if tot else 0.0]), scale=1_000_000
+    )[0]
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "total_tokens": pa.array([tot], type=pa.int64()),
+            "removed_tokens": pa.array([rem], type=pa.int64()),
+            "dup_rate_fp": pa.array([int(rate)], type=pa.int64()),
+        }
+    )
+
+
 def doc_quality_rep_clusters(sf_dir: str):
     """Quality-aware representative selection (K1 generalized twice: camden's
     arrival-order keep-first → deterministic min-url → keep the BEST member)
@@ -2077,6 +2114,7 @@ QUERIES = {
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_exact_ngram_clusters": doc_exact_ngram_clusters,
     "doc_span_trim": doc_span_trim,
+    "corpus_span_dup_rate": corpus_span_dup_rate,
     "doc_quality_rep_clusters": doc_quality_rep_clusters,
     "doc_incremental_clusters": doc_incremental_clusters,
     "orders_by_segment": orders_by_segment,
@@ -2635,6 +2673,20 @@ ORACLE_SQL["doc_span_trim"] = f"""
            CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
            COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
     FROM tok t LEFT JOIN agg a USING (doc_id)
+"""
+
+# Corpus duplication headline: the span-trim oracle wrapped as a subquery
+# (sum-division rate computed in double on both sides — identical IEEE op
+# on identical integers, so the half-away fp rounding matches exactly).
+ORACLE_SQL["corpus_span_dup_rate"] = f"""
+    SELECT count(*) AS n_docs,
+           COALESCE(sum(n_tokens), 0)::BIGINT AS total_tokens,
+           COALESCE(sum(n_removed), 0)::BIGINT AS removed_tokens,
+           CASE WHEN COALESCE(sum(n_tokens), 0) = 0 THEN 0
+                ELSE CAST(round(sum(n_removed) / CAST(sum(n_tokens) AS DOUBLE)
+                                * 1000000) AS BIGINT)
+           END AS dup_rate_fp
+    FROM ({ORACLE_SQL["doc_span_trim"]})
 """
 
 # Quality-rep twin of doc_exact_ngram_clusters: the identical
