@@ -112,6 +112,96 @@ def _key_ids(col) -> np.ndarray:
     return hash_string_column(col)
 
 
+@ray.remote(num_cpus=0.25)
+def _block_nrows(t: "pa.Table") -> int:
+    return t.num_rows
+
+
+@ray.remote(num_cpus=0.25)
+def _stamp_rank(t: "pa.Table", base: int, key: str) -> "pa.Table":
+    return pa.table(
+        {
+            key: t[key],
+            "__rank": pa.array(
+                base + np.arange(t.num_rows, dtype=np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+def attach_dense_ranks(
+    docs: "ray.data.Dataset", key: str, text: str, P: int
+) -> "ray.data.Dataset":
+    """(key, text) rows → (key, text, __rank): the key's global dense rank
+    (rank order ≡ key sort order), so winner election can run on 8-byte
+    ints instead of repeating a ~30-byte url on every gram row (string keys
+    cost more than the gram hash + position combined on exchange 1).
+
+    One corpus-KEY-sized ``Dataset.sort`` (text never enters it) + one
+    co-partition merge attaching ranks back onto the doc rows.
+    """
+    s = docs.select_columns([key]).sort(key).materialize()
+    refs = s.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    offs = np.r_[0, np.cumsum(counts)]
+    ranks = ray.data.from_arrow_refs(
+        [
+            _stamp_rank.remote(r, int(offs[i]), key)
+            for i, r in enumerate(refs)
+        ]
+    )
+
+    Pu = np.uint64(P)
+
+    def _pk(col) -> pa.Array:
+        return pa.array(
+            (mix64(_key_ids(col) ^ _KEY_MIX) % Pu).view(np.int64),
+            type=pa.int64(),
+        )
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: t[key],
+                text: pc.fill_null(t[text], ""),
+                "__rank": pa.nulls(len(t), type=pa.int64()),
+                "__isdim": pa.array(np.zeros(len(t), dtype=bool)),
+                "pkey": _pk(t[key]),
+            }
+        )
+
+    def tag_rank(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: t[key],
+                text: pa.nulls(len(t), type=pa.string()),
+                "__rank": t["__rank"],
+                "__isdim": pa.array(np.ones(len(t), dtype=bool)),
+                "pkey": _pk(t[key]),
+            }
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        is_dim = t["__isdim"].to_numpy(zero_copy_only=False)
+        dt = t.filter(pa.array(~is_dim))
+        dm = t.filter(pa.array(is_dim))
+        dkeys = dm[key]
+        if isinstance(dkeys, pa.ChunkedArray):
+            dkeys = dkeys.combine_chunks()
+        idx = pc.index_in(dt[key], value_set=dkeys)
+        ranks_col = pc.fill_null(dm["__rank"], 0)
+        if isinstance(ranks_col, pa.ChunkedArray):
+            ranks_col = ranks_col.combine_chunks()
+        return pa.table(
+            {key: dt[key], text: dt[text], "__rank": ranks_col.take(idx)}
+        )
+
+    rows = docs.map_batches(tag_doc, batch_format="pyarrow").union(
+        ranks.map_batches(tag_rank, batch_format="pyarrow")
+    )
+    return partition_map(rows, P, merge, key="pkey")
+
+
 def make_gram_rows(L: int, P: int, key: str = "key", text: str = "text"):
     """map_batches fn: (key, text) rows → (g, key, pos, pkey) gram rows —
     one row per L-gram start, hash-partitioned on the gram hash."""
@@ -187,9 +277,13 @@ def _winner_cover(key: str):
     return f
 
 
-def make_trim_reduce(L: int, key: str = "key", text: str = "text"):
+def make_trim_reduce(
+    L: int, key: str = "key", text: str = "text", out_key: str | None = None
+):
     """Exchange-2 reduce: doc rows (kind=0: key, text) + covered rows
-    (kind=1: key, pos) → one cleaned row per doc.
+    (kind=1: key, pos) → one cleaned row per doc. ``out_key``: rank mode —
+    group on ``key`` (the dense int rank) but emit the doc rows'
+    passthrough ``out_key`` column (the original string key) instead.
 
     Vectorized across the whole partition: coverage is ONE global diff-array
     cumsum over the flat token stream (per-doc contributions cancel at doc
@@ -299,9 +393,13 @@ def make_trim_reduce(L: int, key: str = "key", text: str = "text"):
             )
         else:
             clean = texts
+        if out_key is not None:
+            keys = dt[out_key]
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
         return pa.table(
             {
-                key: keys,
+                (out_key or key): keys,
                 "n_tokens": pa.array(counts, type=pa.int64()),
                 "n_removed": pa.array(n_rem, type=pa.int64()),
                 "cleaned_md5": pa.array(md5s, type=pa.string()),
@@ -320,14 +418,32 @@ def span_trim(
     num_partitions: int,
     key: str = "key",
     text: str = "text",
+    rank_keys: bool = False,
 ) -> "ray.data.Dataset":
     """Distributed span-level dedup over (key, text) rows — see module
     docstring. Winner order = the key column's natural order (int64 doc ids
     or lexicographic strings). Returns one row per input doc:
     (key, n_tokens, n_removed, cleaned_md5, text_clean, span_starts,
-    span_ends)."""
+    span_ends).
+
+    ``rank_keys=True`` (string-keyed corpora on MULTI-NODE clusters): keys
+    are first mapped to global dense int64 ranks (:func:`attach_dense_ranks`
+    — one key-column sort; min rank ≡ min key, so winner semantics are
+    IDENTICAL), the gram/winner exchanges then carry 8-byte ints instead of
+    repeating the string on every gram row (~22 B × grams/doc off the
+    exchange), and the original key is re-attached in the trim reduce.
+    Measured single-node trade at 1M docs/32 CPUs: 14.6 s direct vs 18.8 s
+    ranked — zero-copy plasma makes exchange BYTES nearly free on one node,
+    so the extra sort + rank join only pays for itself when the gram
+    exchange crosses a network. Output equality with the direct mode is
+    pytest-pinned; default stays False."""
     P = num_partitions
     Pu = np.uint64(P)
+
+    out_key = None
+    if rank_keys:
+        docs = attach_dense_ranks(docs, key, text, P).materialize()
+        out_key, key = key, "__rank"
 
     covered = partition_map(
         docs.map_batches(
@@ -340,37 +456,41 @@ def span_trim(
 
     def tag_doc(t: pa.Table) -> pa.Table:
         ids = _key_ids(t[key])
-        return pa.table(
-            {
-                key: t[key],
-                text: pc.fill_null(t[text], ""),
-                "pos": pa.nulls(len(t), type=pa.int64()),
-                "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
-                "pkey": pa.array(
-                    (mix64(ids ^ _KEY_MIX) % Pu).view(np.int64),
-                    type=pa.int64(),
-                ),
-            }
-        )
+        cols = {
+            key: t[key],
+            text: pc.fill_null(t[text], ""),
+            "pos": pa.nulls(len(t), type=pa.int64()),
+            "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
+            "pkey": pa.array(
+                (mix64(ids ^ _KEY_MIX) % Pu).view(np.int64),
+                type=pa.int64(),
+            ),
+        }
+        if out_key is not None:
+            cols[out_key] = t[out_key]
+        return pa.table(cols)
 
     def tag_cov(t: pa.Table) -> pa.Table:
         ids = _key_ids(t[key])
-        return pa.table(
-            {
-                key: t[key],
-                text: pa.nulls(len(t), type=pa.string()),
-                "pos": t["pos"],
-                "kind": pa.array(np.ones(len(t), dtype=np.int8)),
-                "pkey": pa.array(
-                    (mix64(ids ^ _KEY_MIX) % Pu).view(np.int64),
-                    type=pa.int64(),
-                ),
-            }
-        )
+        cols = {
+            key: t[key],
+            text: pa.nulls(len(t), type=pa.string()),
+            "pos": t["pos"],
+            "kind": pa.array(np.ones(len(t), dtype=np.int8)),
+            "pkey": pa.array(
+                (mix64(ids ^ _KEY_MIX) % Pu).view(np.int64),
+                type=pa.int64(),
+            ),
+        }
+        if out_key is not None:
+            cols[out_key] = pa.nulls(len(t), type=pa.string())
+        return pa.table(cols)
 
     rows = docs.map_batches(tag_doc, batch_format="pyarrow").union(
         covered.map_batches(tag_cov, batch_format="pyarrow")
     )
     return partition_map(
-        rows, P, make_trim_reduce(L, key=key, text=text), key="pkey"
+        rows, P,
+        make_trim_reduce(L, key=key, text=text, out_key=out_key),
+        key="pkey",
     )

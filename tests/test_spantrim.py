@@ -158,3 +158,36 @@ def test_hot_gram_skew(ray_session):
     losers = out.drop(index=0)
     assert (losers.n_removed == 15).all()
     assert (losers.n_tokens == 17).all()
+
+
+def test_rank_keys_mode_equals_direct(ray_session):
+    """rank_keys=True (dense-int winner election for string-keyed corpora)
+    must produce EXACTLY the direct string-key output — min rank ≡ min key
+    by construction of the global sort."""
+    rng = np.random.default_rng(23)
+    base = [f"t{i}" for i in range(150)]
+    docs = []
+    for i in range(40):
+        s = int(rng.integers(0, 100))
+        ln = int(rng.integers(8, 40))
+        noise = [f"n{i}_{j}" for j in range(int(rng.integers(0, 10)))]
+        # shuffled url order vs insertion order (ranks must follow URL order)
+        docs.append((f"https://h{(i * 7) % 40}.x/p{i}", " ".join(noise + base[s : s + ln])))
+    t = pa.table(
+        {
+            "url": pa.array([u for u, _ in docs], type=pa.string()),
+            "text": pa.array([s for _, s in docs], type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    direct = (
+        span_trim(ds, L=10, num_partitions=6, key="url", text="text")
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    ranked = (
+        span_trim(ds, L=10, num_partitions=6, key="url", text="text",
+                  rank_keys=True)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert (direct.n_removed > 0).any()
+    assert direct.equals(ranked[direct.columns])
