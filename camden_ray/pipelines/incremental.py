@@ -459,16 +459,25 @@ def _cluster_delta_distributed(
             cid = t["cluster_id"]
             if isinstance(cid, pa.ChunkedArray):
                 cid = cid.combine_chunks()
+            names = _prefix("0", cid)
+            uids = hash_string_column(cid).view(np.int64)
+            # dual rows: a base url re-crawled in the new shard keeps its own
+            # uid through clustering (never remapped), so its base cluster id
+            # must ALSO be named at that uid — same rule as the driver path
+            u_uid = hash_string_column(t["url"]).view(np.int64)
+            dual = _member_mask(u_uid, ray.get(new_ref))
+            out_uid = np.concatenate([uids, u_uid[dual]])
+            out_name = pa.concat_arrays(
+                [names, names.filter(pa.array(dual))]
+            )
             return pa.table(
                 {
-                    "uid": pa.array(
-                        hash_string_column(cid).view(np.int64), type=pa.int64()
-                    ),
-                    "url": _prefix("0", cid),
+                    "uid": pa.array(out_uid, type=pa.int64()),
+                    "url": out_name,
                 }
             )
 
-        base_names = base_clusters.select_columns(["cluster_id"]).map_batches(
+        base_names = base_clusters.select_columns(["url", "cluster_id"]).map_batches(
             rep_names, batch_format="pyarrow"
         )
     else:
@@ -526,7 +535,16 @@ def _cluster_delta_distributed(
             }
         )
 
-    bm_rows = comp_s.map_batches(base_members, batch_format="pyarrow").materialize()
+    bm_rows = (
+        comp_s.map_batches(base_members, batch_format="pyarrow")
+        # DISTINCT (cid, name): several members can resolve to the same base
+        # name (e.g. a dual uid plus its own rep node) — a merge exists only
+        # when a component holds >1 DISTINCT base cluster ids
+        .groupby(["cid", "name"])
+        .count()
+        .select_columns(["cid", "name"])
+        .materialize()
+    )
     counts = bm_rows.groupby("cid").count()
     cnt_col = [c for c in counts.schema().names if c != "cid"][0]
     multi = counts.map_batches(
@@ -554,13 +572,16 @@ def _cluster_delta_distributed(
             others = sorted(set(g["name"]) - {cid})
             base_merges.append((cid, others))
 
-    # new docs appearing in any component (the driver path's assign set)
-    n_dup_new = comp_s.map_batches(
-        lambda t: t.filter(
-            pc.equal(pc.utf8_slice_codeunits(t["url"], 0, 1), "1")
-        ),
-        batch_format="pyarrow",
-    ).count()
+    # new docs appearing in any component (the driver path's assign set) —
+    # by new-shard MEMBERSHIP, not name prefix: a dual uid's min name is the
+    # base-prefixed one, but it is still a new doc
+    def only_new(t: pa.Table) -> pa.Table:
+        m = _member_mask(
+            t["uid"].to_numpy(zero_copy_only=False), ray.get(new_ref)
+        )
+        return t.filter(pa.array(m))
+
+    n_dup_new = comp_s.map_batches(only_new, batch_format="pyarrow").count()
     return clusters, base_merges, n_dup_new
 
 
@@ -605,7 +626,7 @@ def run_dedup_incremental(
     from camden_ray.functions.hashing import hash_string_column
     from camden_ray.pipelines.dedup import refine_substring_edges, signature_table
     from camden_ray.stages.candidates import partitions_for, resolve_edge_urls
-    from camden_ray.stages.cluster import unionfind_uid
+    from camden_ray.stages.cluster import unionfind_uid_arrays
 
     cfg = cfg or DedupConfig()
     timings: dict[str, Any] = {}
@@ -631,6 +652,40 @@ def run_dedup_incremental(
         new_sig = signature_table(ds, cfg, extract=extract).materialize()
     n_new = new_sig.count()
     timings["signatures_new"] = round(time.monotonic() - t0, 3)
+
+    if n_new == 0:
+        # empty crawl shard (everything filtered): zero-doc result, not a
+        # crash — a zero-row dataset has no schema for the edge builders
+        empty_clusters = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "cluster_id": pa.array([], type=pa.string()),
+                    "is_representative": pa.array([], type=pa.bool_()),
+                }
+            )
+        )
+        empty_edges = ray.data.from_arrow(
+            pa.table(
+                {"a": pa.array([], type=pa.string()),
+                 "b": pa.array([], type=pa.string()),
+                 "est": pa.array([], type=pa.float64()),
+                 "method": pa.array([], type=pa.string())}
+            )
+        )
+        return {
+            "clusters": empty_clusters,
+            "edges_uid": empty_edges,
+            "edges": empty_edges,
+            "base_merges": [],
+            "stats": {
+                "new_docs": 0, "edges_total": 0, "edges_delta": 0,
+                "new_docs_in_clusters": 0, "new_singletons": 0,
+                "base_cluster_merges": 0,
+            },
+            "timings": timings,
+            "config": cfg,
+        }
 
     new_uids = _sorted_u64(_collect_column(new_sig, "uid"))
     union_sig = base_sig.union(new_sig)
@@ -684,11 +739,22 @@ def run_dedup_incremental(
     a_new = _member_mask(a, new_uids)
     b_new = _member_mask(b, new_uids)
 
-    # base endpoints → their existing cluster representative uid
-    base_eps = np.unique(np.concatenate([a[~a_new], b[~b_new]])) if n_edges else np.empty(0, dtype=np.int64)
-    if base_clusters is not None and len(base_eps):
-        need = base_eps.view(np.uint64)
-        need_ref = ray.put(np.sort(need))
+    # Base IDENTITY is looked up for ALL endpoints — a re-crawled url is in
+    # BOTH shards (a "dual" uid): it clusters as a NEW doc (never remapped)
+    # but still carries its base cluster id into component NAMING and merge
+    # reporting, matching the distributed path and the module's naming
+    # contract (existing ids take priority).
+    eps_all = (
+        np.unique(np.concatenate([a, b])) if n_edges
+        else np.empty(0, dtype=np.int64)
+    )
+    eps_is_new = _member_mask(eps_all, new_uids)
+    base_eps = eps_all[~eps_is_new]  # remap targets (strictly-base docs)
+    # dual naming entries: (uid, base cluster id) for uids in both shards
+    dual_uid_list: np.ndarray = np.empty(0, dtype=np.int64)
+    dual_name_py: list[str] = []
+    if base_clusters is not None and len(eps_all):
+        need_ref = ray.put(np.sort(eps_all.view(np.uint64)))
 
         def pick(t: pa.Table) -> pa.Table:
             uid = hash_string_column(t["url"]).view(np.int64)
@@ -715,26 +781,34 @@ def run_dedup_incremental(
                  "cluster_id": pa.array([], type=pa.string())}
             )
         )
-        bu = lk["uid"].to_numpy(zero_copy_only=False)
+        bu_all = lk["uid"].to_numpy(zero_copy_only=False)
         # canonical UNSIGNED ordering throughout (uids are hash-valued int64s,
         # so int64 and uint64 sort orders genuinely differ)
-        order = np.argsort(bu.view(np.uint64))
-        bu = bu[order]
-        bids = lk["cluster_id"].take(pa.array(order))
+        order = np.argsort(bu_all.view(np.uint64))
+        bu_all = bu_all[order]
+        bids_all = lk["cluster_id"].take(pa.array(order))
         # duplicate uids (shouldn't occur) keep first deterministically
-        first = np.r_[True, bu[1:] != bu[:-1]]
-        bu = bu[first]
-        bids = bids.filter(pa.array(first))
-        missing = ~_member_mask(base_eps, bu.view(np.uint64))
+        first = np.r_[True, bu_all[1:] != bu_all[:-1]]
+        bu_all = bu_all[first]
+        bids_all = bids_all.filter(pa.array(first))
+        # strictly-base endpoints must all be covered
+        missing = ~_member_mask(base_eps, bu_all.view(np.uint64))
         if missing.any():
             raise ValueError(
                 f"{int(missing.sum())} base edge endpoints are missing from "
                 "base_clusters — it must cover every base document"
             )
-        rep_of_ep = hash_string_column(bids).view(np.int64)  # aligned with bu
-        rep_ids = bids  # aligned strings for naming
+        bu = bu_all
+        rep_of_ep = hash_string_column(bids_all).view(np.int64)  # aligned
+        rep_ids = bids_all  # aligned strings for naming
+        dual_mask = _member_mask(bu_all, new_uids)
+        if dual_mask.any():
+            dual_uid_list = bu_all[dual_mask]
+            dual_name_py = bids_all.filter(pa.array(dual_mask)).to_pylist()
     else:
-        # no base assignment state: each matched base doc is its own rep
+        # no base assignment state: each matched base doc is its own rep.
+        # Dual identity = membership in base_sig (resolved with the naming
+        # semijoin below, which now scans ALL endpoints).
         bu = base_eps[np.argsort(base_eps.view(np.uint64))] if len(base_eps) else base_eps
         rep_of_ep = bu
         rep_ids = None  # names resolved from sig urls below
@@ -751,18 +825,10 @@ def run_dedup_incremental(
     ra = remap(a, a_new)
     rb = remap(b, b_new)
 
-    uf = (
-        unionfind_uid(
-            ray.data.from_arrow(
-                pa.table(
-                    {"a": pa.array(ra, type=pa.int64()),
-                     "b": pa.array(rb, type=pa.int64())}
-                )
-            )
-        )
-        if n_edges
-        else None
-    )
+    # array core directly: the endpoints already live on the driver — a
+    # from_arrow + to_arrow_refs round trip would copy the delta edge set
+    # through the object store for nothing
+    uf = unionfind_uid_arrays(ra, rb) if n_edges else None
     timings["unionfind"] = round(time.monotonic() - t0, 3)
 
     # --- component naming ---------------------------------------------------
@@ -796,15 +862,18 @@ def run_dedup_incremental(
         nuid = np.empty(0, dtype=np.int64)
         nurl_py = []
 
-    # rep-node names: existing cluster ids (or base urls when no base state)
+    # rep-node names: existing cluster ids (or base urls when no base state),
+    # PLUS the dual uids' base identity (re-crawled urls keep their own uid
+    # through clustering but still name components by their base cluster id)
     if rep_ids is not None:
-        rep_uid_arr = rep_of_ep
-        rep_name_py = rep_ids.to_pylist()
-    elif len(bu):
-        # resolve base endpoint urls from the base signature table
+        rep_uid_arr = np.concatenate([rep_of_ep, dual_uid_list])
+        rep_name_py = rep_ids.to_pylist() + dual_name_py
+    elif len(eps_all):
+        # resolve base-DOC endpoints (incl. duals) from the base signature
+        # table; only the strictly-base endpoints are required to be present
         be_tabs = ray.get(
             _semijoin_sig(
-                base_sig, np.sort(bu.view(np.uint64)), ["uid", "url"]
+                base_sig, np.sort(eps_all.view(np.uint64)), ["uid", "url"]
             ).to_arrow_refs()
         )
         be_tabs = [t for t in be_tabs if t.num_rows]
@@ -812,6 +881,8 @@ def run_dedup_incremental(
         if be is None or be.num_rows < len(bu):
             raise ValueError("base signature table is missing edge endpoints")
         beu = be["uid"].to_numpy(zero_copy_only=False)
+        if not _member_mask(bu, np.sort(beu.view(np.uint64))).all():
+            raise ValueError("base signature table is missing edge endpoints")
         order = np.argsort(beu)
         rep_uid_arr = beu[order]
         rep_name_py = be["url"].take(pa.array(order)).to_pylist()
@@ -850,14 +921,15 @@ def run_dedup_incremental(
             new_urls: list[str] = []
             for i in range(s, epos):
                 node = int(ns[i])
+                # base identity first (dual uids have BOTH — base id names
+                # the component, the new url only counts as a member)
+                p = np.searchsorted(rep_uid_sorted, node)
+                if p < len(rep_uid_sorted) and rep_uid_sorted[p] == node:
+                    base_names.append(rep_name_sorted[p])
                 if is_new_s[i]:
                     p = np.searchsorted(nuid, node)
                     if p < len(nuid) and nuid[p] == node:
                         new_urls.append(nurl_py[p])
-                else:
-                    p = np.searchsorted(rep_uid_sorted, node)
-                    if p < len(rep_uid_sorted) and rep_uid_sorted[p] == node:
-                        base_names.append(rep_name_sorted[p])
             if base_names:
                 comp_name[root] = min(base_names)
                 if len(set(base_names)) > 1:

@@ -154,8 +154,17 @@ def unionfind_uid(edges_uid: "ray.data.Dataset") -> "tuple | None":
     b_parts = [t["b"].to_numpy(zero_copy_only=False) for t in tables if t.num_rows]
     if not a_parts:
         return None
-    a = np.concatenate(a_parts)
-    b = np.concatenate(b_parts)
+    return unionfind_uid_arrays(np.concatenate(a_parts), np.concatenate(b_parts))
+
+
+def unionfind_uid_arrays(a: "np.ndarray", b: "np.ndarray") -> "tuple | None":
+    """Array core of :func:`unionfind_uid` for callers that already hold the
+    edge endpoints on the driver (e.g. the incremental delta path) — no
+    object-store round trip just to pull them straight back."""
+    import numpy as np
+
+    if not len(a):
+        return None
     # EXACT pair dedup before the propagation machinery: the 16 LSH bands
     # (and multiple gram buckets) emit the same (hub, member) edge many
     # times — measured ~13x duplication at 100k docs — and every duplicate

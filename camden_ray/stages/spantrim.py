@@ -118,7 +118,12 @@ def _block_nrows(t: "pa.Table") -> int:
 
 
 @ray.remote(num_cpus=0.25)
-def _stamp_rank(t: "pa.Table", base: int, key: str) -> "pa.Table":
+def _stamp_rank(t: "pa.Table", base: int, key: str, ktype) -> "pa.Table":
+    if key not in t.column_names:  # schema-less empty block (empty sort)
+        return pa.table(
+            {key: pa.array([], type=ktype),
+             "__rank": pa.array([], type=pa.int64())}
+        )
     return pa.table(
         {
             key: t[key],
@@ -140,13 +145,23 @@ def attach_dense_ranks(
     One corpus-KEY-sized ``Dataset.sort`` (text never enters it) + one
     co-partition merge attaching ranks back onto the doc rows.
     """
+    ktype = pa.string()
+    try:
+        sch = docs.schema()
+        t0 = dict(zip(sch.names, sch.types)).get(key)
+        if isinstance(t0, pa.DataType):
+            ktype = t0
+        elif t0 is not None and np.issubdtype(np.dtype(t0), np.integer):
+            ktype = pa.int64()
+    except Exception:
+        pass
     s = docs.select_columns([key]).sort(key).materialize()
     refs = s.to_arrow_refs()
     counts = ray.get([_block_nrows.remote(r) for r in refs])
     offs = np.r_[0, np.cumsum(counts)]
     ranks = ray.data.from_arrow_refs(
         [
-            _stamp_rank.remote(r, int(offs[i]), key)
+            _stamp_rank.remote(r, int(offs[i]), key, ktype)
             for i, r in enumerate(refs)
         ]
     )
@@ -182,6 +197,12 @@ def attach_dense_ranks(
         )
 
     def merge(t: pa.Table) -> pa.Table:
+        if "__isdim" not in t.column_names:  # fully-empty corpus
+            return pa.table(
+                {key: pa.array([], type=ktype),
+                 text: pa.array([], type=pa.string()),
+                 "__rank": pa.array([], type=pa.int64())}
+            )
         is_dim = t["__isdim"].to_numpy(zero_copy_only=False)
         dt = t.filter(pa.array(~is_dim))
         dm = t.filter(pa.array(is_dim))
@@ -254,6 +275,14 @@ def _winner_cover(key: str):
     (key > per-gram min key) as (key, pos) covered-gram-start rows."""
 
     def f(t: pa.Table) -> pa.Table:
+        if key not in t.column_names:
+            # fully-empty input corpus: Ray emits schema-less empty blocks
+            # (a merely-empty PARTITION of a non-empty corpus keeps the
+            # pipeline schema via _reduce_partition's schema-carrying slice)
+            return pa.table(
+                {key: pa.array([], type=pa.int64()),
+                 "pos": pa.array([], type=pa.int64())}
+            )
         if t.num_rows == 0:
             return pa.table(
                 {key: t[key], "pos": pa.array([], type=pa.int64())}
@@ -296,6 +325,20 @@ def make_trim_reduce(
     """
 
     def f(t: pa.Table) -> pa.Table:
+        if "kind" not in t.column_names:
+            # fully-empty input corpus (see _winner_cover's guard)
+            kt = pa.int64() if out_key is None else pa.string()
+            return pa.table(
+                {
+                    (out_key or key): pa.array([], type=kt),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "n_removed": pa.array([], type=pa.int64()),
+                    "cleaned_md5": pa.array([], type=pa.string()),
+                    "text_clean": pa.array([], type=pa.string()),
+                    "span_starts": pa.array([], type=pa.list_(pa.int64())),
+                    "span_ends": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
         kind = t["kind"].to_numpy(zero_copy_only=False)
         dt = t.filter(pa.array(kind == 0))
         ct = t.filter(pa.array(kind == 1))
@@ -441,7 +484,18 @@ def span_trim(
     Pu = np.uint64(P)
 
     out_key = None
+    out_type = pa.string()
     if rank_keys:
+        try:  # original key type for the passthrough nulls (int64 doc ids
+            # are allowed here too, not just string urls)
+            sch = docs.schema()
+            t0 = dict(zip(sch.names, sch.types)).get(key)
+            if isinstance(t0, pa.DataType):
+                out_type = t0
+            elif t0 is not None and np.issubdtype(np.dtype(t0), np.integer):
+                out_type = pa.int64()
+        except Exception:
+            pass
         docs = attach_dense_ranks(docs, key, text, P).materialize()
         out_key, key = key, "__rank"
 
@@ -483,7 +537,7 @@ def span_trim(
             ),
         }
         if out_key is not None:
-            cols[out_key] = pa.nulls(len(t), type=pa.string())
+            cols[out_key] = pa.nulls(len(t), type=out_type)
         return pa.table(cols)
 
     rows = docs.map_batches(tag_doc, batch_format="pyarrow").union(

@@ -317,3 +317,83 @@ def test_url_in_both_shards_parity(ray_session):
     m = a.set_index("url")["cluster_id"]
     assert m["http://a/2"] == "http://a/1"  # re-crawl adopts its base cluster
     assert m["http://b/1"] == "http://a/3"
+
+
+def test_recrawl_of_base_rep_bridging_merge(ray_session):
+    """A re-crawled BASE REP url whose new content duplicates another base
+    cluster: the component must be named by the MIN existing cluster id
+    (naming contract: existing ids take priority even though the re-crawl
+    is clustered as a new doc), the merge must be reported, and both
+    clustering regimes must agree."""
+    cfg = DedupConfig(methods=("exact",))
+    base = run_dedup(
+        None, cfg, extract=False,
+        input_ds=_text_table(
+            [("http://a/1", "alpha beta gamma delta"),
+             ("http://c/1", "omega psi chi phi")]
+        ),
+    )
+
+    # re-crawl of a/1 whose content now duplicates cluster C
+    new_rows = [("http://a/1", "omega psi chi phi")]
+
+    def attach(c):
+        return run_dedup_incremental(
+            None, base_sig=base["signatures"], base_clusters=base["clusters"],
+            cfg=c, extract=False, new_input_ds=_text_table(new_rows),
+        )
+
+    drv = attach(cfg)
+    dist = attach(DedupConfig(methods=("exact",), driver_unionfind_max_edges=0))
+    for res in (drv, dist):
+        m = res["clusters"].to_pandas().set_index("url")["cluster_id"]
+        assert m["http://a/1"] == "http://a/1"  # min existing id
+        assert res["base_merges"] == [("http://a/1", ["http://c/1"])]
+    assert drv["stats"] == dist["stats"]
+
+
+def test_recrawl_no_base_state_keeps_base_identity(ray_session):
+    """base_clusters=None: a re-crawled base url Z bridged by a new dup A<Z
+    must still name the cluster Z (the base doc's identity survives), in
+    both regimes, with consistent stats."""
+    cfg = DedupConfig(methods=("exact",))
+    base = run_dedup(
+        None, cfg, extract=False,
+        input_ds=_text_table([("http://z/9", "one two three four")]),
+    )
+
+    new_rows = [
+        ("http://z/9", "one two three four"),   # re-crawl of base doc
+        ("http://a/0", "one two three four"),   # new dup, url < z
+    ]
+
+    def attach(c):
+        return run_dedup_incremental(
+            None, base_sig=base["signatures"], base_clusters=None,
+            cfg=c, extract=False, new_input_ds=_text_table(new_rows),
+        )
+
+    drv = attach(cfg)
+    dist = attach(DedupConfig(methods=("exact",), driver_unionfind_max_edges=0))
+    for res in (drv, dist):
+        m = res["clusters"].to_pandas().set_index("url")["cluster_id"]
+        assert m["http://a/0"] == "http://z/9"
+        assert m["http://z/9"] == "http://z/9"
+    assert drv["stats"] == dist["stats"]
+    assert drv["stats"]["new_docs_in_clusters"] == 2
+
+
+def test_empty_new_shard(ray_session):
+    """An empty crawl shard returns zero-doc stats instead of crashing."""
+    cfg = DedupConfig(methods=("exact",))
+    base = run_dedup(
+        None, cfg, extract=False,
+        input_ds=_text_table([("http://a/1", "one two three")]),
+    )
+    inc = run_dedup_incremental(
+        None, base_sig=base["signatures"], base_clusters=base["clusters"],
+        cfg=cfg, extract=False, new_input_ds=_text_table([]),
+    )
+    assert inc["stats"]["new_docs"] == 0
+    assert inc["clusters"].count() == 0
+    assert inc["base_merges"] == []

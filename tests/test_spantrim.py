@@ -191,3 +191,38 @@ def test_rank_keys_mode_equals_direct(ray_session):
     )
     assert (direct.n_removed > 0).any()
     assert direct.equals(ranked[direct.columns])
+
+
+def test_empty_corpus(ray_session):
+    """A fully-empty input corpus returns an empty result in both modes
+    (Ray emits schema-less empty blocks for zero-row datasets — the guard
+    builds typed empties instead of reading absent columns)."""
+    t = pa.table(
+        {"key": pa.array([], type=pa.int64()),
+         "text": pa.array([], type=pa.string())}
+    )
+    ds = ray.data.from_arrow(t)
+    out = span_trim(ds, L=5, num_partitions=3, key="key", text="text")
+    assert out.count() == 0
+    out_r = span_trim(ds, L=5, num_partitions=3, key="key", text="text",
+                      rank_keys=True)
+    assert out_r.count() == 0
+
+
+def test_rank_keys_int64(ray_session):
+    """rank_keys=True also works for int64 doc-id keys (the passthrough
+    nulls must match the key type) and equals the direct mode."""
+    shared = W[0:15]
+    rows = [(9, " ".join(shared)), (3, " ".join(shared + ["tail"]))]
+    direct = _run(rows, L=10)
+    t = pa.table(
+        {"key": pa.array([k for k, _ in rows], type=pa.int64()),
+         "text": pa.array([s for _, s in rows], type=pa.string())}
+    )
+    ranked = (
+        span_trim(ray.data.from_arrow(t), L=10, num_partitions=3,
+                  key="key", text="text", rank_keys=True)
+        .to_pandas().sort_values("key").set_index("key")
+    )
+    assert direct.equals(ranked[direct.columns])
+    assert ranked.loc[9].n_removed == 15  # min key 3 wins
