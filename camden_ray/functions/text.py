@@ -115,6 +115,43 @@ def quality_features(text: str) -> dict[str, float]:
     return feats
 
 
+def gopher_features(text: str) -> dict[str, float]:
+    """Per-row reference for the Gopher-style quality-rule features (Rae et
+    al. 2021, "Scaling Language Models", §A1.1 — public rule set, thresholds
+    applied downstream in the query layer): token count, mean word length,
+    fraction of tokens containing an alphabetic character, symbol counts
+    ('#' and non-overlapping '...'), and English-stopword hits.
+
+    ``batch_gopher_features`` is the vectorized twin (exact on ASCII rows);
+    this function is the semantic truth and the non-ASCII fallback."""
+    toks = tokenize(text)
+    ntok = len(toks)
+    n_hash = float(text.count("#"))
+    n_ellipsis = float(text.count("..."))
+    if ntok == 0:
+        return {
+            "n_tokens": 0.0,
+            "mean_word_len": 0.0,
+            "alpha_word_frac": 0.0,
+            "symbol_ratio": 0.0,
+            "n_stopwords": 0.0,
+            "n_hash": n_hash,
+            "n_ellipsis": n_ellipsis,
+        }
+    swl = sum(len(t) for t in toks)
+    alpha = sum(1 for t in toks if any(c.isalpha() for c in t))
+    stop = sum(1 for t in toks if t in _EN_STOP)
+    return {
+        "n_tokens": float(ntok),
+        "mean_word_len": swl / ntok,
+        "alpha_word_frac": alpha / ntok,
+        "symbol_ratio": (n_hash + n_ellipsis) / ntok,
+        "n_stopwords": float(stop),
+        "n_hash": n_hash,
+        "n_ellipsis": n_ellipsis,
+    }
+
+
 def fingerprint(text: str, hasher: TokenHasher | None = None) -> int:
     """64-bit document fingerprint: order-sensitive polynomial rolling hash
     over token hashes (a cheap content identity robust to whitespace noise)."""
@@ -156,12 +193,14 @@ _T_ALNUM = np.zeros(256, dtype=bool)
 _T_SPACE = np.zeros(256, dtype=bool)
 _T_DIGIT = np.zeros(256, dtype=bool)
 _T_WORD = np.zeros(256, dtype=bool)  # Python re \w for ASCII: alnum + '_'
+_T_ALPHA = np.zeros(256, dtype=bool)
 for _i in range(128):
     _c = chr(_i)
     _T_ALNUM[_i] = _c.isalnum()
     _T_SPACE[_i] = _c.isspace()
     _T_DIGIT[_i] = _c.isdigit()
     _T_WORD[_i] = _c.isalnum() or _c == "_"
+    _T_ALPHA[_i] = _c.isalpha()
 del _i, _c
 
 _PACK_POWS = (np.uint64(1) << (np.uint64(8) * np.arange(8, dtype=np.uint64)))
@@ -391,4 +430,81 @@ def batch_detect_lang(col) -> list[str]:
     out = best_lang.tolist()
     for i in np.flatnonzero(~ascii_rows):
         out[int(i)] = detect_lang(col[int(i)].as_py() or "")
+    return out
+
+
+def batch_gopher_features(col) -> dict[str, np.ndarray]:
+    """Vectorized :func:`gopher_features` over a text column — one byte-level
+    pass per batch. Exact on ASCII rows (char-class LUTs built from Python's
+    own predicates, counts are integer); non-ASCII rows take the per-row
+    reference fallback. Long tokens need no fallback here: stopword identity
+    only requires ≤ 8-byte exactness (hi != 0 can never match a packed
+    stopword) and no feature depends on full-token identity."""
+    data, offsets, ascii_rows, col = _flat_ascii_view(col)
+    n = len(ascii_rows)
+
+    lb = data.copy()
+    up = (lb >= 65) & (lb <= 90)
+    lb[up] += 32
+    starts_idx, lens, ntok = _token_runs(lb, offsets)
+    swl = _row_counts(_T_WORD[lb], offsets)  # Σ len(tok) per row
+
+    # stopword hits (exact ≤8-byte packed identity, as batch_quality_features)
+    lo, hi = _pack_tokens(lb, starts_idx, lens)
+    stop_mask = np.isin(lo, _STOP_EN_PACKED) & (hi == 0)
+    tok_row_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ntok, out=tok_row_off[1:])
+    scs = np.zeros(len(stop_mask) + 1, dtype=np.int64)
+    np.cumsum(stop_mask, out=scs[1:])
+    stop = scs[tok_row_off[1:]] - scs[tok_row_off[:-1]]
+
+    # tokens containing ≥1 alphabetic char: cumsum gather per token span
+    acs = np.zeros(len(lb) + 1, dtype=np.int64)
+    np.cumsum(_T_ALPHA[lb], out=acs[1:])
+    tok_alpha = (acs[starts_idx + lens] - acs[starts_idx]) > 0
+    tcs = np.zeros(len(tok_alpha) + 1, dtype=np.int64)
+    np.cumsum(tok_alpha, out=tcs[1:])
+    alpha = tcs[tok_row_off[1:]] - tcs[tok_row_off[:-1]]
+
+    n_hash = _row_counts(data == 35, offsets)  # '#'
+
+    # non-overlapping '...' count == Σ floor(run_len/3) over per-row '.' runs
+    # (str.count / SQL replace() both consume greedily left-to-right)
+    dot = data == 46
+    prev = np.zeros(len(dot), dtype=bool)
+    nxt = np.zeros(len(dot), dtype=bool)
+    if len(dot) > 1:
+        prev[1:] = dot[:-1]
+        nxt[:-1] = dot[1:]
+    nonempty = offsets[1:] > offsets[:-1]
+    if nonempty.any():
+        prev[offsets[:-1][nonempty]] = False
+        nxt[offsets[1:][nonempty] - 1] = False
+    run_s = np.flatnonzero(dot & ~prev)
+    run_e = np.flatnonzero(dot & ~nxt)
+    n_ellipsis = np.zeros(n, dtype=np.int64)
+    if len(run_s):
+        per_run = (run_e - run_s + 1) // 3
+        row_of = np.searchsorted(offsets[1:], run_s, side="right")
+        np.add.at(n_ellipsis, row_of, per_run)
+
+    ntok_f = ntok.astype(np.float64)
+    live = ntok > 0
+    safe = np.where(live, ntok_f, 1.0)
+    out = {
+        "n_tokens": ntok_f,
+        "mean_word_len": np.where(live, swl / safe, 0.0),
+        "alpha_word_frac": np.where(live, alpha / safe, 0.0),
+        "symbol_ratio": np.where(
+            live, (n_hash + n_ellipsis).astype(np.float64) / safe, 0.0
+        ),
+        "n_stopwords": stop.astype(np.float64),
+        "n_hash": n_hash.astype(np.float64),
+        "n_ellipsis": n_ellipsis.astype(np.float64),
+    }
+    if not ascii_rows.all():
+        for i in np.flatnonzero(~ascii_rows):
+            f = gopher_features(col[int(i)].as_py() or "")
+            for k in out:
+                out[k][i] = f[k]
     return out

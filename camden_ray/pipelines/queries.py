@@ -927,6 +927,76 @@ def doc_lang_id(sf_dir: str):
     )
 
 
+# Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to the short
+# synthetic fixture docs; frozen as literals so the SQL oracle embeds them)
+_GOPHER_MIN_WORDS = 25
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MIN_ALPHA_FRAC = 0.8
+_GOPHER_MIN_STOPWORDS = 2
+
+
+def doc_gopher_filter(sf_dir: str):
+    """Gopher-style quality-rule filter (Rae et al. 2021, public rule set)
+    per document, hash-exact vs the DuckDB oracle: word-count bounds, mean
+    word length bounds, symbol-to-word ratio ('#' + non-overlapping '...'),
+    alphabetic-word fraction, and minimum English-stopword hits, plus the
+    conjunctive ``keep`` verdict. One vectorized byte-level pass per batch
+    (functions.text.batch_gopher_features); ratios are emitted as ×1e6
+    fixed point, rule verdicts as 0/1 BIGINT. Rule comparisons happen on
+    the raw IEEE doubles (identical numerator/denominator as the SQL), so
+    boundary decisions agree bit-for-bit."""
+
+    def f(t: pa.Table) -> pa.Table:
+        from camden_ray.functions.text import batch_gopher_features
+
+        g = batch_gopher_features(t["text"])
+        ntok = g["n_tokens"]
+        live = ntok > 0
+        ok_wc = (ntok >= _GOPHER_MIN_WORDS) & (ntok <= _GOPHER_MAX_WORDS)
+        ok_mwl = live & (g["mean_word_len"] >= _GOPHER_MIN_MWL) & (
+            g["mean_word_len"] <= _GOPHER_MAX_MWL
+        )
+        ok_sym = live & (g["symbol_ratio"] <= _GOPHER_MAX_SYMBOL_RATIO)
+        ok_alpha = live & (g["alpha_word_frac"] >= _GOPHER_MIN_ALPHA_FRAC)
+        ok_stop = g["n_stopwords"] >= _GOPHER_MIN_STOPWORDS
+        keep = ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop
+
+        def b(m):
+            return pa.array(m.astype(np.int64), type=pa.int64())
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": b(ntok),
+                "n_hash": b(g["n_hash"]),
+                "n_ellipsis": b(g["n_ellipsis"]),
+                "n_stopwords": b(g["n_stopwords"]),
+                "mean_word_len_fp": pa.array(
+                    _fp_round(g["mean_word_len"], scale=1_000_000), pa.int64()
+                ),
+                "alpha_word_frac_fp": pa.array(
+                    _fp_round(g["alpha_word_frac"], scale=1_000_000), pa.int64()
+                ),
+                "symbol_ratio_fp": pa.array(
+                    _fp_round(g["symbol_ratio"], scale=1_000_000), pa.int64()
+                ),
+                "ok_word_count": b(ok_wc),
+                "ok_mean_word_len": b(ok_mwl),
+                "ok_symbol_ratio": b(ok_sym),
+                "ok_alpha_words": b(ok_alpha),
+                "ok_stopwords": b(ok_stop),
+                "keep": b(keep),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 def doc_fingerprints(sf_dir: str):
     """Order-sensitive polynomial rolling-hash fingerprints, hash-exact vs
     the DuckDB oracle: token hash = ``md5_number_lower`` (the engine's
@@ -2096,6 +2166,7 @@ QUERIES = {
     "source_token_quantiles": source_token_quantiles,
     "top_docs_by_chars": top_docs_by_chars,
     "doc_quality": doc_quality,
+    "doc_gopher_filter": doc_gopher_filter,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
     "events_hourly": events_hourly,
@@ -2375,6 +2446,59 @@ ORACLE_SQL = {
                         * 1000000) AS BIGINT)
                END AS quality_score_fp
         FROM d
+    """,
+    "doc_gopher_filter": f"""
+        WITH c AS (
+            SELECT doc_id, COALESCE(text, '') AS t,
+                   string_split(COALESCE(text, ''), ' ') AS toks
+            FROM documents
+        ), d AS (
+            SELECT doc_id, t, toks,
+                   CASE WHEN t = '' THEN 0 ELSE len(toks) END AS ntok,
+                   len(list_filter(toks,
+                       x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+                   len(list_filter(toks, x -> x IN
+                       ('the','and','of','to','a','in','is','that','it','for',
+                        'on','with','as','was','at','by'))) AS stop,
+                   list_sum(list_transform(toks, x -> length(x))) AS swl,
+                   length(t) - length(replace(t, '#', '')) AS nhash,
+                   (length(t) - length(replace(t, '...', ''))) // 3 AS nell
+            FROM c
+        ), r AS (
+            SELECT doc_id, ntok, nhash, nell, stop, swl, alpha,
+                   ntok >= {_GOPHER_MIN_WORDS}
+                       AND ntok <= {_GOPHER_MAX_WORDS} AS ok_wc,
+                   ntok > 0 AND swl / ntok >= {_GOPHER_MIN_MWL}
+                       AND swl / ntok <= {_GOPHER_MAX_MWL} AS ok_mwl,
+                   ntok > 0 AND (nhash + nell) / ntok
+                       <= {_GOPHER_MAX_SYMBOL_RATIO} AS ok_sym,
+                   ntok > 0 AND alpha / ntok
+                       >= {_GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+                   stop >= {_GOPHER_MIN_STOPWORDS} AS ok_stop
+            FROM d
+        )
+        SELECT doc_id,
+               CAST(ntok AS BIGINT) AS n_tokens,
+               CAST(nhash AS BIGINT) AS n_hash,
+               CAST(nell AS BIGINT) AS n_ellipsis,
+               CAST(stop AS BIGINT) AS n_stopwords,
+               CASE WHEN ntok = 0 THEN 0
+                    ELSE CAST(round(swl / ntok * 1000000) AS BIGINT)
+               END AS mean_word_len_fp,
+               CASE WHEN ntok = 0 THEN 0
+                    ELSE CAST(round(alpha / ntok * 1000000) AS BIGINT)
+               END AS alpha_word_frac_fp,
+               CASE WHEN ntok = 0 THEN 0
+                    ELSE CAST(round((nhash + nell) / ntok * 1000000) AS BIGINT)
+               END AS symbol_ratio_fp,
+               CAST(ok_wc AS BIGINT) AS ok_word_count,
+               CAST(ok_mwl AS BIGINT) AS ok_mean_word_len,
+               CAST(ok_sym AS BIGINT) AS ok_symbol_ratio,
+               CAST(ok_alpha AS BIGINT) AS ok_alpha_words,
+               CAST(ok_stop AS BIGINT) AS ok_stopwords,
+               CAST(ok_wc AND ok_mwl AND ok_sym AND ok_alpha AND ok_stop
+                    AS BIGINT) AS keep
+        FROM r
     """,
     "doc_lang_id": """
         WITH c AS (

@@ -139,6 +139,19 @@ def test_token_quantiles_match_duckdb(ray_session):
     assert row["p10"] <= row["p25"] <= row["p50"] <= row["p75"] <= row["p90"] <= row["p99"]
 
 
+def test_gopher_filter_matches_duckdb(ray_session):
+    """Gopher-rule filtering equals the list-lambda oracle row-for-row, and
+    the fixture exercises both verdicts (kept and dropped docs) with at
+    least one discriminating rule on each side."""
+    from camden_ray.pipelines.queries import ORACLE_SQL, doc_gopher_filter
+
+    df = _compare(doc_gopher_filter, ORACLE_SQL["doc_gopher_filter"], ["doc_id"])
+    assert (df["keep"] == 1).any(), "fixture should keep some docs"
+    assert (df["keep"] == 0).any(), "fixture should drop some docs"
+    dropped = df[df["keep"] == 0]
+    assert ((dropped["ok_word_count"] == 0) | (dropped["ok_stopwords"] == 0)).all()
+
+
 def test_batch_text_kernels_match_reference():
     """Differential fuzz: the vectorized batch_quality_features /
     batch_detect_lang kernels are bit-identical to the per-row reference

@@ -70,6 +70,21 @@ def test_batch_quality_matches_reference(rows):
 
 @settings(max_examples=150, deadline=None)
 @given(texts)
+def test_batch_gopher_matches_reference(rows):
+    """batch_gopher_features is bit-identical to the per-row reference on
+    arbitrary (incl. non-ASCII, fallback-routing, dot-run boundary) input."""
+    from camden_ray.functions.text import batch_gopher_features, gopher_features
+
+    col = pa.array(rows, type=pa.string())
+    out = batch_gopher_features(col)
+    for i, r in enumerate(rows):
+        ref = gopher_features(r)
+        for k, v in ref.items():
+            assert out[k][i] == v, (i, k, r)
+
+
+@settings(max_examples=150, deadline=None)
+@given(texts)
 def test_batch_detect_lang_matches_reference(rows):
     from camden_ray.functions.text import batch_detect_lang, detect_lang
 
