@@ -927,6 +927,187 @@ def doc_lang_id(sf_dir: str):
     )
 
 
+# Broadcast cap for the unigram-LM vocabulary (distinct-token, NOT corpus,
+# sized — web-corpus vocabularies plateau in the tens of millions while the
+# corpus grows unbounded). Above it the scoring join runs as a kind-tagged
+# token-hash co-partition exchange instead (parity-tested with the cap
+# forced to 0, the house pattern for every driver-resident structure).
+_UNIGRAM_BROADCAST_MAX_VOCAB = 2_000_000
+
+
+def doc_unigram_logprob(sf_dir: str, *, broadcast_max_vocab: int | None = None):
+    """Corpus unigram language-model scoring — the classic two-phase
+    distributed shape (train-on-corpus, score-the-corpus; the fixed-point
+    cousin of CCNet/KenLM perplexity filtering, Wenzek et al. 2019): phase 1
+    reduces per-block token counts into a global (token, cnt) table; phase 2
+    scores every document by the sum and mean of its tokens' corpus log
+    probabilities.
+
+    Hash-exact vs the DuckDB oracle: each distinct token's logprob is
+    quantized ONCE to ×1e6 fixed point (``round(ln(cnt/T)·1e6)``), so the
+    per-doc sums are order-independent integer arithmetic on both sides;
+    the per-doc mean re-rounds ``sum/n`` half-away-from-zero. Docs with no
+    tokens emit no row (mirrored by the oracle's inner join).
+
+    Scale shape: the vocab table is aggregated distributively; at or below
+    ``_UNIGRAM_BROADCAST_MAX_VOCAB`` distinct tokens it is broadcast once
+    via ``ray.put`` and the scoring pass is map-only (``pc.index_in`` +
+    one weighted bincount per batch); above it, scoring runs through the
+    engine's ``partition_map`` exchange co-partitioned on token hash."""
+    from camden_ray.functions.hashing import hash_string_column
+    from camden_ray.stages.candidates import partition_map, partitions_for
+
+    cap = (
+        _UNIGRAM_BROADCAST_MAX_VOCAB
+        if broadcast_max_vocab is None
+        else broadcast_max_vocab
+    )
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks, _ = _batch_ngrams(t["text"], 1)
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        vc = toks.value_counts()
+        return pa.table(
+            {"token": vc.field("values"),
+             "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    vocab = (
+        docs.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    total = float(vocab.aggregate(Sum("cnt", alias_name="t"))["t"] or 0)
+    n_vocab = vocab.count()
+
+    def with_lp(t: pa.Table) -> pa.Table:
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        lp = _fp_round(np.log(cnt / total), scale=1_000_000)
+        return t.append_column("lp_fp", pa.array(lp, type=pa.int64()))
+
+    lp_ds = vocab.map_batches(with_lp, batch_format="pyarrow")
+
+    def finalize_arrays(doc_ids, s, n):
+        mean = _fp_round(s.astype(np.float64) / n, scale=1)
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "logprob_sum_fp": pa.array(s.astype(np.int64), pa.int64()),
+                "mean_logprob_fp": pa.array(mean, pa.int64()),
+            }
+        )
+
+    if n_vocab <= cap:
+        vt = pa.concat_tables(ray.get(lp_ds.to_arrow_refs()))
+        ref = ray.put(
+            (vt["token"].combine_chunks(),
+             vt["lp_fp"].to_numpy(zero_copy_only=False))
+        )
+
+        def score(t: pa.Table) -> pa.Table:
+            tok_v, lp_v = ray.get(ref)  # zero-copy plasma read, once per task
+            toks, seg = _batch_ngrams(t["text"], 1)
+            n_rows = t.num_rows
+            counts = np.bincount(seg, minlength=n_rows).astype(np.int64)
+            sums = np.zeros(n_rows, dtype=np.float64)
+            if len(toks):
+                idx = pc.index_in(toks, value_set=tok_v).to_numpy(
+                    zero_copy_only=False
+                )
+                sums = np.bincount(seg, weights=lp_v[idx], minlength=n_rows)
+            live = counts > 0
+            mask = pa.array(live)
+            return finalize_arrays(
+                t["doc_id"].filter(mask), sums[live], counts[live]
+            )
+
+        return docs.map_batches(score, batch_format="pyarrow")
+
+    # co-shuffle fallback: vocab rows (kind 0) and per-(doc, token) occurrence
+    # rows (kind 1) meet in token-hash partitions; per-doc sums reduce after.
+    P = partitions_for(DedupConfig(), 4096)
+
+    def tag_vocab(t: pa.Table) -> pa.Table:
+        pk = (hash_string_column(t["token"]) % np.uint64(P)).view(np.int64)
+        return pa.table(
+            {
+                "token": t["token"],
+                "lp_fp": t["lp_fp"],
+                "doc_id": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "occ": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+                "pkey": pa.array(pk, type=pa.int64()),
+            }
+        )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        toks, seg = _batch_ngrams(t["text"], 1)
+        ids = t["doc_id"].take(pa.array(seg))
+        g = (
+            pa.table({"doc_id": ids, "token": toks})
+            .group_by(["doc_id", "token"])
+            .aggregate([("doc_id", "count")])
+        )
+        pk = (hash_string_column(g["token"]) % np.uint64(P)).view(np.int64)
+        n = g.num_rows
+        return pa.table(
+            {
+                "token": g["token"],
+                "lp_fp": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "doc_id": g["doc_id"],
+                "occ": g["doc_id_count"].cast(pa.int64()),
+                "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+                "pkey": pa.array(pk, type=pa.int64()),
+            }
+        )
+
+    tagged = lp_ds.map_batches(tag_vocab, batch_format="pyarrow").union(
+        docs.map_batches(tag_docs, batch_format="pyarrow")
+    )
+
+    def join_part(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        vmask = pa.array(kind == 0)
+        vt = t.filter(vmask)
+        dt = t.filter(pc.invert(vmask))
+        if dt.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        idx = pc.index_in(
+            dt["token"].combine_chunks(), value_set=vt["token"].combine_chunks()
+        ).to_numpy(zero_copy_only=False)
+        lp = vt["lp_fp"].to_numpy(zero_copy_only=False)[idx]
+        occ = dt["occ"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": dt["doc_id"],
+             "s": pa.array(occ * lp, pa.int64()),
+             "n": pa.array(occ, pa.int64())}
+        )
+
+    agg = partition_map(tagged, P, join_part, key="pkey").groupby(
+        "doc_id"
+    ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return finalize_arrays(
+            t["doc_id"],
+            t["s"].to_numpy(zero_copy_only=False),
+            t["n"].to_numpy(zero_copy_only=False),
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 # Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to the short
 # synthetic fixture docs; frozen as literals so the SQL oracle embeds them)
 _GOPHER_MIN_WORDS = 25
@@ -2167,6 +2348,7 @@ QUERIES = {
     "top_docs_by_chars": top_docs_by_chars,
     "doc_quality": doc_quality,
     "doc_gopher_filter": doc_gopher_filter,
+    "doc_unigram_logprob": doc_unigram_logprob,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
     "events_hourly": events_hourly,
@@ -2446,6 +2628,28 @@ ORACLE_SQL = {
                         * 1000000) AS BIGINT)
                END AS quality_score_fp
         FROM d
+    """,
+    "doc_unigram_logprob": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS tk
+            FROM documents
+        ),
+        freq AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY tk),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS T FROM freq),
+        lp AS (
+            SELECT tk, CAST(round(ln(cnt / T) * 1000000) AS BIGINT) AS lp_fp
+            FROM freq, tot
+        ),
+        ds AS (
+            SELECT t.doc_id, sum(lp.lp_fp) AS s, count(*) AS n
+            FROM tok t JOIN lp ON t.tk = lp.tk GROUP BY t.doc_id
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(s AS BIGINT) AS logprob_sum_fp,
+               CAST(round(s / n) AS BIGINT) AS mean_logprob_fp
+        FROM ds
     """,
     "doc_gopher_filter": f"""
         WITH c AS (

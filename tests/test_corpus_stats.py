@@ -152,6 +152,40 @@ def test_gopher_filter_matches_duckdb(ray_session):
     assert ((dropped["ok_word_count"] == 0) | (dropped["ok_stopwords"] == 0)).all()
 
 
+def test_unigram_logprob_matches_duckdb(ray_session):
+    """Two-phase unigram-LM scoring equals the freq/ln CTE oracle exactly
+    (per-token ×1e6 quantization makes the doc sums order-independent), and
+    the fixture shows real score spread."""
+    from camden_ray.pipelines.queries import ORACLE_SQL, doc_unigram_logprob
+
+    df = _compare(
+        doc_unigram_logprob, ORACLE_SQL["doc_unigram_logprob"], ["doc_id"]
+    )
+    assert df["mean_logprob_fp"].nunique() > 10
+    assert (df["mean_logprob_fp"] < 0).all()
+
+
+def test_unigram_logprob_shuffle_fallback_parity(ray_session):
+    """Forcing the broadcast cap to 0 routes scoring through the token-hash
+    co-partition exchange; the result is row-identical to the broadcast
+    path (the same pattern every driver-resident cap in the engine uses)."""
+    from camden_ray.pipelines.queries import doc_unigram_logprob
+
+    a = (
+        doc_unigram_logprob(SF_DIR)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        doc_unigram_logprob(SF_DIR, broadcast_max_vocab=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a[b.columns].equals(b)
+
+
 def test_batch_text_kernels_match_reference():
     """Differential fuzz: the vectorized batch_quality_features /
     batch_detect_lang kernels are bit-identical to the per-row reference
