@@ -1224,6 +1224,36 @@ def events_hourly(sf_dir: str):
     )
 
 
+def events_user_cumsum(sf_dir: str):
+    """Distributed window function: per-user running value sum + row number
+    in (ts, event_id) order — SQL's ``SUM(...) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)``, a class Ray Data has no native operator for.
+    Co-locating one partition key's rows IS the semantics, so the shuffle
+    is irreducible; per-user history is the only materialized unit (bounded
+    per key, never corpus-sized), making this the scale shape a multi-node
+    run wants. The ordered prefix sum runs vectorized inside each group."""
+
+    def win(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        t = t.take(order)
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "rn": pa.array(np.arange(1, t.num_rows + 1), pa.int64()),
+                "cum_value_cents": pa.array(
+                    np.cumsum(cents).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+
+
 def events_type_stats(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         cents = _cents(t["value"])
@@ -2084,6 +2114,37 @@ def doc_ngram_jaccard_pairs(sf_dir: str):
     return verify_jaccard_pairs(cand, docs, cfg, tau=0.5)
 
 
+def doc_minhash_clusters(sf_dir: str):
+    """The COMPLETE near-dup chain — LSH candidate generation → exact
+    Jaccard verification → union-find clustering — under one FULL DuckDB
+    oracle. Candidates come from the md5 affine-permutation MinHash twin
+    (``doc_minhash_pairs``'s hash-exact construction), verification is the
+    distributed exact shingle-set Jaccard at τ=0.5 (co-shuffled texts, no
+    driver corpus dict), and components take the engine's deterministic
+    min-url representative. ``doc_dedup_clusters`` stays the probabilistic
+    flagship; this query proves the identical pipeline SHAPE end-to-end
+    hash-exact (the twin recipe extended from pairs to clusters)."""
+    from camden_ray.stages.cluster import unionfind_table
+    from camden_ray.stages.spanverify import verify_jaccard_pairs
+
+    cfg = DedupConfig()
+    docs = _documents_as_webtext(sf_dir).materialize()
+    cand = doc_minhash_pairs(sf_dir).select_columns(["a", "b"]).materialize()
+    verified = verify_jaccard_pairs(cand, docs, cfg, tau=0.5).select_columns(
+        ["a", "b"]
+    )
+    tab = unionfind_table(verified)
+    if tab is None:
+        return pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "cluster_id": pa.array([], type=pa.string())}
+        )
+    return pa.table(
+        {"url": tab["url"].cast(pa.string()),
+         "cluster_id": tab["cluster_id"].cast(pa.string())}
+    )
+
+
 def doc_exact_ngram_clusters(sf_dir: str):
     """Connected-components clustering with min-url representatives over the
     two DETERMINISTIC edge sources: exact content duplicates (shared digest)
@@ -2352,6 +2413,7 @@ QUERIES = {
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
     "events_hourly": events_hourly,
+    "events_user_cumsum": events_user_cumsum,
     "events_type_stats": events_type_stats,
     "lineitem_pricing": lineitem_pricing,
     "knn_brute_force": knn_brute_force,
@@ -2363,6 +2425,7 @@ QUERIES = {
     "media_byte_features": media_byte_features,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_minhash_clusters": doc_minhash_clusters,
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "doc_exact_ngram_clusters": doc_exact_ngram_clusters,
@@ -2755,6 +2818,14 @@ ORACLE_SQL = {
                count(*) AS n_events,
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM events GROUP BY 1, 2
+    """,
+    "events_user_cumsum": """
+        SELECT event_id, user_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS cum_value_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "events_type_stats": """
         SELECT event_type, count(*) AS n,
@@ -3166,6 +3237,66 @@ def _minhash_twin_sql() -> str:
 
 
 ORACLE_SQL["doc_minhash_pairs"] = _minhash_twin_sql()
+
+
+# The twin recipe extended from pairs to clusters: identical sig/band CTEs,
+# then exact-Jaccard verification at τ=0.5 and a recursive-CTE transitive
+# closure with min-label aggregation (the doc_exact_ngram_clusters closure
+# over the LSH-candidate edge source).
+def _minhash_clusters_sql() -> str:
+    mins = ",\n            ".join(
+        f"min((CAST({a} AS UBIGINT) * h + CAST({b} AS UBIGINT)) "
+        f"% 2147483647) AS v{j}"
+        for j, (a, b) in enumerate(_MINHASH_TWIN_AB)
+    )
+    bands = "\n        UNION ALL\n".join(
+        f"""        SELECT s1.url AS a, s2.url AS b
+        FROM sig s1 JOIN sig s2
+          ON s1.url < s2.url
+         AND s1.v{2 * i} = s2.v{2 * i} AND s1.v{2 * i + 1} = s2.v{2 * i + 1}"""
+        for i in range(_MINHASH_TWIN_BANDS)
+    )
+    return f"""
+    WITH RECURSIVE d AS (
+        SELECT 'doc://' || doc_id AS url,
+               string_split(COALESCE(text, ''), ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT url, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 4, 0) + 1),
+            i -> array_to_string(toks[i:i+4], ' '))) AS sh
+        FROM d
+    ), u AS (
+        SELECT url, md5_number_lower(unnest(sh)) % 2147483647 AS h FROM s
+    ), sig AS (
+        SELECT url,
+            {mins}
+        FROM u GROUP BY url
+    ), pb AS (
+{bands}
+    ), cand AS (
+        SELECT DISTINCT a, b FROM pb
+    ), jac AS (
+        SELECT cand.a, cand.b
+        FROM cand
+        JOIN s sa ON sa.url = cand.a
+        JOIN s sb ON sb.url = cand.b
+        WHERE len(list_intersect(sa.sh, sb.sh))
+              / greatest(len(sa.sh) + len(sb.sh)
+                         - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.5
+    ), sym AS (
+        SELECT a, b FROM jac UNION SELECT b AS a, a AS b FROM jac
+    ), reach(src, dst) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN sym e ON e.a = r.dst
+    )
+    SELECT src AS url, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """
+
+
+ORACLE_SQL["doc_minhash_clusters"] = _minhash_clusters_sql()
 
 ORACLE_SQL["doc_simhash_pairs"] = """
     WITH d AS (
