@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "doc_span_trim",
     "embedding_kmeans",
     "doc_dedup_clusters",
+    "doc_gopher_filter",
+    "doc_unigram_logprob",
 ]
 
 

@@ -535,6 +535,91 @@ def doc_decontaminate_spans(sf_dir: str):
     return ds.map_batches(hits, batch_format="pyarrow")
 
 
+_PHRASE_QUERY = "row column sort"
+
+
+def doc_phrase_search(sf_dir: str, phrase: str | None = None):
+    """Distributed exact phrase search — grep over the corpus, emitting one
+    row per (doc_id, 1-based token position) where the query phrase's token
+    sequence occurs. Map-only (no shuffle, no index build): vectorized
+    n-gram extraction per batch + one Arrow equality kernel; the shape a
+    100 TB corpus scan wants when the phrase list is small. Full DuckDB
+    oracle (string-gram position twin, the doc_decontaminate_spans CTE with
+    a constant gram)."""
+    phrase = _PHRASE_QUERY if phrase is None else phrase
+    n = len(phrase.split())
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def hits(t: pa.Table) -> pa.Table:
+        grams, seg = _batch_ngrams(t["text"], n)
+        empty = pa.table(
+            {"doc_id": pa.array([], type=t["doc_id"].type),
+             "pos": pa.array([], type=pa.int64())}
+        )
+        if not len(grams):
+            return empty
+        member = pc.equal(grams, phrase).to_numpy(zero_copy_only=False)
+        if not member.any():
+            return empty
+        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        runs = np.diff(np.r_[starts, len(seg)])
+        pos = np.arange(len(seg), dtype=np.int64) - np.repeat(starts, runs)
+        doc_ids = t["doc_id"]
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": doc_ids.take(pa.array(seg[member])),
+                "pos": pa.array(pos[member] + 1, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(hits, batch_format="pyarrow")
+
+
+def source_dup_stats(sf_dir: str):
+    """Per-source exact-duplicate profile — the dup-rate breakdown a corpus
+    owner reads before deciding which sources to keep (the reference's
+    G1/G3 group-and-count generalized to a grouped dimension). Distributed
+    shape: one (source, digest) groupby-count (the dedup core), then a
+    source-sized groupby; dup_count = Σcnt − #groups needs no custom
+    aggregate. Hash-exact DuckDB oracle via the md5 digest twin."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def dig(t: pa.Table) -> pa.Table:
+        return _md5_col(t, "text").select(["source", "digest"])
+
+    agg = (
+        ds.map_batches(dig, batch_format="pyarrow")
+        .groupby(["source", "digest"])
+        .aggregate(Count(alias_name="cnt"))
+        .groupby("source")
+        .aggregate(
+            Sum("cnt", alias_name="n_docs"), Count(alias_name="n_distinct")
+        )
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nu = t["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dup = nd - nu
+        rate = _fp_round(
+            np.where(nd > 0, dup / np.where(nd > 0, nd, 1), 0.0),
+            scale=1_000_000,
+        )
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_distinct": pa.array(nu, pa.int64()),
+                "dup_count": pa.array(dup, pa.int64()),
+                "dup_rate_fp": pa.array(rate, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 def doc_repetition(sf_dir: str):
     """Per-document repetition quality metrics (the Gopher-rule family,
     Rae et al. 2021 §A1.1): bigram multiset stats — count of the most
@@ -1106,6 +1191,70 @@ def doc_unigram_logprob(sf_dir: str, *, broadcast_max_vocab: int | None = None):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# CCNet bucket granularity: scores bin at 0.01 logprob (×1e6 fp // 1e4), so
+# the threshold histogram's domain is the score RANGE / 0.01 — a few
+# thousand bins regardless of corpus size.
+_CCNET_BIN_FP = 10000
+
+
+def doc_ccnet_bucket(sf_dir: str):
+    """CCNet-style corpus partition (Wenzek et al. 2019 §4.3): every doc is
+    assigned to the head / middle / tail third of the corpus by its unigram
+    LM score (head = most probable text, what CCNet keeps for LM training).
+    Tertile thresholds are EXACT, computed from a bounded value histogram:
+    scores bin at 0.01 logprob, one ``groupby(bin).count`` reduces the
+    corpus to a few thousand rows, and the thresholds are read off the
+    cumulative histogram on the driver with ``quantile_disc`` semantics
+    (the corpus_token_quantiles recipe) — no corpus sort, no sampling.
+    The skinny (doc_id, score) table materializes once and is scanned
+    twice (histogram, then assignment); bucket boundaries and floor()
+    binning are integer/IEEE-identical to the SQL oracle."""
+    import math
+
+    scores = doc_unigram_logprob(sf_dir)
+
+    def binned(t: pa.Table) -> pa.Table:
+        m = t["mean_logprob_fp"].to_numpy(zero_copy_only=False)
+        b = np.floor(m / float(_CCNET_BIN_FP)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "mean_logprob_fp": t["mean_logprob_fp"],
+                "bin": pa.array(b, pa.int64()),
+            }
+        )
+
+    bds = scores.map_batches(binned, batch_format="pyarrow").materialize()
+    hist = (
+        bds.groupby("bin")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    vals = hist["bin"].to_numpy(dtype=np.int64)
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n_docs = int(cum[-1]) if len(cum) else 0
+
+    def disc(q: float) -> int:
+        if n_docs == 0:
+            return 0
+        k0 = math.ceil(q * n_docs)
+        kstar = next(
+            k for k in range(max(1, k0 - 2), k0 + 3) if k / n_docs >= q
+        )
+        return int(vals[np.searchsorted(cum, kstar, side="left")])
+
+    t1, t2 = disc(1.0 / 3.0), disc(2.0 / 3.0)
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = t["bin"].to_numpy(zero_copy_only=False)
+        bucket = np.where(b <= t1, "tail", np.where(b <= t2, "middle", "head"))
+        return t.append_column("bucket", pa.array(bucket, type=pa.string()))
+
+    return bds.map_batches(assign, batch_format="pyarrow")
 
 
 # Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to the short
@@ -2400,6 +2549,8 @@ QUERIES = {
     "doc_token_counts": doc_token_counts,
     "doc_top_bigrams": doc_top_bigrams,
     "doc_decontaminate": doc_decontaminate,
+    "doc_phrase_search": doc_phrase_search,
+    "source_dup_stats": source_dup_stats,
     "doc_decontaminate_spans": doc_decontaminate_spans,
     "doc_repetition": doc_repetition,
     "corpus_vocab_stats": corpus_vocab_stats,
@@ -2410,6 +2561,7 @@ QUERIES = {
     "doc_quality": doc_quality,
     "doc_gopher_filter": doc_gopher_filter,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_ccnet_bucket": doc_ccnet_bucket,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprints": doc_fingerprints,
     "events_hourly": events_hourly,
@@ -2441,6 +2593,25 @@ QUERIES = {
     "events_distinct_users": events_distinct_users,
     "events_props_stats": events_props_stats,
 }
+
+# Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
+# doc_ccnet_bucket so the two oracles cannot drift): uds = per-doc
+# (doc_id, s = Σ quantized token logprob, n = token count).
+_UNIGRAM_SQL_CTES = """tok AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS tk
+            FROM documents
+        ),
+        freq AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY tk),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS T FROM freq),
+        lp AS (
+            SELECT tk, CAST(round(ln(cnt / T) * 1000000) AS BIGINT) AS lp_fp
+            FROM freq, tot
+        ),
+        uds AS (
+            SELECT t.doc_id, sum(lp.lp_fp) AS s, count(*) AS n
+            FROM tok t JOIN lp ON t.tk = lp.tk GROUP BY t.doc_id
+        )"""
 
 ORACLE_SQL = {
     "exact_dup_groups": """
@@ -2526,6 +2697,34 @@ ORACLE_SQL = {
         SELECT g.doc_id, g.pos
         FROM g JOIN bench USING (gram)
         WHERE md5(CAST(g.doc_id AS VARCHAR)) >= '{_DECON_CUTOFF_HEX}'
+    """,
+    "doc_phrase_search": f"""
+        WITH tok AS (
+            SELECT doc_id, regexp_extract_all(COALESCE(text, ''), '\\S+') AS t
+            FROM documents
+        ),
+        gp AS (
+            SELECT doc_id,
+                   unnest(range(1, greatest(len(t) - {len(_PHRASE_QUERY.split()) - 1}, 0) + 1)) AS pos, t
+            FROM tok
+        )
+        SELECT doc_id, pos
+        FROM gp
+        WHERE array_to_string(t[pos:pos+{len(_PHRASE_QUERY.split()) - 1}], ' ')
+              = '{_PHRASE_QUERY}'
+    """,
+    "source_dup_stats": """
+        WITH g AS (
+            SELECT source, md5(text) AS d, count(*) AS cnt
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(cnt) - count(*) AS BIGINT) AS dup_count,
+               CAST(round((sum(cnt) - count(*)) / sum(cnt) * 1000000) AS BIGINT)
+                   AS dup_rate_fp
+        FROM g GROUP BY source
     """,
     "doc_repetition": """
         WITH tok AS (
@@ -2692,27 +2891,37 @@ ORACLE_SQL = {
                END AS quality_score_fp
         FROM d
     """,
-    "doc_unigram_logprob": """
-        WITH tok AS (
-            SELECT doc_id,
-                   unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS tk
-            FROM documents
-        ),
-        freq AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY tk),
-        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS T FROM freq),
-        lp AS (
-            SELECT tk, CAST(round(ln(cnt / T) * 1000000) AS BIGINT) AS lp_fp
-            FROM freq, tot
-        ),
-        ds AS (
-            SELECT t.doc_id, sum(lp.lp_fp) AS s, count(*) AS n
-            FROM tok t JOIN lp ON t.tk = lp.tk GROUP BY t.doc_id
-        )
+    "doc_unigram_logprob": f"""
+        WITH {_UNIGRAM_SQL_CTES}
         SELECT doc_id,
                CAST(n AS BIGINT) AS n_tokens,
                CAST(s AS BIGINT) AS logprob_sum_fp,
                CAST(round(s / n) AS BIGINT) AS mean_logprob_fp
-        FROM ds
+        FROM uds
+    """,
+    "doc_ccnet_bucket": f"""
+        WITH {_UNIGRAM_SQL_CTES},
+        scores AS (
+            SELECT doc_id, CAST(round(s / n) AS BIGINT) AS mean_logprob_fp
+            FROM uds
+        ),
+        bins AS (
+            SELECT doc_id, mean_logprob_fp,
+                   CAST(floor(mean_logprob_fp / {_CCNET_BIN_FP}.0) AS BIGINT)
+                       AS bin
+            FROM scores
+        ),
+        th AS (
+            SELECT quantile_disc(bin, 1.0/3.0) AS t1,
+                   quantile_disc(bin, 2.0/3.0) AS t2
+            FROM bins
+        )
+        SELECT doc_id, mean_logprob_fp, bin,
+               CASE WHEN bin <= t1 THEN 'tail'
+                    WHEN bin <= t2 THEN 'middle'
+                    ELSE 'head'
+               END AS bucket
+        FROM bins, th
     """,
     "doc_gopher_filter": f"""
         WITH c AS (

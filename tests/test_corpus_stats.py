@@ -186,6 +186,49 @@ def test_unigram_logprob_shuffle_fallback_parity(ray_session):
     assert a[b.columns].equals(b)
 
 
+def test_ccnet_bucket_matches_duckdb(ray_session):
+    """CCNet head/middle/tail partition equals the quantile_disc oracle
+    exactly and splits the corpus into three non-empty, roughly balanced
+    buckets with head > middle > tail score ordering."""
+    from camden_ray.pipelines.queries import ORACLE_SQL, doc_ccnet_bucket
+
+    df = _compare(doc_ccnet_bucket, ORACLE_SQL["doc_ccnet_bucket"], ["doc_id"])
+    counts = df["bucket"].value_counts()
+    # tiny fixtures can produce t1 == t2 (empty middle); head and tail are
+    # always populated, and score ordering must hold across present buckets
+    assert counts.get("head", 0) > 0 and counts.get("tail", 0) > 0
+    means = df.groupby("bucket")["mean_logprob_fp"].mean()
+    if "middle" in means:
+        assert means["head"] > means["middle"] > means["tail"]
+    else:
+        assert means["head"] > means["tail"]
+    # every tail score <= every head score (tertile contract)
+    assert (
+        df.loc[df.bucket == "tail", "bin"].max()
+        <= df.loc[df.bucket == "head", "bin"].min()
+    )
+
+
+def test_phrase_search_matches_duckdb(ray_session):
+    """Distributed phrase grep equals the constant-gram position oracle and
+    finds the planted phrase at least once in the small fixture."""
+    from camden_ray.pipelines.queries import ORACLE_SQL, doc_phrase_search
+
+    df = _compare(
+        doc_phrase_search, ORACLE_SQL["doc_phrase_search"], ["doc_id", "pos"]
+    )
+    assert len(df) >= 1
+    assert (df["pos"] >= 1).all()
+
+
+def test_source_dup_stats_matches_duckdb(ray_session):
+    from camden_ray.pipelines.queries import ORACLE_SQL, source_dup_stats
+
+    df = _compare(source_dup_stats, ORACLE_SQL["source_dup_stats"], ["source"])
+    assert (df["n_docs"] >= df["n_distinct"]).all()
+    assert (df["dup_count"] == df["n_docs"] - df["n_distinct"]).all()
+
+
 def test_batch_text_kernels_match_reference():
     """Differential fuzz: the vectorized batch_quality_features /
     batch_detect_lang kernels are bit-identical to the per-row reference
