@@ -600,6 +600,14 @@ def source_dup_stats(sf_dir: str):
     )
 
     def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_docs" not in t.column_names:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "n_distinct": pa.array([], pa.int64()),
+                 "dup_count": pa.array([], pa.int64()),
+                 "dup_rate_fp": pa.array([], pa.int64())}
+            )
         nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
         nu = t["n_distinct"].to_numpy(zero_copy_only=False).astype(np.int64)
         dup = nd - nu
@@ -1071,7 +1079,16 @@ def doc_unigram_logprob(sf_dir: str, *, broadcast_max_vocab: int | None = None):
     total = float(vocab.aggregate(Sum("cnt", alias_name="t"))["t"] or 0)
     n_vocab = vocab.count()
 
+    _LP_EMPTY = pa.table(
+        {"token": pa.array([], pa.string()),
+         "cnt": pa.array([], pa.int64()),
+         "lp_fp": pa.array([], pa.int64())}
+    )
+
     def with_lp(t: pa.Table) -> pa.Table:
+        # groupby can emit schema-less zero-row blocks; normalize them
+        if t.num_rows == 0 or "cnt" not in t.column_names:
+            return _LP_EMPTY
         cnt = t["cnt"].to_numpy(zero_copy_only=False)
         lp = _fp_round(np.log(cnt / total), scale=1_000_000)
         return t.append_column("lp_fp", pa.array(lp, type=pa.int64()))
@@ -1090,7 +1107,8 @@ def doc_unigram_logprob(sf_dir: str, *, broadcast_max_vocab: int | None = None):
         )
 
     if n_vocab <= cap:
-        vt = pa.concat_tables(ray.get(lp_ds.to_arrow_refs()))
+        tabs = [t for t in ray.get(lp_ds.to_arrow_refs()) if t.num_rows]
+        vt = pa.concat_tables(tabs) if tabs else _LP_EMPTY
         ref = ray.put(
             (vt["token"].combine_chunks(),
              vt["lp_fp"].to_numpy(zero_copy_only=False))
@@ -1184,6 +1202,12 @@ def doc_unigram_logprob(sf_dir: str, *, broadcast_max_vocab: int | None = None):
     ).aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
 
     def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return finalize_arrays(
+                pa.array([], pa.int64()),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+            )
         return finalize_arrays(
             t["doc_id"],
             t["s"].to_numpy(zero_copy_only=False),
@@ -2536,6 +2560,7 @@ from camden_ray.pipelines.relational import (  # noqa: E402
     events_sessions,
     lineitem_part_revenue,
     orders_by_segment,
+    orders_top_revenue,
 )
 
 QUERIES = {
@@ -2586,6 +2611,7 @@ QUERIES = {
     "doc_quality_rep_clusters": doc_quality_rep_clusters,
     "doc_incremental_clusters": doc_incremental_clusters,
     "orders_by_segment": orders_by_segment,
+    "orders_top_revenue": orders_top_revenue,
     "customer_region_counts": customer_region_counts,
     "lineitem_part_revenue": lineitem_part_revenue,
     "events_sessions": events_sessions,

@@ -128,6 +128,76 @@ def lineitem_part_revenue(sf_dir: str):
     )
 
 
+def orders_top_revenue(sf_dir: str):
+    """TPC-H Q3-shaped three-table pipeline: top-10 unshipped-revenue orders
+    for one market segment before a date cutoff. Composes BOTH join
+    strategies where each belongs: the filtered customer key set is a
+    broadcast SEMI-join into the orders scan (dimension-sized, never
+    shuffled), then orders ⨝ lineitem runs as a native hash-shuffle join
+    with lineitem pre-reduced to (l_orderkey, rev_cents) — the shuffle
+    moves 2 columns. The final top-K is a skinny order-grain aggregate →
+    sort → limit with a deterministic (revenue DESC, orderkey ASC)
+    tie-break."""
+    import datetime
+
+    seg, cutoff = "BUILDING", datetime.datetime(1998, 1, 1)
+
+    cust = pq.read_table(
+        table_path(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = (
+        cust.filter(pc.equal(cust["c_mktsegment"], seg))["c_custkey"]
+        .combine_chunks()
+    )
+    keys_ref = ray.put(keys)
+
+    def filt_orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        m = pc.and_(
+            pc.is_in(t["o_custkey"], value_set=ks),
+            pc.less(t["o_orderdate"], pa.scalar(cutoff)),
+        )
+        return t.filter(m).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(filt_orders, batch_format="pyarrow")
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_cents": cents(rev)})
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_li, batch_format="pyarrow")
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = joined.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]
+    ).aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["o_orderkey", "o_orderdate", "o_orderpriority", "revenue_cents"]
+        )
+
+    return (
+        agg.map_batches(rename, batch_format="pyarrow")
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def events_sessions(sf_dir: str):
     """Sessionization: per-user event runs split at > 30-minute gaps.
 
@@ -324,6 +394,19 @@ ORACLE_SQL_RELATIONAL = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
+    """,
+    "orders_top_revenue": """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_cents DESC, o_orderkey
+        LIMIT 10
     """,
     "lineitem_part_revenue": """
         SELECT p_brand, count(*) AS n_items,
