@@ -398,6 +398,37 @@ def _md5_below(ids, cutoff_hex: str) -> np.ndarray:
     )
 
 
+# Deterministic corpus split fractions: 80 / 10 / 10 by md5(doc_id) hash
+# bucket — reproducible across runs, machines, and re-partitions, and
+# disjoint from the Bernoulli/decontamination cutoffs by construction.
+_SPLIT_TRAIN_HEX = format(int(0.80 * (1 << 128)), "032x")
+_SPLIT_VAL_HEX = format(int(0.90 * (1 << 128)), "032x")
+
+
+def doc_split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment — the canonical
+    corpus-prep step: membership is a pure function of md5(doc_id) so the
+    split is stable under re-runs, re-sharding and incremental appends
+    (new docs land in splits at the same fractions without touching old
+    assignments). Map-only, zero-shuffle; hash-exact DuckDB oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = [str(d) for d in t["doc_id"].to_pylist()]
+        train = _md5_below(ids, _SPLIT_TRAIN_HEX)
+        val = _md5_below(ids, _SPLIT_VAL_HEX) & ~train
+        split = np.where(train, "train", np.where(val, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "split": pa.array(split, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def doc_decontaminate(sf_dir: str):
     """Benchmark decontamination — the training-data hygiene stage that flags
     corpus documents sharing any word 4-gram with a benchmark/eval holdout
@@ -1420,6 +1451,46 @@ def events_user_cumsum(sf_dir: str):
                 "cum_value_cents": pa.array(
                     np.cumsum(cents).astype(np.int64), pa.int64()
                 ),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+
+
+_WINDOW_US = 3_600_000_000  # 1-hour RANGE frame, microseconds
+
+
+def events_user_window(sf_dir: str):
+    """Sliding RANGE-frame window — SQL's ``RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING AND CURRENT ROW`` per user: at every event, the count and
+    value sum of that user's events in the trailing hour (peers of the
+    current timestamp included, per RANGE semantics). The row-frame cousin
+    is :func:`events_user_cumsum`; this one's frame bounds are VALUES, so
+    the per-group kernel is two vectorized ``searchsorted`` probes into
+    the sorted timestamp array + prefix-sum differences — O(n log n) per
+    user, no per-row loop, co-partitioned by the window key."""
+
+    def win(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        t = t.take(order)
+        ts = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        ps = np.zeros(len(cents) + 1, dtype=np.int64)
+        np.cumsum(cents, out=ps[1:])
+        lo = np.searchsorted(ts, ts - _WINDOW_US, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "w_cnt": pa.array(hi - lo, pa.int64()),
+                "w_sum_cents": pa.array(ps[hi] - ps[lo], pa.int64()),
             }
         )
 
@@ -2571,6 +2642,7 @@ QUERIES = {
     "source_counts": source_counts,
     "source_cap_sample": source_cap_sample,
     "doc_bernoulli_sample": doc_bernoulli_sample,
+    "doc_split_assign": doc_split_assign,
     "doc_token_counts": doc_token_counts,
     "doc_top_bigrams": doc_top_bigrams,
     "doc_decontaminate": doc_decontaminate,
@@ -2591,6 +2663,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "events_hourly": events_hourly,
     "events_user_cumsum": events_user_cumsum,
+    "events_user_window": events_user_window,
     "events_type_stats": events_type_stats,
     "lineitem_pricing": lineitem_pricing,
     "knn_brute_force": knn_brute_force,
@@ -3053,6 +3126,25 @@ ORACLE_SQL = {
                count(*) AS n_events,
                CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM events GROUP BY 1, 2
+    """,
+    "doc_split_assign": f"""
+        SELECT doc_id, source,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_SPLIT_TRAIN_HEX}'
+                        THEN 'train'
+                    WHEN md5(CAST(doc_id AS VARCHAR)) < '{_SPLIT_VAL_HEX}'
+                        THEN 'val'
+                    ELSE 'test'
+               END AS split
+        FROM documents
+    """,
+    "events_user_window": """
+        SELECT event_id, user_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS w_sum_cents
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """,
     "events_user_cumsum": """
         SELECT event_id, user_id,
