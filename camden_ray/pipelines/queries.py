@@ -2389,6 +2389,64 @@ def doc_minhash_clusters(sf_dir: str):
     )
 
 
+def source_neardup_matrix(sf_dir: str):
+    """Cross-source contamination forensics: for every source pair, the
+    number of verified near-duplicate document pairs (exact 5-gram Jaccard
+    ≥ 0.5) spanning them — the matrix a corpus owner reads to find scraped
+    mirrors and shared boilerplate between feeds. Distributed shape: the
+    verified pair list (pair-sized, ≪ corpus) hash-joins against the
+    (doc_id, source) projection twice — two skinny shuffles — then one
+    source²-bounded groupby; pair order is normalized (lexicographic
+    min/max) so the matrix is upper-triangular on both sides."""
+    pairs = doc_ngram_jaccard_pairs(sf_dir).select_columns(["a", "b"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table(
+                {"ida": pa.array([], pa.int64()),
+                 "idb": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "ida": pc.cast(pc.utf8_slice_codeunits(t["a"], 6), pa.int64()),
+                "idb": pc.cast(pc.utf8_slice_codeunits(t["b"], 6), pa.int64()),
+            }
+        )
+
+    da = docs.map_batches(
+        lambda t: pa.table({"ida": t["doc_id"], "sa": t["source"]}),
+        batch_format="pyarrow",
+    )
+    db = docs.map_batches(
+        lambda t: pa.table({"idb": t["doc_id"], "sb": t["source"]}),
+        batch_format="pyarrow",
+    )
+    # repartition compacts the exchange's schema-less zero-row blocks, which
+    # Ray's hash-shuffle join cannot ingest (pair-sized data; 8 blocks match
+    # the join partitioning)
+    j = (
+        pairs.map_batches(to_ids, batch_format="pyarrow")
+        .repartition(8)
+        .join(da, join_type="inner", num_partitions=8, on=("ida",))
+        .join(db, join_type="inner", num_partitions=8, on=("idb",))
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        sa = t["sa"].to_numpy(zero_copy_only=False)
+        sb = t["sb"].to_numpy(zero_copy_only=False)
+        lo = np.where(sa <= sb, sa, sb)
+        hi = np.where(sa <= sb, sb, sa)
+        return pa.table(
+            {"source_a": pa.array(lo, pa.string()),
+             "source_b": pa.array(hi, pa.string())}
+        )
+
+    return j.map_batches(norm, batch_format="pyarrow").groupby(
+        ["source_a", "source_b"]
+    ).aggregate(Count(alias_name="n_pairs"))
+
+
 def doc_exact_ngram_clusters(sf_dir: str):
     """Connected-components clustering with min-url representatives over the
     two DETERMINISTIC edge sources: exact content duplicates (shared digest)
@@ -2678,6 +2736,7 @@ QUERIES = {
     "doc_minhash_clusters": doc_minhash_clusters,
     "doc_simhash_pairs": doc_simhash_pairs,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "source_neardup_matrix": source_neardup_matrix,
     "doc_exact_ngram_clusters": doc_exact_ngram_clusters,
     "doc_span_trim": doc_span_trim,
     "corpus_span_dup_rate": corpus_span_dup_rate,
@@ -3230,6 +3289,24 @@ ORACLE_SQL["doc_ngram_jaccard_pairs"] = """
            CAST(round(inter / greatest(uni, 1) * 100000) AS BIGINT) AS jaccard_fp
     FROM j
     WHERE inter / greatest(uni, 1) >= 0.5
+"""
+
+# Cross-source matrix over the verified pair list: the jaccard-pairs SQL is
+# embedded as a subquery so the two oracles share one edge definition.
+ORACLE_SQL["source_neardup_matrix"] = f"""
+    WITH p AS ({ORACLE_SQL["doc_ngram_jaccard_pairs"]}),
+    ids AS (
+        SELECT CAST(substr(a, 7) AS BIGINT) AS ida,
+               CAST(substr(b, 7) AS BIGINT) AS idb
+        FROM p
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           count(*) AS n_pairs
+    FROM ids
+    JOIN documents da ON da.doc_id = ids.ida
+    JOIN documents db ON db.doc_id = ids.idb
+    GROUP BY 1, 2
 """
 
 # Connected components over the two deterministic edge sources (exact

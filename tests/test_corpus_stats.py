@@ -229,6 +229,21 @@ def test_source_dup_stats_matches_duckdb(ray_session):
     assert (df["dup_count"] == df["n_docs"] - df["n_distinct"]).all()
 
 
+def test_source_neardup_matrix_matches_duckdb(ray_session):
+    """Cross-source near-dup matrix equals the subquery-composed oracle and
+    is upper-triangular (source_a <= source_b) with positive counts."""
+    from camden_ray.pipelines.queries import ORACLE_SQL, source_neardup_matrix
+
+    df = _compare(
+        source_neardup_matrix,
+        ORACLE_SQL["source_neardup_matrix"],
+        ["source_a", "source_b"],
+    )
+    assert len(df) >= 1
+    assert (df["source_a"] <= df["source_b"]).all()
+    assert (df["n_pairs"] >= 1).all()
+
+
 def test_batch_text_kernels_match_reference():
     """Differential fuzz: the vectorized batch_quality_features /
     batch_detect_lang kernels are bit-identical to the per-row reference
