@@ -310,6 +310,30 @@ def _pack_tokens(
     return lo, hi
 
 
+def _lb_token_view(data: np.ndarray, offsets: np.ndarray):
+    """Shared first stage of the batch text kernels: lowercased byte copy,
+    token (``\\w+``) runs, and the per-row token-offset array. One
+    definition so the packing/stopword kernels cannot drift apart."""
+    lb = data.copy()
+    up = (lb >= 65) & (lb <= 90)
+    lb[up] += 32
+    starts_idx, lens, ntok = _token_runs(lb, offsets)
+    tok_row_off = np.zeros(len(offsets), dtype=np.int64)
+    np.cumsum(ntok, out=tok_row_off[1:])
+    return lb, starts_idx, lens, ntok, tok_row_off
+
+
+def _stop_counts(
+    lo: np.ndarray, hi: np.ndarray, tok_row_off: np.ndarray
+) -> np.ndarray:
+    """Per-row English-stopword hits from packed token identities (exact:
+    stopwords are ≤ 8 bytes, so ``hi != 0`` can never match)."""
+    stop_mask = np.isin(lo, _STOP_EN_PACKED) & (hi == 0)
+    scs = np.zeros(len(stop_mask) + 1, dtype=np.int64)
+    np.cumsum(stop_mask, out=scs[1:])
+    return scs[tok_row_off[1:]] - scs[tok_row_off[:-1]]
+
+
 def batch_quality_features(col) -> dict[str, np.ndarray]:
     """Vectorized :func:`quality_features` over a text column: one byte-level
     pass per batch instead of one Python call + dict per row. Returns the
@@ -321,15 +345,10 @@ def batch_quality_features(col) -> dict[str, np.ndarray]:
     punct = _row_counts(~_T_ALNUM[data] & ~_T_SPACE[data], offsets)
     digits = _row_counts(_T_DIGIT[data], offsets)
 
-    lb = data.copy()
-    up = (lb >= 65) & (lb <= 90)
-    lb[up] += 32
-    starts_idx, lens, ntok = _token_runs(lb, offsets)
+    lb, starts_idx, lens, ntok, tok_row_off = _lb_token_view(data, offsets)
     wc = _row_counts(_T_WORD[lb], offsets)  # Σ len(tok) per row
 
     lo, hi = _pack_tokens(lb, starts_idx, lens)
-    tok_row_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(ntok, out=tok_row_off[1:])
     # rows needing the reference fallback: non-ASCII bytes, or a token the
     # 16-byte packing can't identify exactly
     fallback = ~ascii_rows
@@ -338,10 +357,7 @@ def batch_quality_features(col) -> dict[str, np.ndarray]:
             np.searchsorted(tok_row_off[1:], np.flatnonzero(lens > 16), side="right")
         )
         fallback[long_rows] = True
-    stop_mask = np.isin(lo, _STOP_EN_PACKED) & (hi == 0)
-    scs = np.zeros(len(stop_mask) + 1, dtype=np.int64)
-    np.cumsum(stop_mask, out=scs[1:])
-    stop = scs[tok_row_off[1:]] - scs[tok_row_off[:-1]]
+    stop = _stop_counts(lo, hi, tok_row_off)
 
     # per-row distinct tokens: sort (row, lo, hi) and count group changes
     if len(lo):
@@ -406,14 +422,9 @@ def batch_detect_lang(col) -> list[str]:
         sample = data[src]
     else:
         sample = np.empty(0, dtype=np.uint8)
-    lb = sample.copy()
-    up = (lb >= 65) & (lb <= 90)
-    lb[up] += 32
-    starts_idx, tlens, ntok = _token_runs(lb, new_off)
+    lb, starts_idx, tlens, ntok, tok_row_off = _lb_token_view(sample, new_off)
     lo, hi = _pack_tokens(lb, starts_idx, tlens)
     valid16 = hi == 0  # stopwords are ≤ 8 bytes; longer tokens never match
-    tok_row_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(ntok, out=tok_row_off[1:])
 
     best_hits = np.zeros(n, dtype=np.int64)
     best_lang = np.full(n, "unknown", dtype=object)
@@ -443,20 +454,11 @@ def batch_gopher_features(col) -> dict[str, np.ndarray]:
     data, offsets, ascii_rows, col = _flat_ascii_view(col)
     n = len(ascii_rows)
 
-    lb = data.copy()
-    up = (lb >= 65) & (lb <= 90)
-    lb[up] += 32
-    starts_idx, lens, ntok = _token_runs(lb, offsets)
+    lb, starts_idx, lens, ntok, tok_row_off = _lb_token_view(data, offsets)
     swl = _row_counts(_T_WORD[lb], offsets)  # Σ len(tok) per row
 
-    # stopword hits (exact ≤8-byte packed identity, as batch_quality_features)
     lo, hi = _pack_tokens(lb, starts_idx, lens)
-    stop_mask = np.isin(lo, _STOP_EN_PACKED) & (hi == 0)
-    tok_row_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(ntok, out=tok_row_off[1:])
-    scs = np.zeros(len(stop_mask) + 1, dtype=np.int64)
-    np.cumsum(stop_mask, out=scs[1:])
-    stop = scs[tok_row_off[1:]] - scs[tok_row_off[:-1]]
+    stop = _stop_counts(lo, hi, tok_row_off)
 
     # tokens containing ≥1 alphabetic char: cumsum gather per token span
     acs = np.zeros(len(lb) + 1, dtype=np.int64)

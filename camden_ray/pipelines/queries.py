@@ -578,6 +578,9 @@ def doc_phrase_search(sf_dir: str, phrase: str | None = None):
     oracle (string-gram position twin, the doc_decontaminate_spans CTE with
     a constant gram)."""
     phrase = _PHRASE_QUERY if phrase is None else phrase
+    # n-grams are single-space joined; normalize the query's whitespace so
+    # a tab/multi-space phrase still matches its token sequence
+    phrase = " ".join(phrase.split())
     n = len(phrase.split())
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1331,8 +1334,15 @@ def doc_gopher_filter(sf_dir: str):
     conjunctive ``keep`` verdict. One vectorized byte-level pass per batch
     (functions.text.batch_gopher_features); ratios are emitted as ×1e6
     fixed point, rule verdicts as 0/1 BIGINT. Rule comparisons happen on
-    the raw IEEE doubles (identical numerator/denominator as the SQL), so
-    boundary decisions agree bit-for-bit."""
+    the raw IEEE doubles with SQL-identical numerator/denominator, so the
+    threshold boundaries cannot flip between the two sides. Tokenization
+    parity with the oracle follows the driver-table convention shared by
+    every text oracle here (doc_quality, the n-gram family): the oracle's
+    ``string_split(text, ' ')`` equals the engine's ``\\w+`` runs on these
+    tables' lowercase single-space text; the engine's semantic truth on
+    ARBITRARY text is the per-row :func:`camden_ray.functions.text.
+    gopher_features` reference, which the batch kernel matches exactly
+    (hypothesis-fuzzed)."""
 
     def f(t: pa.Table) -> pa.Table:
         from camden_ray.functions.text import batch_gopher_features

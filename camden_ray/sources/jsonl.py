@@ -28,6 +28,7 @@ import ray.data
 # which strptime would not).
 _TS_FMT = "%Y-%m-%dT%H:%M:%S"
 _B64_SUFFIX = "_b64"
+_ISO_SUFFIX = "_iso"
 
 
 def _encode_batch(t: pa.Table) -> pa.Table:
@@ -36,7 +37,9 @@ def _encode_batch(t: pa.Table) -> pa.Table:
         col = t[name]
         typ = col.type
         if pa.types.is_timestamp(typ):
-            cols[name] = pc.strftime(col.cast(pa.timestamp("us")), format=_TS_FMT)
+            cols[name + _ISO_SUFFIX] = pc.strftime(
+                col.cast(pa.timestamp("us")), format=_TS_FMT
+            )
         elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
             vals = col.to_pylist()
             cols[name + _B64_SUFFIX] = pa.array(
@@ -59,7 +62,11 @@ def _decode_batch(t: pa.Table) -> pa.Table:
                 [None if v is None else base64.b64decode(v) for v in vals],
                 type=pa.binary(),
             )
+        elif name.endswith(_ISO_SUFFIX):
+            cols[name[: -len(_ISO_SUFFIX)]] = col.cast(pa.timestamp("us"))
         elif name == "warc_ts" and pa.types.is_string(col.type):
+            # externally-produced webtext JSONL carries warc_ts as a plain
+            # ISO string without the round-trip tag
             cols[name] = col.cast(pa.timestamp("us"))
         else:
             cols[name] = col
@@ -86,13 +93,14 @@ def read_webtext_jsonl(
     ds = ray.data.read_json(path).map_batches(
         _decode_batch, batch_format="pyarrow"
     )
-    if columns is not None:
-        ds = ds.select_columns(columns)
 
     def flt(t: pa.Table) -> pa.Table:
-        if langs and "lang" in t.column_names:
+        # predicates run BEFORE column pruning (matching read_webtext, whose
+        # filters push into the scan): a pruned `lang` column must not
+        # silently drop the allow-list
+        if langs:
             t = t.filter(pc.is_in(t["lang"], value_set=pa.array(list(langs))))
-        if min_text_chars > 0 and "text" in t.column_names:
+        if min_text_chars > 0:
             t = t.filter(
                 pc.greater_equal(
                     pc.utf8_length(pc.coalesce(t["text"], "")), min_text_chars
@@ -102,4 +110,6 @@ def read_webtext_jsonl(
 
     if langs or min_text_chars > 0:
         ds = ds.map_batches(flt, batch_format="pyarrow")
+    if columns is not None:
+        ds = ds.select_columns(columns)
     return ds

@@ -51,6 +51,23 @@ def test_jsonl_reader_predicates(ray_session, webtext_path, tmp_path):
     assert ga.equals(wa)
 
 
+def test_jsonl_lang_filter_survives_column_pruning(ray_session, webtext_path, tmp_path):
+    """Regression: the lang allow-list must apply even when `lang` is not in
+    the requested columns (predicates run before pruning, like the parquet
+    twin's pushed-down filter)."""
+    from camden_ray.sources.jsonl import read_webtext_jsonl, write_jsonl
+    from camden_ray.sources.webtext import read_webtext
+
+    out = str(tmp_path / "jsonl")
+    write_jsonl(read_webtext(webtext_path), out)
+
+    got = read_webtext_jsonl(out, columns=["url", "text"], langs=("en",))
+    want = read_webtext(webtext_path, columns=["url", "text"], langs=("en",))
+    assert got.count() == want.count()
+    assert got.count() < read_webtext(webtext_path).count()
+    assert set(got.schema().names) == {"url", "text"}
+
+
 def test_jsonl_null_html_and_text(ray_session, tmp_path):
     """Null binary / null text rows survive the codec."""
     import ray
