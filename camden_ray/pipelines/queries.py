@@ -1917,6 +1917,71 @@ def media_byte_features(sf_dir: str):
     return feats.map_batches(scalarize, batch_format="pyarrow")
 
 
+def media_knn(sf_dir: str):
+    """Multimodal retrieval over DECODED features — the composition the
+    media plumbing exists for: payloads → decoder actor pool → top-10
+    cosine neighbors of media 0's feature vector. Runs on the decoder's
+    RAW integer accumulator (``feature_hist``; cosine is invariant to the
+    L1 normalize), so dot products and squared norms are exact int64 on
+    both sides and the DuckDB oracle — which re-derives the byte-bucket
+    histogram with 16 regexp counts — matches hash-exactly. Query hist is
+    built by the same actor kernel from a row-group-pruned point read and
+    broadcast once; per-batch local top-k, then a global top-k."""
+    import pyarrow.parquet as pq
+
+    from camden_ray.stages.multimodal import MediaDecoderActor, media_features
+
+    qrow = pq.read_table(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"],
+        filters=[("doc_id", "=", 0)],
+    )
+    qtext = (qrow["text"][0].as_py() or "").encode()
+    q = MediaDecoderActor(decoder="fake")._hist_fake(qtext)
+    nq = float((q * q).sum())
+    q_ref = ray.put(q)
+
+    def to_media(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": txt.cast(pa.binary()),
+                "media_type": pa.array(["image"] * len(t), type=pa.string()),
+            }
+        )
+
+    payloads = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+    feats = media_features(payloads, decoder="fake", batch_size=128,
+                           concurrency=(1, 4))
+
+    def score(t: pa.Table) -> pa.Table:
+        qh = ray.get(q_ref)
+        H = _emb_matrix(t["feature_hist"], dtype=np.int64)
+        dot = (H * qh).sum(axis=1)
+        na = (H * H).sum(axis=1)
+        denom = np.sqrt(na.astype(np.float64)) * np.sqrt(nq)
+        cos = np.where(
+            (na > 0) & (nq > 0),
+            dot / np.where(denom > 0, denom, 1.0),
+            0.0,
+        )
+        cos_fp = _fp_round(cos, scale=100_000)
+        ids = t["media_id"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((ids, -cos_fp))[:10]
+        return pa.table(
+            {"media_id": pa.array(ids[idx], type=pa.int64()),
+             "cos_fp": pa.array(cos_fp[idx], type=pa.int64())}
+        )
+
+    ds = feats.map_batches(score, batch_format="pyarrow")
+    return ds.sort(["cos_fp", "media_id"], descending=[True, False]).limit(10)
+
+
 # above this many rows the "exact" query stops broadcasting the full matrix
 # (an O(n·d) driver materialization + O(n²) compare) and delegates to the
 # LSH-bucketed scale path, which holds the exact query's own oracle at every
@@ -2741,6 +2806,7 @@ QUERIES = {
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "embedding_kmeans": embedding_kmeans,
     "media_byte_features": media_byte_features,
+    "media_knn": media_knn,
     "doc_dedup_clusters": doc_dedup_clusters,
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_minhash_clusters": doc_minhash_clusters,
@@ -3651,6 +3717,50 @@ def _minhash_twin_sql() -> str:
 
 
 ORACLE_SQL["doc_minhash_pairs"] = _minhash_twin_sql()
+
+
+# Byte-bucket histogram twin of the fake decoder: bucket k counts the chars
+# with codepoint in [16k, 16k+15] (== bytes on the all-ASCII driver text;
+# chars outside \x00-\xff would simply fall in no bucket on the SQL side,
+# and the engine's non-ASCII docs would diverge — the driver tables are
+# ASCII, and the engine's semantic truth for arbitrary bytes stays the
+# actor kernel, pytest-pinned in tests/test_multimodal.py).
+def _media_knn_sql() -> str:
+    buckets = ",\n               ".join(
+        "length(t) - length(regexp_replace(t, "
+        f"'[\\x{16 * k:02x}-\\x{16 * k + 15:02x}]', '', 'g'))"
+        for k in range(16)
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id AS media_id, COALESCE(text, '') AS t FROM documents
+    ), h AS (
+        SELECT media_id,
+               [{buckets}] AS hist
+        FROM d
+    ), q AS (SELECT hist AS qh FROM h WHERE media_id = 0),
+    s AS (
+        SELECT h.media_id,
+               list_sum(list_transform(range(1, 17),
+                                       i -> h.hist[i] * q.qh[i])) AS dot,
+               list_sum(list_transform(range(1, 17),
+                                       i -> h.hist[i] * h.hist[i])) AS na,
+               list_sum(list_transform(range(1, 17),
+                                       i -> q.qh[i] * q.qh[i])) AS nq
+        FROM h, q
+    )
+    SELECT media_id,
+           CASE WHEN na = 0 OR nq = 0 THEN 0
+                ELSE CAST(round(dot / (sqrt(na) * sqrt(nq)) * 100000)
+                          AS BIGINT)
+           END AS cos_fp
+    FROM s
+    ORDER BY cos_fp DESC, media_id
+    LIMIT 10
+    """
+
+
+ORACLE_SQL["media_knn"] = _media_knn_sql()
 
 
 # The twin recipe extended from pairs to clusters: identical sig/band CTEs,

@@ -15,7 +15,9 @@ Schema contract::
     input : media_id: int64|string, payload: binary,
             media_type: string ("image"|"audio"|"video")
     output: media_id, media_type, n_bytes: int64, digest: int64,
-            feature: fixed-width list<float> (FEATURE_DIM)
+            feature: fixed-width list<float> (FEATURE_DIM),
+            feature_hist: fixed-width list<int32> (the raw integer
+            accumulator when the decoder provides one; zeros otherwise)
 """
 
 from __future__ import annotations
@@ -62,12 +64,19 @@ class MediaDecoderActor:
             "Ray-side plumbing (schema, batching, actor pool) is complete"
         )
 
-    def _decode_fake(self, payload: bytes) -> np.ndarray:
+    def _hist_fake(self, payload: bytes) -> np.ndarray:
+        """Raw integer feature accumulator (16 byte-value buckets) — the
+        pre-normalization counts, kept exact so downstream retrieval can
+        run integer arithmetic (cosine is invariant to the L1 normalize)."""
         buf = np.frombuffer(payload, dtype=np.uint8)
         if len(buf) == 0:
-            return np.zeros(FEATURE_DIM, dtype=np.float32)
-        hist = np.bincount(buf >> 4, minlength=FEATURE_DIM).astype(np.float32)
-        return hist / hist.sum()
+            return np.zeros(FEATURE_DIM, dtype=np.int64)
+        return np.bincount(buf >> 4, minlength=FEATURE_DIM).astype(np.int64)
+
+    def _decode_fake(self, payload: bytes) -> np.ndarray:
+        hist = self._hist_fake(payload).astype(np.float32)
+        s = hist.sum()
+        return hist / s if s else hist
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
@@ -77,11 +86,14 @@ class MediaDecoderActor:
             else ["image"] * len(payloads)
         )
         feats = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
+        hists = np.zeros((len(payloads), FEATURE_DIM), dtype=np.int32)
         for i, (p, mt) in enumerate(zip(payloads, mtypes)):
             p = p or b""
             if self.decoder == "fake":
+                hists[i] = self._hist_fake(p)
                 feats[i] = self._decode_fake(p)
             else:
+                # real decoders have no integer accumulator; hist stays 0
                 feats[i] = self._decode_real(p, mt)
         digests = digest_column_u64(payloads)
         # pass through every non-payload input column (metadata sidecars
@@ -96,8 +108,12 @@ class MediaDecoderActor:
         out = out.append_column(
             "digest", pa.array(digests.view(np.int64), type=pa.int64())
         )
-        return out.append_column(
+        out = out.append_column(
             "feature", pa.array(list(feats), type=pa.list_(pa.float32(), FEATURE_DIM))
+        )
+        return out.append_column(
+            "feature_hist",
+            pa.array(list(hists), type=pa.list_(pa.int32(), FEATURE_DIM)),
         )
 
 

@@ -22,7 +22,10 @@ def test_fake_decoder_schema_and_determinism(ray_session):
     ds = ray.data.from_arrow(_media_table())
     out1 = media_features(ds, concurrency=(1, 2)).to_pandas().sort_values("media_id")
     out2 = media_features(ds, concurrency=(1, 2)).to_pandas().sort_values("media_id")
-    assert list(out1.columns) == ["media_id", "media_type", "n_bytes", "digest", "feature"]
+    assert list(out1.columns) == [
+        "media_id", "media_type", "n_bytes", "digest", "feature",
+        "feature_hist",
+    ]
     assert out1["n_bytes"].tolist() == [100, 11, 0]
     # deterministic across runs (and across actor processes)
     for c in ["digest", "n_bytes"]:
