@@ -99,6 +99,15 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="L",
         help="minimum duplicated span length in tokens for --span-trim",
     )
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "jsonl"],
+        default="parquet",
+        help="input encoding: webtext parquet (default) or JSONL "
+        "(sources/jsonl.py; binary html as <name>_b64, timestamps as "
+        "ISO strings). With jsonl, checkpoint resume keys on 'adhoc' "
+        "rather than file stats",
+    )
     return p
 
 
@@ -139,21 +148,34 @@ def parse_args(argv: list[str]) -> tuple[str, str | None, DedupConfig, argparse.
     return inp, out, cfg, args
 
 
+def _read_input(inp, input_format, columns, cfg, extract):
+    if input_format == "jsonl":
+        from camden_ray.sources.jsonl import read_webtext_jsonl
+
+        return read_webtext_jsonl(
+            inp, columns=columns, langs=cfg.langs,
+            min_text_chars=0 if extract else cfg.min_text_chars,
+        )
+    from camden_ray.sources.webtext import read_webtext
+
+    return read_webtext(
+        inp, columns=columns, langs=cfg.langs,
+        min_text_chars=0 if extract else cfg.min_text_chars,
+    )
+
+
 def run_span_trim(
-    inp: str, out_dir: str, cfg: DedupConfig, L: int, extract: bool
+    inp: str, out_dir: str, cfg: DedupConfig, L: int, extract: bool,
+    input_format: str = "parquet",
 ) -> dict:
     """--span-trim: emit the span-deduplicated corpus (url, text_clean,
     n_tokens, n_removed) as partitioned Parquet; winner order =
     lexicographic url. Returns summary stats."""
-    from camden_ray.sources.webtext import read_webtext
     from camden_ray.stages.candidates import partitions_for
     from camden_ray.stages.spantrim import span_trim
 
     columns = ["url", "html"] if extract else ["url", "text"]
-    ds = read_webtext(
-        inp, columns=columns, langs=cfg.langs,
-        min_text_chars=0 if extract else cfg.min_text_chars,
-    )
+    ds = _read_input(inp, input_format, columns, cfg, extract)
     if extract:
         from camden_ray.stages.extract import HtmlExtractorActor
 
@@ -218,7 +240,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from camden_ray.pipelines.dedup import run_dedup
 
-    res = run_dedup(inp, cfg, out_dir=out, extract=not args.no_extract)
+    if args.input_format == "jsonl":
+        columns = ["url", "html"] if not args.no_extract else ["url", "text"]
+        ds = _read_input(inp, "jsonl", columns, cfg, not args.no_extract)
+        res = run_dedup(
+            None, cfg, out_dir=out, extract=not args.no_extract, input_ds=ds
+        )
+    else:
+        res = run_dedup(inp, cfg, out_dir=out, extract=not args.no_extract)
     stats = dict(res["stats"])
     if args.json_report:
         from camden_ray.pipelines.reporting import write_json_report
@@ -230,6 +259,7 @@ def main(argv: list[str] | None = None) -> int:
         stats["span_trim"] = run_span_trim(
             inp, args.span_trim, cfg,
             L=args.span_trim_l, extract=not args.no_extract,
+            input_format=args.input_format,
         )
     print(json.dumps({"stats": stats, "config": dataclasses.asdict(cfg)}))
     ray.shutdown()

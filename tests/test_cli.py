@@ -129,3 +129,35 @@ def test_cli_representative_flag_parses():
 
     _, _, cfg, _ = parse_args(["in", "--representative", "quality"])
     assert cfg.representative == "quality"
+
+
+def test_cli_jsonl_input_matches_parquet(ray_session, webtext_path, tmp_path):
+    """--input-format jsonl runs the identical pipeline: same cluster count,
+    dup count, and representative set as the parquet run on the same data."""
+    import contextlib
+    import io
+    import json
+
+    import ray.data
+
+    from camden_ray.cli import main
+    from camden_ray.sources.jsonl import write_jsonl
+    from camden_ray.sources.webtext import read_webtext
+
+    jdir = tmp_path / "jsonl_in"
+    write_jsonl(read_webtext(webtext_path), str(jdir))
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(argv)
+        assert rc == 0
+        return json.loads(buf.getvalue())["stats"]
+
+    a = run([webtext_path, "--methods", "exact,minhash"])
+    b = run([str(jdir), "--methods", "exact,minhash",
+             "--input-format", "jsonl"])
+    for k in ("rows", "edges", "clustered_urls", "clusters_nontrivial",
+              "duplicates_removed"):
+        assert a[k] == b[k], (k, a[k], b[k])
+    assert a["rows"] > 0 and a["clusters_nontrivial"] > 0
