@@ -105,8 +105,8 @@ def build_parser() -> argparse.ArgumentParser:
         default="parquet",
         help="input encoding: webtext parquet (default) or JSONL "
         "(sources/jsonl.py; binary html as <name>_b64, timestamps as "
-        "ISO strings). With jsonl, checkpoint resume keys on 'adhoc' "
-        "rather than file stats",
+        "ISO strings). Checkpoint resume fingerprints the shard files "
+        "in either format",
     )
     return p
 
@@ -240,14 +240,10 @@ def main(argv: list[str] | None = None) -> int:
 
     from camden_ray.pipelines.dedup import run_dedup
 
-    if args.input_format == "jsonl":
-        columns = ["url", "html"] if not args.no_extract else ["url", "text"]
-        ds = _read_input(inp, "jsonl", columns, cfg, not args.no_extract)
-        res = run_dedup(
-            None, cfg, out_dir=out, extract=not args.no_extract, input_ds=ds
-        )
-    else:
-        res = run_dedup(inp, cfg, out_dir=out, extract=not args.no_extract)
+    res = run_dedup(
+        inp, cfg, out_dir=out, extract=not args.no_extract,
+        input_format=args.input_format,
+    )
     stats = dict(res["stats"])
     if args.json_report:
         from camden_ray.pipelines.reporting import write_json_report

@@ -273,6 +273,7 @@ def run_dedup(
     extract: bool = True,
     input_ds: "ray.data.Dataset | None" = None,
     sig_ds: "ray.data.Dataset | None" = None,
+    input_format: str = "parquet",
 ) -> dict[str, Any]:
     """Run the full dedup pipeline.
 
@@ -297,6 +298,17 @@ def run_dedup(
         pass
     elif input_ds is not None:
         ds = input_ds
+    elif input_format == "jsonl":
+        from camden_ray.sources.jsonl import read_webtext_jsonl
+
+        # JSON has no metadata row-count fast path, so the partition-sizing
+        # count() below would execute the whole decode and the signature
+        # stage would re-execute it; materialize ONCE instead (spillable,
+        # and the count then reads block metadata)
+        ds = read_webtext_jsonl(
+            input_path, columns=columns, langs=cfg.langs,
+            min_text_chars=0 if extract else cfg.min_text_chars,
+        ).materialize()
     else:
         ds = read_webtext(
             input_path, columns=columns, langs=cfg.langs,
@@ -323,7 +335,7 @@ def run_dedup(
         except Exception:
             n_in = 0
         cfg = replace(cfg, shuffle_partitions=partitions_for(cfg, n_in))
-        if input_ds is None and sig_ds is None:
+        if input_ds is None and sig_ds is None and input_format != "jsonl":
             # re-shape the read to >= P blocks up front: the signature table
             # then needs no coalescing repartition (one barrier + full copy
             # saved). Block count also bounds signature TASK granularity: with

@@ -3720,11 +3720,13 @@ ORACLE_SQL["doc_minhash_pairs"] = _minhash_twin_sql()
 
 
 # Byte-bucket histogram twin of the fake decoder: bucket k counts the chars
-# with codepoint in [16k, 16k+15] (== bytes on the all-ASCII driver text;
-# chars outside \x00-\xff would simply fall in no bucket on the SQL side,
-# and the engine's non-ASCII docs would diverge — the driver tables are
-# ASCII, and the engine's semantic truth for arbitrary bytes stays the
-# actor kernel, pytest-pinned in tests/test_multimodal.py).
+# with CODEPOINT in [16k, 16k+15] — equal to the engine's UTF-8 BYTE buckets
+# only on ASCII text. Any non-ASCII char diverges (e.g. 'é' U+00E9 lands in
+# SQL bucket 14 via [\xe0-\xef], while its UTF-8 bytes 0xC3,0xA9 land in
+# engine buckets 12 and 10; codepoints > \xff fall in no SQL bucket at
+# all). The driver tables are all-ASCII, where the two definitions
+# coincide; the engine's semantic truth for arbitrary bytes stays the
+# actor kernel, pytest-pinned in tests/test_multimodal.py.
 def _media_knn_sql() -> str:
     buckets = ",\n               ".join(
         "length(t) - length(regexp_replace(t, "

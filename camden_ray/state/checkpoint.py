@@ -145,14 +145,19 @@ class Checkpointer:
 
 
 def input_fingerprint(paths: str | list[str]) -> str:
-    """Fingerprint of an input parquet dir/file: names + sizes + mtimes
-    (content-digest-free so 100 TB inputs aren't re-read to fingerprint)."""
+    """Fingerprint of an input data dir/file (parquet or JSONL shards):
+    names + sizes + mtimes (content-digest-free so 100 TB inputs aren't
+    re-read to fingerprint)."""
     if isinstance(paths, str):
         paths = [paths]
     entries = []
     for p in paths:
         if os.path.isdir(p):
-            files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+            files = sorted(
+                f
+                for pat in ("*.parquet", "*.json", "*.jsonl")
+                for f in glob.glob(os.path.join(p, "**", pat), recursive=True)
+            )
         else:
             files = [p]
         for f in files:

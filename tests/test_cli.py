@@ -161,3 +161,53 @@ def test_cli_jsonl_input_matches_parquet(ray_session, webtext_path, tmp_path):
               "duplicates_removed"):
         assert a[k] == b[k], (k, a[k], b[k])
     assert a["rows"] > 0 and a["clusters_nontrivial"] > 0
+
+
+def test_cli_jsonl_checkpoint_invalidates_on_corpus_change(
+    ray_session, webtext_path, tmp_path
+):
+    """Regression: a JSONL run with an out_dir must fingerprint the shard
+    files — growing the corpus and re-running the same out_dir must NOT
+    resume the old run's stages."""
+    import contextlib
+    import io
+    import json
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from camden_ray.cli import main
+    from camden_ray.sources.jsonl import write_jsonl
+    from camden_ray.sources.webtext import read_webtext
+
+    jdir = tmp_path / "jsonl_in"
+    write_jsonl(read_webtext(webtext_path), str(jdir))
+    out_dir = str(tmp_path / "ckpt")
+
+    def run():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(
+                [str(jdir), out_dir, "--methods", "exact",
+                 "--input-format", "jsonl"]
+            )
+        assert rc == 0
+        return json.loads(buf.getvalue())["stats"]
+
+    a = run()
+    # append one shard with two exact-dup docs (plain text, no html)
+    extra = pa.table(
+        {"url": pa.array(["http://zzz/1", "http://zzz/2"]),
+         "html": pa.array(
+             [b"<html><body>zz dup zz</body></html>"] * 2, type=pa.binary()
+         )}
+    )
+    write_jsonl(ray.data.from_arrow(extra), str(tmp_path / "extra"))
+    import shutil
+
+    for f in (tmp_path / "extra").iterdir():
+        shutil.copy(f, jdir / f"extra-{f.name}")
+    b = run()
+    assert b["rows"] == a["rows"] + 2
+    assert b["clustered_urls"] >= a["clustered_urls"] + 2

@@ -28,8 +28,8 @@ DEFAULT_TILES = 200  # sf0.1 documents is 5k rows → 1M docs
 
 
 def ensure_tiled(tiles: int) -> str:
-    """Tile sf0.1 documents 10× with offset doc_ids → 1M rows, one shard per
-    tile (deterministic; cached)."""
+    """Tile sf0.1 documents ``tiles``× with offset doc_ids (5k rows per
+    tile), one shard per tile (deterministic; cached per size)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -85,13 +85,14 @@ def main() -> None:
 
     with open(os.path.join(tiled_dir, "_done")) as f:
         n_docs = int(f.read())
+    import ray.data
+
     fn = QUERIES[args.op]
     t0 = time.monotonic()
     res = fn(sf_dir)
-    if hasattr(res, "count"):
-        rows = res.count()
-    else:
-        rows = len(res)
+    # pandas DataFrames also have .count (a per-column Series) — dispatch
+    # on type, not attribute presence
+    rows = res.count() if isinstance(res, ray.data.Dataset) else len(res)
     wall = time.monotonic() - t0
     print(json.dumps({
         "op": args.op, "num_cpus": args.cpus, "docs": n_docs, "rows": rows,
