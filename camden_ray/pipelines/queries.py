@@ -1392,6 +1392,76 @@ def doc_gopher_filter(sf_dir: str):
     )
 
 
+def corpus_gopher_summary(sf_dir: str):
+    """The filter report a corpus owner reads after a Gopher pass: one row
+    of per-rule failure counts plus the overall keep count/rate —
+    per-block partial sums over :func:`doc_gopher_filter`'s verdict
+    columns, driver-summed (rule-cardinality-bounded, never doc-sized)."""
+    out = doc_gopher_filter(sf_dir)
+    cols = ["ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+            "ok_alpha_words", "ok_stopwords", "keep"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        row = {"n_docs": pa.array([t.num_rows], pa.int64())}
+        for c in cols:
+            row["n_" + c] = pa.array(
+                [int(pc.sum(t[c]).as_py() or 0)], pa.int64()
+            )
+        return pa.table(row)
+
+    df = out.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = int(df["n_docs"])
+    row = {"n_docs": n}
+    for c in cols:
+        row["n_" + c] = int(df["n_" + c])
+    row["keep_rate_fp"] = int(
+        _fp_round(np.array([row["n_keep"] / n if n else 0.0]), 1_000_000)[0]
+    )
+    return pd.DataFrame([row]).astype("int64")
+
+
+def doc_length_zscore(sf_dir: str):
+    """Per-document length standardization with EXACT two-phase moments:
+    phase 1 reduces (n, Σx, Σx²) as integers per block (three scalars to
+    the driver — never a quantile sort, never float accumulation order),
+    phase 2 is a map-only scoring pass. Mean/variance derive from the
+    integer sums through one fixed expression tree, so the doubles — and
+    the ±1e6 fixed-point z-scores and |z| > 3 outlier flags — are
+    bit-identical to the SQL oracle computing the same rational forms."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"n": pa.array([len(x)], pa.int64()),
+             "s1": pa.array([int(x.sum())], pa.int64()),
+             "s2": pa.array([int((x * x).sum())], pa.int64())}
+        )
+
+    m = ds.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n, s1, s2 = int(m["n"]), int(m["s1"]), int(m["s2"])
+    mean = s1 / float(n) if n else 0.0
+    var = (n * s2 - s1 * s1) / (float(n) * (n - 1)) if n > 1 else 0.0
+    sd = float(np.sqrt(var))
+
+    def score(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        z = (x - mean) / sd if sd > 0 else np.zeros(len(x))
+        z_fp = _fp_round(z, scale=1_000_000)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": t["n_chars"],
+                "z_fp": pa.array(z_fp, pa.int64()),
+                "is_outlier": pa.array(
+                    (np.abs(z) > 3.0).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def doc_fingerprints(sf_dir: str):
     """Order-sensitive polynomial rolling-hash fingerprints, hash-exact vs
     the DuckDB oracle: token hash = ``md5_number_lower`` (the engine's
@@ -2790,6 +2860,8 @@ QUERIES = {
     "top_docs_by_chars": top_docs_by_chars,
     "doc_quality": doc_quality,
     "doc_gopher_filter": doc_gopher_filter,
+    "corpus_gopher_summary": corpus_gopher_summary,
+    "doc_length_zscore": doc_length_zscore,
     "doc_unigram_logprob": doc_unigram_logprob,
     "doc_ccnet_bucket": doc_ccnet_bucket,
     "doc_lang_id": doc_lang_id,
@@ -3209,6 +3281,30 @@ ORACLE_SQL = {
                CAST(ok_wc AND ok_mwl AND ok_sym AND ok_alpha AND ok_stop
                     AS BIGINT) AS keep
         FROM r
+    """,
+    "doc_length_zscore": """
+        WITH stats AS (
+            SELECT count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS s1,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+            FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CASE WHEN n <= 1 OR n * s2 - s1 * s1 <= 0 THEN 0
+                    ELSE CAST(round(
+                        (n_chars - s1 / CAST(n AS DOUBLE))
+                        / sqrt((n * s2 - s1 * s1)
+                               / (CAST(n AS DOUBLE) * (n - 1)))
+                        * 1000000) AS BIGINT)
+               END AS z_fp,
+               CASE WHEN n <= 1 OR n * s2 - s1 * s1 <= 0 THEN 0
+                    ELSE CAST(abs(
+                        (n_chars - s1 / CAST(n AS DOUBLE))
+                        / sqrt((n * s2 - s1 * s1)
+                               / (CAST(n AS DOUBLE) * (n - 1)))
+                    ) > 3.0 AS BIGINT)
+               END AS is_outlier
+        FROM documents, stats
     """,
     "doc_lang_id": """
         WITH c AS (
@@ -3763,6 +3859,22 @@ def _media_knn_sql() -> str:
 
 
 ORACLE_SQL["media_knn"] = _media_knn_sql()
+
+# One-row filter report over the gopher verdicts; wraps the per-doc SQL as
+# a subquery so the rule definitions live in exactly one place.
+ORACLE_SQL["corpus_gopher_summary"] = f"""
+    WITH g AS ({ORACLE_SQL["doc_gopher_filter"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ok_word_count) AS BIGINT) AS n_ok_word_count,
+           CAST(sum(ok_mean_word_len) AS BIGINT) AS n_ok_mean_word_len,
+           CAST(sum(ok_symbol_ratio) AS BIGINT) AS n_ok_symbol_ratio,
+           CAST(sum(ok_alpha_words) AS BIGINT) AS n_ok_alpha_words,
+           CAST(sum(ok_stopwords) AS BIGINT) AS n_ok_stopwords,
+           CAST(sum(keep) AS BIGINT) AS n_keep,
+           CAST(round(sum(keep) / count(*) * 1000000) AS BIGINT)
+               AS keep_rate_fp
+    FROM g
+"""
 
 
 # The twin recipe extended from pairs to clusters: identical sig/band CTEs,

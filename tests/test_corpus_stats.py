@@ -244,6 +244,27 @@ def test_source_neardup_matrix_matches_duckdb(ray_session):
     assert (df["n_pairs"] >= 1).all()
 
 
+def test_gopher_summary_matches_duckdb(ray_session):
+    from camden_ray.pipelines.queries import ORACLE_SQL, corpus_gopher_summary
+
+    df = _compare(
+        corpus_gopher_summary, ORACLE_SQL["corpus_gopher_summary"], ["n_docs"]
+    )
+    row = df.iloc[0]
+    assert 0 < row["n_keep"] < row["n_docs"]
+    assert 0 < row["keep_rate_fp"] < 1_000_000
+
+
+def test_length_zscore_matches_duckdb(ray_session):
+    """Exact two-phase standardization equals the integer-moments oracle;
+    z-scores are centered (sum ≈ 0 at fp precision) and flags match |z|>3."""
+    from camden_ray.pipelines.queries import ORACLE_SQL, doc_length_zscore
+
+    df = _compare(doc_length_zscore, ORACLE_SQL["doc_length_zscore"], ["doc_id"])
+    assert abs(df["z_fp"].mean()) < 10_000  # centered to < 0.01 sd
+    assert ((df["z_fp"].abs() > 3_000_000) == (df["is_outlier"] == 1)).all()
+
+
 def test_batch_text_kernels_match_reference():
     """Differential fuzz: the vectorized batch_quality_features /
     batch_detect_lang kernels are bit-identical to the per-row reference
