@@ -68,6 +68,48 @@ def test_jsonl_lang_filter_survives_column_pruning(ray_session, webtext_path, tm
     assert set(got.schema().names) == {"url", "text"}
 
 
+def test_jsonl_codec_batch_round_trip_fuzz():
+    """The encode/decode batch kernels invert each other on arbitrary
+    binary payloads and microsecond timestamps (no Ray needed — pure
+    Arrow)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from camden_ray.sources.jsonl import _decode_batch, _encode_batch
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.one_of(st.none(), st.binary(max_size=64)),
+                st.one_of(
+                    st.none(),
+                    st.integers(min_value=0, max_value=4_102_444_800_000_000),
+                ),
+                st.one_of(st.none(), st.text(max_size=40)),
+            ),
+            min_size=0,
+            max_size=8,
+        )
+    )
+    def check(rows):
+        t = pa.table(
+            {
+                "html": pa.array([r[0] for r in rows], type=pa.binary()),
+                "warc_ts": pa.array(
+                    [r[1] for r in rows], type=pa.timestamp("us")
+                ),
+                "text": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+        back = _decode_batch(_encode_batch(t))
+        for name in t.column_names:
+            got = back[name].cast(t[name].type).combine_chunks()
+            assert got.equals(t[name].combine_chunks()), name
+
+    check()
+
+
 def test_jsonl_null_html_and_text(ray_session, tmp_path):
     """Null binary / null text rows survive the codec."""
     import ray
