@@ -149,17 +149,10 @@ def parse_args(argv: list[str]) -> tuple[str, str | None, DedupConfig, argparse.
 
 
 def _read_input(inp, input_format, columns, cfg, extract):
-    if input_format == "jsonl":
-        from camden_ray.sources.jsonl import read_webtext_jsonl
+    from camden_ray.sources.webtext import read_webtext_any
 
-        return read_webtext_jsonl(
-            inp, columns=columns, langs=cfg.langs,
-            min_text_chars=0 if extract else cfg.min_text_chars,
-        )
-    from camden_ray.sources.webtext import read_webtext
-
-    return read_webtext(
-        inp, columns=columns, langs=cfg.langs,
+    return read_webtext_any(
+        inp, input_format, columns=columns, langs=cfg.langs,
         min_text_chars=0 if extract else cfg.min_text_chars,
     )
 

@@ -298,22 +298,19 @@ def run_dedup(
         pass
     elif input_ds is not None:
         ds = input_ds
-    elif input_format == "jsonl":
-        from camden_ray.sources.jsonl import read_webtext_jsonl
-
-        # JSON has no metadata row-count fast path, so the partition-sizing
-        # count() below would execute the whole decode and the signature
-        # stage would re-execute it; materialize ONCE instead (spillable,
-        # and the count then reads block metadata)
-        ds = read_webtext_jsonl(
-            input_path, columns=columns, langs=cfg.langs,
-            min_text_chars=0 if extract else cfg.min_text_chars,
-        ).materialize()
     else:
-        ds = read_webtext(
-            input_path, columns=columns, langs=cfg.langs,
+        from camden_ray.sources.webtext import read_webtext_any
+
+        ds = read_webtext_any(
+            input_path, input_format, columns=columns, langs=cfg.langs,
             min_text_chars=0 if extract else cfg.min_text_chars,
         )
+        if input_format == "jsonl":
+            # JSON has no metadata row-count fast path, so the
+            # partition-sizing count() below would execute the whole decode
+            # and the signature stage would re-execute it; materialize ONCE
+            # instead (spillable; the count then reads block metadata)
+            ds = ds.materialize()
 
     if cfg.push_based_shuffle:
         from ray.data import DataContext

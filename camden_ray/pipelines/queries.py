@@ -789,6 +789,21 @@ def corpus_vocab_stats(sf_dir: str):
 _QUANTILE_PS = (0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
 
 
+def _quantile_disc(vals: np.ndarray, cum: np.ndarray, q: float) -> int:
+    """DuckDB ``quantile_disc`` over a sorted value histogram: the value at
+    the smallest k ≥ 1 with k/N ≥ q under IEEE double compare (probed
+    around ceil(q·N) to dodge float boundary error). ONE definition for
+    every quantile operator — this boundary logic must not fork."""
+    import math
+
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return 0
+    k0 = math.ceil(q * n)
+    kstar = next(k for k in range(max(1, k0 - 2), k0 + 3) if k / n >= q)
+    return int(vals[np.searchsorted(cum, kstar, side="left")])
+
+
 def corpus_token_quantiles(sf_dir: str):
     """Exact corpus-level quantiles of per-document token counts — the
     length-distribution report every corpus build starts from. Distributed
@@ -798,11 +813,8 @@ def corpus_token_quantiles(sf_dir: str):
     histogram on the driver — exact at any corpus size, no sort, no
     sampling, no corpus-sized collect.
 
-    Quantile semantics replicate DuckDB's ``quantile_disc``: the value at
-    the smallest k ≥ 1 with k/N ≥ q under IEEE double compare (probed
-    around ceil(q·N) to dodge float boundary error)."""
-    import math
-
+    Quantile semantics replicate DuckDB's ``quantile_disc`` via the shared
+    :func:`_quantile_disc` helper."""
     hist = (
         doc_token_counts(sf_dir)
         .groupby("n_ws_tokens")
@@ -815,18 +827,9 @@ def corpus_token_quantiles(sf_dir: str):
     cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
     n_docs = int(cum[-1]) if len(cum) else 0
 
-    def disc(q: float) -> int:
-        if n_docs == 0:
-            return 0
-        k0 = math.ceil(q * n_docs)
-        kstar = next(
-            k for k in range(max(1, k0 - 2), k0 + 3) if k / n_docs >= q
-        )
-        return int(vals[np.searchsorted(cum, kstar, side="left")])
-
     row = {"n_docs": n_docs}
     for q in _QUANTILE_PS:
-        row[f"p{int(round(q * 100))}"] = disc(q)
+        row[f"p{int(round(q * 100))}"] = _quantile_disc(vals, cum, q)
     return pd.DataFrame([row]).astype("int64")
 
 
@@ -975,8 +978,6 @@ def source_token_quantiles(sf_dir: str):
     )
 
     def quantiles(g: pa.Table) -> pa.Table:
-        import math
-
         vals = g["n"].to_numpy(zero_copy_only=False)
         cnts = g["cnt"].to_numpy(zero_copy_only=False)
         o = np.argsort(vals)
@@ -984,19 +985,12 @@ def source_token_quantiles(sf_dir: str):
         cum = cnts.cumsum()
         n_docs = int(cum[-1])
 
-        def disc(q: float) -> int:
-            k0 = math.ceil(q * n_docs)
-            kstar = next(
-                kk for kk in range(max(1, k0 - 2), k0 + 3) if kk / n_docs >= q
-            )
-            return int(vals[np.searchsorted(cum, kstar, side="left")])
-
         return pa.table(
             {
                 "source": pa.array([g["source"][0].as_py()], pa.string()),
                 "n_docs": pa.array([n_docs], pa.int64()),
-                "p50": pa.array([disc(0.50)], pa.int64()),
-                "p90": pa.array([disc(0.90)], pa.int64()),
+                "p50": pa.array([_quantile_disc(vals, cum, 0.50)], pa.int64()),
+                "p90": pa.array([_quantile_disc(vals, cum, 0.90)], pa.int64()),
             }
         )
 
@@ -1265,12 +1259,10 @@ def doc_ccnet_bucket(sf_dir: str):
     scores bin at 0.01 logprob, one ``groupby(bin).count`` reduces the
     corpus to a few thousand rows, and the thresholds are read off the
     cumulative histogram on the driver with ``quantile_disc`` semantics
-    (the corpus_token_quantiles recipe) — no corpus sort, no sampling.
+    (the shared :func:`_quantile_disc`) — no corpus sort, no sampling.
     The skinny (doc_id, score) table materializes once and is scanned
     twice (histogram, then assignment); bucket boundaries and floor()
     binning are integer/IEEE-identical to the SQL oracle."""
-    import math
-
     scores = doc_unigram_logprob(sf_dir)
 
     def binned(t: pa.Table) -> pa.Table:
@@ -1294,18 +1286,9 @@ def doc_ccnet_bucket(sf_dir: str):
     )
     vals = hist["bin"].to_numpy(dtype=np.int64)
     cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
-    n_docs = int(cum[-1]) if len(cum) else 0
 
-    def disc(q: float) -> int:
-        if n_docs == 0:
-            return 0
-        k0 = math.ceil(q * n_docs)
-        kstar = next(
-            k for k in range(max(1, k0 - 2), k0 + 3) if k / n_docs >= q
-        )
-        return int(vals[np.searchsorted(cum, kstar, side="left")])
-
-    t1, t2 = disc(1.0 / 3.0), disc(2.0 / 3.0)
+    t1 = _quantile_disc(vals, cum, 1.0 / 3.0)
+    t2 = _quantile_disc(vals, cum, 2.0 / 3.0)
 
     def assign(t: pa.Table) -> pa.Table:
         b = t["bin"].to_numpy(zero_copy_only=False)
@@ -1430,6 +1413,13 @@ def doc_length_zscore(sf_dir: str):
     bit-identical to the SQL oracle computing the same rational forms."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
+    def drop_nulls(t: pa.Table) -> pa.Table:
+        # a null-bearing int64 to_numpy converts to float64+NaN and poisons
+        # the integer moments; null-length docs are excluded on both sides
+        return t.filter(pc.is_valid(t["n_chars"]))
+
+    ds = ds.map_batches(drop_nulls, batch_format="pyarrow")
+
     def moments(t: pa.Table) -> pa.Table:
         x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
@@ -1522,7 +1512,12 @@ def events_user_cumsum(sf_dir: str):
             t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
         )
         t = t.take(order)
-        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        # fill nulls BEFORE to_numpy: a null-bearing int64 converts to
+        # float64+NaN and np.cumsum poisons every later row (SQL's SUM
+        # skips NULLs, which equals adding 0 to a running sum)
+        cents = pc.fill_null(_cents(t["value"]), 0).to_numpy(
+            zero_copy_only=False
+        )
         return pa.table(
             {
                 "event_id": t["event_id"],
@@ -1560,7 +1555,11 @@ def events_user_window(sf_dir: str):
             t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        # null values: fill with 0 before to_numpy (≡ SQL SUM's null skip;
+        # avoids the int64→float64 NaN poisoning of the prefix sums)
+        cents = pc.fill_null(_cents(t["value"]), 0).to_numpy(
+            zero_copy_only=False
+        )
         ps = np.zeros(len(cents) + 1, dtype=np.int64)
         np.cumsum(cents, out=ps[1:])
         lo = np.searchsorted(ts, ts - _WINDOW_US, side="left")
@@ -3283,11 +3282,14 @@ ORACLE_SQL = {
         FROM r
     """,
     "doc_length_zscore": """
-        WITH stats AS (
+        WITH docs AS (
+            SELECT * FROM documents WHERE n_chars IS NOT NULL
+        ),
+        stats AS (
             SELECT count(*) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS s1,
                    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
-            FROM documents
+            FROM docs
         )
         SELECT doc_id, n_chars,
                CASE WHEN n <= 1 OR n * s2 - s1 * s1 <= 0 THEN 0
@@ -3304,7 +3306,7 @@ ORACLE_SQL = {
                                / (CAST(n AS DOUBLE) * (n - 1)))
                     ) > 3.0 AS BIGINT)
                END AS is_outlier
-        FROM documents, stats
+        FROM docs, stats
     """,
     "doc_lang_id": """
         WITH c AS (
@@ -3371,8 +3373,8 @@ ORACLE_SQL = {
     "events_user_window": """
         SELECT event_id, user_id,
                CAST(COUNT(*) OVER w AS BIGINT) AS w_cnt,
-               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
-                   AS w_sum_cents
+               CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)) OVER w,
+                             0) AS BIGINT) AS w_sum_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -3380,8 +3382,8 @@ ORACLE_SQL = {
     "events_user_cumsum": """
         SELECT event_id, user_id,
                CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
-               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
-                   AS cum_value_cents
+               CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)) OVER w,
+                             0) AS BIGINT) AS cum_value_cents
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,

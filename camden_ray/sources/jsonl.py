@@ -93,6 +93,11 @@ def read_webtext_jsonl(
     ds = ray.data.read_json(path).map_batches(
         _decode_batch, batch_format="pyarrow"
     )
+    # matches the parquet twin's gating (webtext.py): the text-length
+    # predicate applies only when text is among the requested columns (an
+    # html-only read must not touch a possibly-absent text field), while
+    # the lang allow-list applies regardless of pruning
+    apply_text = min_text_chars > 0 and (columns is None or "text" in columns)
 
     def flt(t: pa.Table) -> pa.Table:
         # predicates run BEFORE column pruning (matching read_webtext, whose
@@ -100,7 +105,7 @@ def read_webtext_jsonl(
         # silently drop the allow-list
         if langs:
             t = t.filter(pc.is_in(t["lang"], value_set=pa.array(list(langs))))
-        if min_text_chars > 0:
+        if apply_text and "text" in t.column_names:
             t = t.filter(
                 pc.greater_equal(
                     pc.utf8_length(pc.coalesce(t["text"], "")), min_text_chars
@@ -108,7 +113,7 @@ def read_webtext_jsonl(
             )
         return t
 
-    if langs or min_text_chars > 0:
+    if langs or apply_text:
         ds = ds.map_batches(flt, batch_format="pyarrow")
     if columns is not None:
         ds = ds.select_columns(columns)

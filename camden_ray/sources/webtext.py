@@ -43,3 +43,31 @@ def read_webtext(
             batch_format="pyarrow",
         )
     return ds
+
+
+def read_webtext_any(
+    path: str | list[str],
+    input_format: str,
+    columns: list[str] | None = None,
+    langs: tuple[str, ...] = (),
+    min_text_chars: int = 0,
+    override_num_blocks: int | None = None,
+) -> "ray.data.Dataset":
+    """Format dispatch for the webtext readers — the ONE place the CLI and
+    run_dedup resolve ``input_format``, so predicate gating and argument
+    plumbing cannot drift between surfaces. ``override_num_blocks`` is a
+    parquet-only read-shaping knob (JSONL readers shard per file)."""
+    if input_format == "jsonl":
+        if override_num_blocks is not None:
+            raise ValueError("override_num_blocks is parquet-only")
+        from camden_ray.sources.jsonl import read_webtext_jsonl
+
+        return read_webtext_jsonl(
+            path, columns=columns, langs=langs, min_text_chars=min_text_chars
+        )
+    if input_format != "parquet":
+        raise ValueError(f"unknown input_format {input_format!r}")
+    return read_webtext(
+        path, columns=columns, langs=langs, min_text_chars=min_text_chars,
+        override_num_blocks=override_num_blocks,
+    )

@@ -25,8 +25,10 @@ def events_dir(tmp_path):
         (2, ts(0), 1, -2.5),          # peer of event 1 (RANGE includes it)
         (3, ts(60), 1, 7.004),        # exactly 1h after the tie pair
         (4, ts(120, 1), 1, 3.0),      # 60m01s after event 3 → alone
-        # user 2: single event
-        (5, ts(5), 2, 0.005),
+        # user 2: a NULL value first (SUM OVER skips it; the engine must
+        # not NaN-poison the prefix sums), then a real value
+        (5, ts(5), 2, None),
+        (6, ts(10), 2, 0.005),
     ]
     t = pa.table(
         {
@@ -67,6 +69,9 @@ def test_cumsum_ties_and_negatives(ray_session, events_dir):
     assert got.equals(want)
     # tie pair ordered by event_id: event 2's running sum includes event 1
     assert got.loc[got.event_id == 2, "cum_value_cents"].item() == 1000 - 250
+    # NULL value: its own running sum is 0 (not INT64_MIN), later rows sane
+    assert got.loc[got.event_id == 5, "cum_value_cents"].item() == 0
+    assert got.loc[got.event_id == 6, "cum_value_cents"].item() == 1
 
 
 def test_range_window_peers_and_boundaries(ray_session, events_dir):
