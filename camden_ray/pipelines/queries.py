@@ -1577,6 +1577,46 @@ def events_user_window(sf_dir: str):
     return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
 
 
+def events_funnel(sf_dir: str):
+    """Two-step funnel analytics — per user: view→click conversion within a
+    1-hour window (a click converts iff some view by the same user lies in
+    ``[click.ts − 1h, click.ts]``). The classic product-analytics operator:
+    co-partition by user, one sorted pass per group with two
+    ``searchsorted`` probes per step pair — no per-row loop, no self-join
+    blowup (SQL's EXISTS correlated join is the oracle, not the plan).
+    Output per user: step counts, converted-click count, and the 0/1
+    converted flag."""
+
+    def funnel(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = np.sort(ts[et == "view"])
+        c = ts[et == "click"]
+        if len(v) and len(c):
+            lo = np.searchsorted(v, c - _WINDOW_US, side="left")
+            hi = np.searchsorted(v, c, side="right")
+            conv = int((hi > lo).sum())
+        else:
+            conv = 0
+        uid = t["user_id"][0]
+        return pa.table(
+            {
+                "user_id": pa.array([uid.as_py()], pa.int64()),
+                "n_views": pa.array([int((et == "view").sum())], pa.int64()),
+                "n_clicks": pa.array([len(c)], pa.int64()),
+                "n_converted_clicks": pa.array([conv], pa.int64()),
+                "converted": pa.array([int(conv > 0)], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    return ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
+
+
 def events_type_stats(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         cents = _cents(t["value"])
@@ -2591,6 +2631,28 @@ def source_neardup_matrix(sf_dir: str):
     ).aggregate(Count(alias_name="n_pairs"))
 
 
+def doc_simhash_clusters(sf_dir: str):
+    """The SimHash end-to-end chain under one FULL oracle — the second
+    probabilistic method's pairs → union-find composition (the
+    ``doc_minhash_clusters`` recipe on the Hamming-ball candidate source):
+    pairs from the md5-parity SimHash twin at radius ≤ 3, clustered with
+    deterministic min-url representatives; the oracle extends the
+    all-pairs Hamming SQL with the recursive-CTE transitive closure."""
+    from camden_ray.stages.cluster import unionfind_table
+
+    pairs = doc_simhash_pairs(sf_dir).select_columns(["a", "b"])
+    tab = unionfind_table(pairs)
+    if tab is None:
+        return pa.table(
+            {"url": pa.array([], type=pa.string()),
+             "cluster_id": pa.array([], type=pa.string())}
+        )
+    return pa.table(
+        {"url": tab["url"].cast(pa.string()),
+         "cluster_id": tab["cluster_id"].cast(pa.string())}
+    )
+
+
 def doc_exact_ngram_clusters(sf_dir: str):
     """Connected-components clustering with min-url representatives over the
     two DETERMINISTIC edge sources: exact content duplicates (shared digest)
@@ -2868,6 +2930,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_user_cumsum": events_user_cumsum,
     "events_user_window": events_user_window,
+    "events_funnel": events_funnel,
     "events_type_stats": events_type_stats,
     "lineitem_pricing": lineitem_pricing,
     "knn_brute_force": knn_brute_force,
@@ -2882,6 +2945,7 @@ QUERIES = {
     "doc_minhash_pairs": doc_minhash_pairs,
     "doc_minhash_clusters": doc_minhash_clusters,
     "doc_simhash_pairs": doc_simhash_pairs,
+    "doc_simhash_clusters": doc_simhash_clusters,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "source_neardup_matrix": source_neardup_matrix,
     "doc_exact_ngram_clusters": doc_exact_ngram_clusters,
@@ -3378,6 +3442,34 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    "events_funnel": """
+        WITH clicks AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'click'
+        ),
+        conv AS (
+            SELECT c.user_id, count(*) AS n_conv
+            FROM clicks c
+            WHERE EXISTS (
+                SELECT 1 FROM events v
+                WHERE v.user_id = c.user_id AND v.event_type = 'view'
+                  AND v.ts <= c.ts
+                  AND v.ts >= c.ts - INTERVAL 1 HOUR
+            )
+            GROUP BY c.user_id
+        )
+        SELECT u.user_id,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                   AS n_views,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                   AS n_clicks,
+               CAST(COALESCE(any_value(conv.n_conv), 0) AS BIGINT)
+                   AS n_converted_clicks,
+               CAST(COALESCE(any_value(conv.n_conv), 0) > 0 AS BIGINT)
+                   AS converted
+        FROM events u
+        LEFT JOIN conv ON conv.user_id = u.user_id
+        GROUP BY u.user_id
     """,
     "events_user_cumsum": """
         SELECT event_id, user_id,
@@ -3970,6 +4062,20 @@ ORACLE_SQL["doc_simhash_pairs"] = """
            CAST(bit_count(xor(s1.sh, s2.sh)) AS BIGINT) AS hamming
     FROM sim s1 JOIN sim s2 ON s1.url < s2.url
     WHERE bit_count(xor(s1.sh, s2.sh)) <= 3
+"""
+
+# SimHash chain end-to-end: pairs SQL as a subquery + the recursive-CTE
+# min-label closure (the minhash-clusters recipe on the Hamming source).
+ORACLE_SQL["doc_simhash_clusters"] = f"""
+    WITH RECURSIVE p AS ({ORACLE_SQL["doc_simhash_pairs"]}),
+    sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+    reach(src, dst) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN sym e ON e.a = r.dst
+    )
+    SELECT src AS url, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
 """
 
 # Incremental attach under the full oracle: new docs (md5(url) first hex

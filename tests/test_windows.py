@@ -58,6 +58,58 @@ def _run(fn, events_dir):
     return df
 
 
+def test_funnel_window_boundaries(ray_session, tmp_path):
+    """Funnel conversion edges vs DuckDB: a view exactly 1h before the
+    click converts (closed window), a view AFTER the click does not, and a
+    simultaneous view converts."""
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(minutes, seconds=0):
+        return t0 + datetime.timedelta(minutes=minutes, seconds=seconds)
+
+    rows = [
+        (1, ts(0), 1, "view"), (2, ts(60), 1, "click"),     # exactly 1h → converts
+        (3, ts(0), 2, "click"), (4, ts(1), 2, "view"),      # view after → no
+        (5, ts(5), 3, "view"), (6, ts(5), 3, "click"),      # simultaneous → yes
+        (7, ts(0), 4, "view"), (8, ts(60, 1), 4, "click"),  # 1h01s → no
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    from camden_ray.pipelines.queries import ORACLE_SQL, events_funnel
+
+    got = (
+        events_funnel(str(tmp_path))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = (
+        con.execute(ORACLE_SQL["events_funnel"])
+        .fetchdf()
+        .sort_values("user_id")
+        .reset_index(drop=True)[got.columns]
+    )
+    for c in got.columns:
+        got[c] = got[c].astype(want[c].dtype)
+    assert got.equals(want)
+    conv = dict(zip(got.user_id, got.converted))
+    assert conv == {1: 1, 2: 0, 3: 1, 4: 0}
+
+
 def test_cumsum_ties_and_negatives(ray_session, events_dir):
     from camden_ray.pipelines.queries import ORACLE_SQL, events_user_cumsum
 
