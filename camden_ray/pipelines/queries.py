@@ -1617,6 +1617,53 @@ def events_funnel(sf_dir: str):
     return ds.groupby("user_id").map_groups(funnel, batch_format="pyarrow")
 
 
+_WEEK_US = 7 * 24 * 3_600_000_000
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention — the analytics table behind every retention curve:
+    users cohorted by first-activity week, counted per (cohort_week,
+    week_offset) they return in. Distributed shape: one (user, week)
+    distinct reduce (activity-sized, ≪ events), then per-user cohort
+    assignment inside ``map_groups`` (each group is ONE user's week set),
+    then a cohort²-bounded groupby — the raw events are never self-joined.
+    Weeks are exact integer epoch-µs floor-divisions on both sides."""
+
+    def to_weeks(t: pa.Table) -> pa.Table:
+        ts = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"user_id": t["user_id"],
+             "wk": pa.array(ts // _WEEK_US, pa.int64())}
+        )
+
+    weeks = (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .map_batches(to_weeks, batch_format="pyarrow")
+        .groupby(["user_id", "wk"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        wk = g["wk"].to_numpy(zero_copy_only=False)
+        cw = int(wk.min())
+        return pa.table(
+            {
+                "cohort_week": pa.array(np.full(len(wk), cw), pa.int64()),
+                "week_offset": pa.array(wk - cw, pa.int64()),
+            }
+        )
+
+    return (
+        weeks.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
 def events_type_stats(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         cents = _cents(t["value"])
@@ -2931,6 +2978,7 @@ QUERIES = {
     "events_user_cumsum": events_user_cumsum,
     "events_user_window": events_user_window,
     "events_funnel": events_funnel,
+    "events_retention": events_retention,
     "events_type_stats": events_type_stats,
     "lineitem_pricing": lineitem_pricing,
     "knn_brute_force": knn_brute_force,
@@ -3442,6 +3490,19 @@ ORACLE_SQL = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    "events_retention": """
+        WITH w AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(ts) // 604800000000 AS wk
+            FROM events
+        ),
+        c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+        SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+               CAST(w.wk - c.cw AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM w JOIN c USING (user_id)
+        GROUP BY 1, 2
     """,
     "events_funnel": """
         WITH clicks AS (
