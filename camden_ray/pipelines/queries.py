@@ -2930,6 +2930,305 @@ def doc_incremental_clusters(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# window-lag / pivot / anti-join / sketch operators (round-4 session-6)
+# ---------------------------------------------------------------------------
+
+
+def events_user_lag(sf_dir: str):
+    """LAG window — SQL's ``LAG(...) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id)``: per event, the microsecond gap to the user's previous event
+    and that event's value (cents); NULL on each user's first row. Same
+    irreducible key-partitioned shuffle as :func:`events_user_cumsum` (rows
+    of one user must co-locate — that IS the semantics); the lag itself is
+    one vectorized shift per group, no per-row loop."""
+
+    def win(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        t = t.take(order)
+        ts = (
+            t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(ts)
+        gap = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+        # prev value keeps SQL LAG's null semantics: the previous ROW's
+        # value, null if that value is null OR this is the first row —
+        # so cents keeps its nulls (no fill_null) and shifts by one
+        cents = _cents(t["value"])
+        if isinstance(cents, pa.ChunkedArray):
+            cents = cents.combine_chunks()
+        prev = pa.concat_arrays([pa.nulls(1, pa.int64()), cents.slice(0, n - 1)])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "gap_us": pa.array(gap, type=pa.int64(), mask=first),
+                "prev_value_cents": prev,
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str):
+    """Pivot / conditional aggregation: the hour-of-day × event-type count
+    matrix as wide columns (SQL's ``SUM(CASE WHEN ...)`` pivot — a class Ray
+    Data has no native operator for). Scale shape: each block reduces to ONE
+    24-row partial (vectorized ``bincount`` per type), so the groupby-sum
+    moves blocks × 24 rows no matter the corpus size; hours absent from the
+    data are dropped after the aggregate to match GROUP BY semantics."""
+
+    def part(t: pa.Table) -> pa.Table:
+        h = pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "hour": pa.array(np.arange(24, dtype=np.int64)),
+            "n_total": pa.array(np.bincount(h, minlength=24).astype(np.int64)),
+        }
+        for name in _PIVOT_TYPES:
+            m = pc.fill_null(pc.equal(t["event_type"], name), False).to_numpy(
+                zero_copy_only=False
+            )
+            cols[f"n_{name}"] = pa.array(
+                np.bincount(h[m], minlength=24).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    aggs = [Sum("n_total", alias_name="n_total")] + [
+        Sum(f"n_{n}", alias_name=f"n_{n}") for n in _PIVOT_TYPES
+    ]
+    out = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(*aggs)
+    )
+    return out.filter(expr="n_total > 0")
+
+
+def customers_without_orders(sf_dir: str):
+    """Distributed ANTI-join: customers that never placed an URGENT-priority
+    order (SQL's ``NOT IN`` / anti-semi-join — the join class the registry
+    lacked; the priority predicate keeps the result non-degenerate on the
+    driver tables, where every customer has ~10 orders). Scale shape: the
+    orders side collapses to per-block DISTINCT key partials (≤
+    key-domain-sized, fact row count irrelevant), unioned and broadcast
+    ONCE via ``ray.put``; the customer scan is then map-only with a
+    vectorized ``searchsorted`` miss test. The broadcast is bounded by the
+    customer-key domain (dim-table-sized); above that bound the kind-tagged
+    co-partition exchange (the house shuffle-join primitive, cf.
+    ``stages.cluster._copartition_lookup``) replaces the broadcast."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.equal(t["o_orderpriority"], "1-URGENT"), False)
+        return pa.table({"k": pc.unique(t.filter(m)["o_custkey"])})
+
+    parts = [
+        b["k"].to_numpy(zero_copy_only=False)
+        for b in orders.map_batches(
+            urgent_keys, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    keys = (
+        np.unique(np.concatenate(parts))
+        if parts
+        else np.empty(0, dtype=np.int64)
+    )
+    ref = ray.put(keys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        arr = ray.get(ref)  # zero-copy plasma read, once per task
+        ks = t["c_custkey"].to_numpy(zero_copy_only=False)
+        if len(arr) == 0:
+            return t
+        pos = np.searchsorted(arr, ks)
+        pos_c = np.minimum(pos, len(arr) - 1)
+        hit = (pos < len(arr)) & (arr[pos_c] == ks)
+        return t.filter(pa.array(~hit))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    return cust.map_batches(anti, batch_format="pyarrow")
+
+
+_KMV_K = 64
+
+
+def events_approx_distinct(sf_dir: str):
+    """Approximate COUNT DISTINCT via a deterministic KMV (k-minimum-values)
+    sketch (Bar-Yossef et al. 2002): per-block partial = the k smallest
+    md5-derived 64-bit hashes of the key's DISTINCT values; partials merge
+    by union + truncate (a mergeable O(k) sketch — the approximate-aggregate
+    class a 100-TB key domain needs when even the distinct keys no longer
+    fit a shuffle); estimate = (k−1)·2⁶⁴ // (h_k + 1) in EXACT integer math,
+    so the DuckDB oracle (the same k-th order statistic over the same hash
+    domain, HUGEINT arithmetic) matches hash-exactly. When fewer than k
+    distinct hashes exist the sketch is the exact distinct set."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def part(t: pa.Table) -> pa.Table:
+        uu = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        hs = np.sort(
+            np.fromiter(
+                (
+                    int(hashlib.md5(str(int(u)).encode()).hexdigest()[:16], 16)
+                    for u in uu
+                ),
+                dtype=np.uint64,
+                count=len(uu),
+            )
+        )
+        return pa.table({"h": pa.array(hs[:_KMV_K], type=pa.uint64())})
+
+    parts = [
+        b["h"].to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    merged = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    )[:_KMV_K]
+    if len(merged) < _KMV_K:
+        est = len(merged)
+    else:
+        est = ((_KMV_K - 1) << 64) // (int(merged[-1]) + 1)
+    return pa.table(
+        {
+            "k": pa.array([_KMV_K], pa.int64()),
+            "est": pa.array([est], pa.int64()),
+        }
+    )
+
+
+_HH_K = 500  # heavy hitter = token with count·K > total tokens
+
+
+def corpus_heavy_hitters(sf_dir: str):
+    """Frequent-items sketch with exact verification — corpus tokens whose
+    global count exceeds total/K (Misra-Gries class). Scale shape that
+    avoids the vocabulary-sized shuffle of ``corpus_vocab_stats``: (1) each
+    block emits only its LOCAL heavy candidates (cnt_b·K > T_b — by
+    pigeonhole any global heavy hitter is locally heavy in ≥ 1 block, so
+    the union is a guaranteed superset, < K rows per block); (2) the
+    candidate set is broadcast once and counted EXACTLY in a second
+    map-only pass (``index_in`` + ``bincount`` partials, candidate-sized
+    groupby-sum); (3) the global-total filter applies the strict ``cnt·K >
+    T`` rule. Exact counts in, exact rows out — the sketch only bounds what
+    moves."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def local_heavy(t: pa.Table) -> pa.Table:
+        grams, _ = _batch_ngrams(t.column("text"), 1)
+        if not len(grams):
+            return pa.table({"tk": pa.array([], pa.string())})
+        vc = grams.value_counts()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        tb = int(cnts.sum())
+        keep = cnts * _HH_K > tb
+        vals = vc.field("values")
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        return pa.table({"tk": vals.filter(pa.array(keep))})
+
+    cand = sorted(
+        {
+            v
+            for b in ds.map_batches(
+                local_heavy, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+            for v in b["tk"].to_pylist()
+        }
+    )
+    cand_arr = pa.array(cand, type=pa.string())
+    cand_ref = ray.put(cand_arr)
+
+    def count_part(t: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        grams, _ = _batch_ngrams(t.column("text"), 1)
+        nb = int(len(grams))
+        cnts = np.zeros(len(cands), dtype=np.int64)
+        if nb and len(cands):
+            idx = pc.index_in(grams, value_set=cands)
+            hits = pc.drop_null(idx).to_numpy(zero_copy_only=False)
+            cnts = np.bincount(hits, minlength=len(cands)).astype(np.int64)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(cands), dtype=np.int64)),
+                "cnt": pa.array(cnts),
+                "tb": pa.array(np.full(len(cands), nb, dtype=np.int64)),
+            }
+        )
+
+    summed = (
+        ds.map_batches(count_part, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("tb", alias_name="tb"))
+        .take_all()  # candidate-sized (< K per block, deduped)
+    )
+    if not summed:
+        return pa.table(
+            {"tk": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    total = sum(r["tb"] for r in summed) // max(len(summed), 1)
+    rows = [
+        (cand[r["i"]], r["cnt"]) for r in summed if r["cnt"] * _HH_K > total
+    ]
+    return pa.table(
+        {
+            "tk": pa.array([r[0] for r in rows], pa.string()),
+            "cnt": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+_STOPWORD_RE = r"\b(the|a|an|of|to|in|and|is)\b"
+
+
+def doc_stopword_strip(sf_dir: str):
+    """Corpus-hygiene rewrite: strip stopwords and collapse whitespace,
+    emitting the cleaned text's md5 and the removed-token count — the
+    text-normalization class (regex rewrite) of an indexing/training
+    pipeline. Map-only, zero shuffle; pyarrow's regex kernels are RE2,
+    the same engine DuckDB binds, so the rewrite is byte-identical to the
+    oracle's ``regexp_replace(..., 'g')`` chain."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        stripped = pc.replace_substring_regex(
+            txt, pattern=_STOPWORD_RE, replacement=""
+        )
+        collapsed = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(stripped, pattern=r"\s+", replacement=" ")
+        )
+        n_rem = pc.count_substring_regex(txt, pattern=_STOPWORD_RE)
+        md5s = [
+            hashlib.md5(s.encode()).hexdigest()
+            for s in collapsed.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_md5": pa.array(md5s, pa.string()),
+                "n_removed": n_rem.cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -3009,6 +3308,12 @@ QUERIES = {
     "events_asof_view": events_asof_view,
     "events_distinct_users": events_distinct_users,
     "events_props_stats": events_props_stats,
+    "events_user_lag": events_user_lag,
+    "events_pivot": events_pivot,
+    "customers_without_orders": customers_without_orders,
+    "events_approx_distinct": events_approx_distinct,
+    "corpus_heavy_hitters": corpus_heavy_hitters,
+    "doc_stopword_strip": doc_stopword_strip,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -4159,4 +4464,70 @@ ORACLE_SQL["doc_incremental_clusters"] = """
     LEFT JOIN base_rep b USING (text)
     LEFT JOIN new_rep n USING (text)
     WHERE d.is_new
+"""
+
+# Round-4 session-6 operator oracles: LAG window, pivot, anti-join, KMV
+# sketch, heavy hitters, stopword strip.
+ORACLE_SQL["events_user_lag"] = """
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us,
+           LAG(CAST(round(value * 100) AS BIGINT)) OVER w AS prev_value_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+ORACLE_SQL["events_pivot"] = """
+    SELECT CAST(date_part('hour', ts) AS BIGINT) AS hour,
+           count(*) AS n_total,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY hour
+"""
+
+ORACLE_SQL["customers_without_orders"] = """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+# KMV estimate in exact integer math: the Ray sketch and this SQL compute the
+# SAME k-th order statistic over the SAME md5-derived 64-bit hash domain, so
+# (k-1)*2^64 // (h_k+1) matches bit-for-bit (HUGEINT is 128-bit: 63*2^64 fits).
+ORACLE_SQL["events_approx_distinct"] = """
+    WITH h AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+        FROM events
+    ),
+    tops AS (SELECT h FROM h ORDER BY h LIMIT 64),
+    agg AS (SELECT count(*) AS c, max(h) AS hk FROM tops)
+    SELECT CAST(64 AS BIGINT) AS k,
+           CAST(CASE WHEN c < 64 THEN c
+                ELSE (63::HUGEINT * 18446744073709551616::HUGEINT)
+                     // (hk::HUGEINT + 1::HUGEINT) END AS BIGINT) AS est
+    FROM agg
+"""
+
+ORACLE_SQL["corpus_heavy_hitters"] = """
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')) AS tk
+        FROM documents
+    ),
+    freq AS (SELECT tk, count(*) AS cnt FROM tok GROUP BY tk),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS T FROM freq)
+    SELECT tk, cnt FROM freq, tot WHERE cnt * 500 > T
+"""
+
+ORACLE_SQL["doc_stopword_strip"] = """
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               regexp_replace(COALESCE(text, ''),
+                              '\\b(the|a|an|of|to|in|and|is)\\b', '', 'g'),
+               '\\s+', ' ', 'g'))) AS clean_md5,
+           CAST(len(regexp_extract_all(COALESCE(text, ''),
+                    '\\b(the|a|an|of|to|in|and|is)\\b')) AS BIGINT) AS n_removed
+    FROM documents
 """

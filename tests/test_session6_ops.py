@@ -1,0 +1,246 @@
+"""Round-4 session-6 operators vs DuckDB on CRAFTED edge cases: LAG null
+semantics and tie ordering, pivot zero cells, anti-join three-way customer
+split, KMV sketch exact-below-k regime, heavy-hitter strict threshold
+boundary, and stopword-strip whitespace/null handling."""
+
+import datetime
+import hashlib
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _oracle(d, sql, views=("events",)):
+    con = duckdb.connect()
+    for v in views:
+        con.execute(
+            f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{d}/{v}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _eq(got, want, key):
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)[got.columns]
+    for c in got.columns:
+        got[c] = got[c].astype(want[c].dtype)
+    assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
+    return got
+
+
+@pytest.fixture()
+def lag_events_dir(tmp_path):
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(seconds):
+        return t0 + datetime.timedelta(seconds=seconds)
+
+    rows = [
+        # user 1: tie pair (gap 0 for the second, ordered by event_id),
+        # then a 90-second gap
+        (1, ts(0), 1, 10.0),
+        (2, ts(0), 1, 2.5),
+        (3, ts(90), 1, 7.0),
+        # user 2: NULL value first (the follower's prev_value_cents must be
+        # NULL, not 0), single-event users get all-NULL lag columns
+        (4, ts(5), 2, None),
+        (5, ts(6), 2, 1.0),
+        (6, ts(7), 3, 4.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_user_lag_nulls_and_ties(ray_session, lag_events_dir):
+    from camden_ray.pipelines.queries import ORACLE_SQL, events_user_lag
+
+    got = events_user_lag(lag_events_dir).to_pandas()
+    want = _oracle(lag_events_dir, ORACLE_SQL["events_user_lag"])
+    got = _eq(got, want, "event_id")
+    by_id = got.set_index("event_id")
+    # first row per user: both lag columns NULL
+    for eid in (1, 4, 6):
+        assert np.isnan(by_id.loc[eid, "gap_us"])
+        assert np.isnan(by_id.loc[eid, "prev_value_cents"])
+    # tie pair: event 2 follows event 1 (event_id tiebreak), gap 0
+    assert by_id.loc[2, "gap_us"] == 0
+    assert by_id.loc[2, "prev_value_cents"] == 1000
+    assert by_id.loc[3, "gap_us"] == 90_000_000
+    # a NULL previous VALUE stays NULL even though the previous ROW exists
+    assert by_id.loc[5, "gap_us"] == 1_000_000
+    assert np.isnan(by_id.loc[5, "prev_value_cents"])
+
+
+def test_pivot_zero_cells_and_absent_hours(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import ORACLE_SQL, events_pivot
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0.replace(hour=3), "view"),
+        (2, t0.replace(hour=3), "view"),
+        (3, t0.replace(hour=3), "click"),
+        (4, t0.replace(hour=17), "error"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = events_pivot(str(tmp_path)).to_pandas()
+    want = _oracle(str(tmp_path), ORACLE_SQL["events_pivot"])
+    got = _eq(got, want, "hour")
+    # hours with no events are dropped (GROUP BY semantics), zero cells kept
+    assert sorted(got["hour"]) == [3, 17]
+    h3 = got.set_index("hour").loc[3]
+    assert h3["n_total"] == 3 and h3["n_view"] == 2 and h3["n_click"] == 1
+    assert h3["n_error"] == 0 and h3["n_purchase"] == 0
+
+
+def test_customers_without_orders_three_way(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import (
+        ORACLE_SQL,
+        customers_without_orders,
+    )
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["a", "b", "c"], pa.string()),
+            "c_mktsegment": pa.array(["S1", "S1", "S2"], pa.string()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11], pa.int64()),
+            "o_custkey": pa.array([1, 2], pa.int64()),
+            # cust 1 has an urgent order, cust 2 only a non-urgent one,
+            # cust 3 none at all → 2 and 3 survive the anti-join
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW"], pa.string()),
+        }
+    )
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = customers_without_orders(str(tmp_path)).to_pandas()
+    want = _oracle(
+        str(tmp_path),
+        ORACLE_SQL["customers_without_orders"],
+        views=("customer", "orders"),
+    )
+    got = _eq(got, want, "c_custkey")
+    assert sorted(got["c_custkey"]) == [2, 3]
+
+
+def test_kmv_exact_below_k_and_estimate(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import (
+        _KMV_K,
+        ORACLE_SQL,
+        events_approx_distinct,
+    )
+
+    def write(users):
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(users)), pa.int64()),
+                "ts": pa.array(
+                    [datetime.datetime(2026, 1, 1)] * len(users),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(["view"] * len(users), pa.string()),
+                "value": pa.array([1.0] * len(users), pa.float64()),
+            }
+        )
+        pq.write_table(t, tmp_path / "events.parquet")
+
+    # below k distinct: the sketch IS the exact distinct set
+    write([7, 7, 8, 9, 9, 9])
+    got = events_approx_distinct(str(tmp_path)).to_pandas()
+    want = _oracle(str(tmp_path), ORACLE_SQL["events_approx_distinct"])
+    _eq(got, want, "k")
+    assert got["est"].item() == 3
+
+    # above k: estimate matches the oracle bit-for-bit and lands within the
+    # KMV error envelope (~1/sqrt(64) ≈ 12.5%; generous band for one draw)
+    write(list(range(1000)) * 2)
+    got = events_approx_distinct(str(tmp_path)).to_pandas()
+    want = _oracle(str(tmp_path), ORACLE_SQL["events_approx_distinct"])
+    _eq(got, want, "k")
+    assert 600 <= got["est"].item() <= 1600
+
+
+def test_heavy_hitters_strict_threshold(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import ORACLE_SQL, corpus_heavy_hitters
+
+    # 1000 tokens total: "hot" ×10 (10·500 > 1000 → heavy), "edge" ×2
+    # (2·500 == 1000 → strictly NOT heavy), 988 distinct cold fillers
+    words = ["hot"] * 10 + ["edge"] * 2 + [f"w{i}" for i in range(988)]
+    rng = np.random.default_rng(7)
+    rng.shuffle(words)
+    docs, step = [], 50
+    for i in range(0, len(words), step):
+        docs.append(" ".join(words[i : i + step]))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = corpus_heavy_hitters(str(tmp_path)).to_pandas()
+    want = _oracle(
+        str(tmp_path), ORACLE_SQL["corpus_heavy_hitters"], views=("documents",)
+    )
+    got = _eq(got, want, "tk")
+    assert list(got["tk"]) == ["hot"] and got["cnt"].item() == 10
+
+
+def test_stopword_strip_boundaries(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import ORACLE_SQL, doc_stopword_strip
+
+    texts = [
+        "the cat in a hat",          # leading stopword + interior runs
+        "theory is not a math",      # \b: 'theory'/'math' untouched
+        "a the an of",               # all-stopword → empty string
+        "",                          # empty
+        None,                        # null → treated as ''
+        "x  the   y",                # pre-existing space runs collapse
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = doc_stopword_strip(str(tmp_path)).to_pandas()
+    want = _oracle(
+        str(tmp_path), ORACLE_SQL["doc_stopword_strip"], views=("documents",)
+    )
+    got = _eq(got, want, "doc_id")
+    by_id = got.set_index("doc_id")
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert by_id.loc[0, "clean_md5"] == md5("cat hat")
+    assert by_id.loc[0, "n_removed"] == 3
+    assert by_id.loc[1, "clean_md5"] == md5("theory not math")
+    assert by_id.loc[2, "clean_md5"] == md5("")
+    assert by_id.loc[4, "clean_md5"] == md5("")
+    assert by_id.loc[5, "clean_md5"] == md5("x y")
