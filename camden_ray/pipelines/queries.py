@@ -3228,6 +3228,91 @@ def doc_stopword_strip(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def orders_customer_join(sf_dir: str):
+    """Distributed hash INNER join (the generic two-sided shuffle join,
+    ``stages.cojoin.hash_join``): every order enriched with its customer's
+    name and segment — fact × dim co-partitioned on the key, per-partition
+    vectorized range match, duplicate-tolerant on both sides. This is the
+    join shape for dim sides too big to broadcast; ``orders_top_revenue``
+    shows the broadcast-semi + native alternatives."""
+    from camden_ray.stages.candidates import default_partitions
+    from camden_ray.stages.cojoin import hash_join
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "total_cents": _cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "c_mktsegment": t["c_mktsegment"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    P = default_partitions(DedupConfig())
+    return hash_join(orders, cust, on="custkey", how="inner", num_partitions=P)
+
+
+def customer_urgent_counts(sf_dir: str):
+    """Distributed hash LEFT join: every customer with their URGENT-order
+    count, NULL where none (SQL LEFT JOIN null semantics preserved end to
+    end). The orders side pre-reduces to one (custkey, n_urgent) row per
+    key BEFORE the join — the combine-then-join plan that keeps the
+    exchange key-domain-sized."""
+    from camden_ray.stages.candidates import default_partitions
+    from camden_ray.stages.cojoin import hash_join
+
+    counts = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "custkey": t.filter(
+                        pc.fill_null(
+                            pc.equal(t["o_orderpriority"], "1-URGENT"), False
+                        )
+                    )["o_custkey"]
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("custkey")
+        .aggregate(Count(alias_name="n_urgent"))
+    )
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"custkey": t["c_custkey"], "c_name": t["c_name"]}
+        ),
+        batch_format="pyarrow",
+    )
+    P = default_partitions(DedupConfig())
+    return hash_join(
+        cust,
+        counts,
+        on="custkey",
+        how="left",
+        num_partitions=P,
+        right_schema=pa.schema(
+            [("custkey", pa.int64()), ("n_urgent", pa.int64())]
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3314,6 +3399,8 @@ QUERIES = {
     "events_approx_distinct": events_approx_distinct,
     "corpus_heavy_hitters": corpus_heavy_hitters,
     "doc_stopword_strip": doc_stopword_strip,
+    "orders_customer_join": orders_customer_join,
+    "customer_urgent_counts": customer_urgent_counts,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -4530,4 +4617,20 @@ ORACLE_SQL["doc_stopword_strip"] = """
            CAST(len(regexp_extract_all(COALESCE(text, ''),
                     '\\b(the|a|an|of|to|in|and|is)\\b')) AS BIGINT) AS n_removed
     FROM documents
+"""
+
+ORACLE_SQL["orders_customer_join"] = """
+    SELECT o.o_custkey AS custkey, o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+ORACLE_SQL["customer_urgent_counts"] = """
+    SELECT c.c_custkey AS custkey, c.c_name, u.n_urgent
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, count(*) AS n_urgent FROM orders
+        WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    ) u ON c.c_custkey = u.o_custkey
 """

@@ -680,82 +680,29 @@ def hash_to_min_components_uid(
 def _copartition_lookup(
     facts: "ray.data.Dataset", dims: "ray.data.Dataset", num_partitions: int
 ) -> "ray.data.Dataset":
-    """Distributed int-keyed lookup join on the engine's one shuffle primitive.
+    """Distributed int-keyed lookup join — now a thin contract wrapper over
+    the engine's generic :func:`camden_ray.stages.cojoin.hash_join`.
 
     ``facts`` rows (k:int64, ival:int64, sval:string) are matched against
-    ``dims`` rows (k:int64, val:string, k unique) by co-hash-partitioning both
-    sides on k (union + groupby(pkey)) and doing ONE numpy sort+searchsorted
-    pass per partition. Returns matched fact rows with the dim ``val``
-    attached — an inner equi-join that never touches ``Dataset.join`` and
-    holds no driver state.
+    ``dims`` rows (k:int64, val:string) by co-hash-partitioning both sides
+    on k; duplicate dim keys resolve DETERMINISTICALLY to the min ``val``
+    (``right_unique_by`` — k is unique in most callers, but the incremental
+    name dim can carry two names for a uid that is both a base rep and a
+    re-crawled new doc, and min picks the base-prefixed name, the driver
+    path's priority). Returns matched fact rows (k, ival, sval, val) — an
+    inner equi-join that never touches ``Dataset.join`` and holds no
+    driver state.
     """
-    import numpy as np
-    import pyarrow.compute as pc
+    from camden_ray.stages.cojoin import hash_join
 
-    from camden_ray.functions.hashing import mix64
-
-    P = np.uint64(num_partitions)
-    LOOKUP_MIX = np.uint64(0xC2B2AE3D27D4EB4F)
-
-    def tag(is_dim: bool):
-        def f(t: pa.Table) -> pa.Table:
-            k = t["k"].to_numpy().view(np.uint64)
-            pkey = (mix64(k ^ LOOKUP_MIX) % P).view(np.int64)
-            cols = {
-                "k": t["k"],
-                "ival": t["ival"] if "ival" in t.column_names else pa.nulls(len(t), type=pa.int64()),
-                "sval": t["sval"] if "sval" in t.column_names else pa.nulls(len(t), type=pa.string()),
-                "val": t["val"] if "val" in t.column_names else pa.nulls(len(t), type=pa.string()),
-                "is_dim": pa.array(np.full(len(t), is_dim)),
-                "pkey": pa.array(pkey, type=pa.int64()),
-            }
-            return pa.table(cols)
-
-        return f
-
-    def merge(t: pa.Table) -> pa.Table:
-        is_dim = t["is_dim"].to_numpy(zero_copy_only=False)
-        k = t["k"].to_numpy()
-        dk = k[is_dim]
-        dval_all = t["val"].filter(pa.array(is_dim))
-        if isinstance(dval_all, pa.ChunkedArray):
-            dval_all = dval_all.combine_chunks()
-        # two-key sort: duplicate dim keys resolve DETERMINISTICALLY to the
-        # min value (k unique in most callers; the incremental name dim can
-        # carry two names for a uid that is both a base rep and a re-crawled
-        # new doc — min picks the base-prefixed name, the driver's priority)
-        order = pc.sort_indices(
-            pa.table({"k": pa.array(dk), "v": dval_all}),
-            sort_keys=[("k", "ascending"), ("v", "ascending")],
-        ).to_numpy(zero_copy_only=False)
-        dk = dk[order]
-        dval = dval_all.take(pa.array(order))
-        fmask = ~is_dim
-        fk = k[fmask]
-        if len(dk) == 0:
-            fidx = np.empty(0, dtype=np.int64)
-            ok = np.zeros(len(fk), dtype=bool)
-            pos_c = np.zeros(len(fk), dtype=np.int64)
-        else:
-            pos = np.searchsorted(dk, fk)
-            ok = pos < len(dk)
-            pos_c = np.minimum(pos, len(dk) - 1)
-            ok &= dk[pos_c] == fk
-            fidx = np.flatnonzero(fmask)[ok]
-        ft = t.take(pa.array(fidx))
-        return pa.table(
-            {
-                "k": ft["k"],
-                "ival": ft["ival"],
-                "sval": ft["sval"],
-                "val": dval.take(pa.array(pos_c[ok])),
-            }
-        )
-
-    rows = facts.map_batches(tag(False), batch_format="pyarrow").union(
-        dims.map_batches(tag(True), batch_format="pyarrow")
+    return hash_join(
+        facts,
+        dims,
+        on="k",
+        how="inner",
+        num_partitions=num_partitions,
+        right_unique_by="val",
     )
-    return partition_map(rows, num_partitions, merge)
 
 
 def assign_clusters_distributed_uid(

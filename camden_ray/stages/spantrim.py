@@ -166,61 +166,29 @@ def attach_dense_ranks(
         ]
     )
 
-    Pu = np.uint64(P)
-
-    def _pk(col) -> pa.Array:
-        return pa.array(
-            (mix64(_key_ids(col) ^ _KEY_MIX) % Pu).view(np.int64),
-            type=pa.int64(),
-        )
-
-    def tag_doc(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                key: t[key],
-                text: pc.fill_null(t[text], ""),
-                "__rank": pa.nulls(len(t), type=pa.int64()),
-                "__isdim": pa.array(np.zeros(len(t), dtype=bool)),
-                "pkey": _pk(t[key]),
-            }
-        )
-
-    def tag_rank(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                key: t[key],
-                text: pa.nulls(len(t), type=pa.string()),
-                "__rank": t["__rank"],
-                "__isdim": pa.array(np.ones(len(t), dtype=bool)),
-                "pkey": _pk(t[key]),
-            }
-        )
-
-    def merge(t: pa.Table) -> pa.Table:
-        if "__isdim" not in t.column_names:  # fully-empty corpus
+    def norm_docs(t: pa.Table) -> pa.Table:
+        if key not in t.column_names:  # schema-less empty block
             return pa.table(
                 {key: pa.array([], type=ktype),
-                 text: pa.array([], type=pa.string()),
-                 "__rank": pa.array([], type=pa.int64())}
+                 text: pa.array([], type=pa.string())}
             )
-        is_dim = t["__isdim"].to_numpy(zero_copy_only=False)
-        dt = t.filter(pa.array(~is_dim))
-        dm = t.filter(pa.array(is_dim))
-        dkeys = dm[key]
-        if isinstance(dkeys, pa.ChunkedArray):
-            dkeys = dkeys.combine_chunks()
-        idx = pc.index_in(dt[key], value_set=dkeys)
-        ranks_col = pc.fill_null(dm["__rank"], 0)
-        if isinstance(ranks_col, pa.ChunkedArray):
-            ranks_col = ranks_col.combine_chunks()
-        return pa.table(
-            {key: dt[key], text: dt[text], "__rank": ranks_col.take(idx)}
-        )
+        return pa.table({key: t[key], text: pc.fill_null(t[text], "")})
 
-    rows = docs.map_batches(tag_doc, batch_format="pyarrow").union(
-        ranks.map_batches(tag_rank, batch_format="pyarrow")
+    # doc keys are unique by contract, so the inner join attaches exactly
+    # one rank per doc row; hash_join (stages/cojoin.py) concentrates the
+    # co-partition pitfalls this function used to re-implement
+    from camden_ray.stages.cojoin import hash_join
+
+    sch = pa.schema([(key, ktype), (text, pa.string())])
+    return hash_join(
+        docs.map_batches(norm_docs, batch_format="pyarrow"),
+        ranks,
+        on=key,
+        how="inner",
+        num_partitions=P,
+        left_schema=sch,
+        right_schema=pa.schema([(key, ktype), ("__rank", pa.int64())]),
     )
-    return partition_map(rows, P, merge, key="pkey")
 
 
 def make_gram_rows(L: int, P: int, key: str = "key", text: str = "text"):

@@ -1,0 +1,138 @@
+"""hash_join (stages/cojoin.py) vs DuckDB: randomized parity over all four
+join types with duplicate keys on both sides and null keys, for int AND
+string key columns; partition-count parity; collision-suffix renaming."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from camden_ray.stages.cojoin import hash_join
+
+HOWS = ("inner", "left", "semi", "anti")
+
+
+def _mk(seed: int, strkey: bool):
+    rng = np.random.default_rng(seed)
+    lk = rng.integers(0, 12, size=40).astype(np.int64)
+    rk = rng.integers(4, 16, size=25).astype(np.int64)  # partial overlap
+
+    def col(ks, null_every):
+        vals = [None if i % null_every == 0 else int(k) for i, k in enumerate(ks)]
+        if strkey:
+            vals = [None if v is None else f"k{v:02d}" for v in vals]
+        return pa.array(vals, pa.string() if strkey else pa.int64())
+
+    left = pa.table(
+        {
+            "k": col(lk, 9),
+            "lv": pa.array(rng.integers(0, 100, size=40), pa.int64()),
+            "ls": pa.array([f"L{i}" for i in range(40)], pa.string()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": col(rk, 7),
+            "rv": pa.array(rng.integers(0, 100, size=25), pa.int64()),
+        }
+    )
+    return left, right
+
+
+def _sql(how: str) -> str:
+    if how == "inner":
+        return "SELECT l.k, l.lv, l.ls, r.rv FROM L l JOIN R r ON l.k = r.k"
+    if how == "left":
+        return "SELECT l.k, l.lv, l.ls, r.rv FROM L l LEFT JOIN R r ON l.k = r.k"
+    if how == "semi":
+        return "SELECT k, lv, ls FROM L WHERE EXISTS(SELECT 1 FROM R WHERE R.k = L.k)"
+    return "SELECT k, lv, ls FROM L WHERE NOT EXISTS(SELECT 1 FROM R WHERE R.k = L.k)"
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype != object:
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strkey", [False, True])
+@pytest.mark.parametrize("how", HOWS)
+def test_hash_join_parity(ray_session, strkey, how):
+    left, right = _mk(3 + strkey, strkey)
+    con = duckdb.connect()
+    con.register("L", left)
+    con.register("R", right)
+    want = _norm(con.execute(_sql(how)).fetchdf())
+    got = hash_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        on="k",
+        how=how,
+        num_partitions=8,
+    ).to_pandas()
+    got = _norm(got)
+    assert got.equals(want), f"{how}/{strkey}\ngot:\n{got}\nwant:\n{want}"
+
+
+def test_hash_join_partition_parity(ray_session):
+    left, right = _mk(11, False)
+    outs = [
+        _norm(
+            hash_join(
+                ray.data.from_arrow(left),
+                ray.data.from_arrow(right),
+                on="k",
+                how="inner",
+                num_partitions=p,
+            ).to_pandas()
+        )
+        for p in (1, 8)
+    ]
+    assert outs[0].equals(outs[1])
+
+
+def test_hash_join_suffix_and_dup_expansion(ray_session):
+    # same payload name on both sides → right gets _r suffix; key 1 has
+    # 2×3 occurrences → 6-row cross product
+    left = pa.table(
+        {"k": pa.array([1, 1, 2], pa.int64()), "v": pa.array([10, 11, 12], pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array([1, 1, 1], pa.int64()), "v": pa.array([7, 8, 9], pa.int64())}
+    )
+    got = hash_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right),
+        on="k",
+        how="inner",
+        num_partitions=4,
+    ).to_pandas()
+    assert sorted(got.columns) == ["k", "v", "v_r"]
+    assert len(got) == 6
+    assert set(got["v"]) == {10, 11} and set(got["v_r"]) == {7, 8, 9}
+
+
+def test_hash_join_empty_sides(ray_session):
+    left, right = _mk(5, False)
+    empty = pa.table({"k": pa.array([], pa.int64()), "rv": pa.array([], pa.int64())})
+    got = hash_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(empty),
+        on="k",
+        how="left",
+        num_partitions=4,
+    ).to_pandas()
+    assert len(got) == left.num_rows
+    assert got["rv"].isna().all()
+    got_i = hash_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(empty),
+        on="k",
+        how="inner",
+        num_partitions=4,
+    ).to_pandas()
+    assert len(got_i) == 0
