@@ -3313,6 +3313,103 @@ def customer_urgent_counts(sf_dir: str):
     )
 
 
+def orders_priority_rollup(sf_dir: str):
+    """ROLLUP aggregation — SQL's ``GROUP BY ROLLUP(priority, status)``:
+    per-(priority, status) totals, per-priority subtotals, and the grand
+    total in one result, NULL marking each rolled-up level. Scale shape:
+    ONE fine-grained groupby (the only corpus-sized shuffle), then the
+    subtotal and grand-total levels reduce the already-tiny fine result —
+    the classic rollup-from-finest-level plan, no second pass over the
+    fact table."""
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    fine = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+        .take_all()  # (priority × status)-sized: ≤ 15 rows at any corpus size
+    )
+    pr: dict = {}
+    tot_n = tot_c = 0
+    for r in fine:
+        key = r["o_orderpriority"]
+        a = pr.setdefault(key, [0, 0])
+        a[0] += r["n"]
+        a[1] += r["sum_cents"]
+        tot_n += r["n"]
+        tot_c += r["sum_cents"]
+    rows = [
+        (r["o_orderpriority"], r["o_orderstatus"], r["n"], r["sum_cents"])
+        for r in fine
+    ]
+    rows += [(k, None, a[0], a[1]) for k, a in pr.items()]
+    if fine:
+        rows.append((None, None, tot_n, tot_c))
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "o_orderstatus": pa.array([r[1] for r in rows], pa.string()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_cents": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def events_value_rank(sf_dir: str):
+    """Value-ordered ranking window — SQL's ``RANK()`` and ``DENSE_RANK()
+    OVER (PARTITION BY user_id ORDER BY value)``, the tie-semantics window
+    class (peers share a rank; RANK leaves gaps, DENSE_RANK does not;
+    NULL values sort last and are peers of each other, DuckDB's default).
+    Key-partitioned ``map_groups``; the rank kernel is one sort + one
+    run-boundary scan per group, fully vectorized."""
+
+    def win(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("value", "ascending")], null_placement="at_end"
+        )
+        t = t.take(order)
+        v = t["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        n = len(v)
+        vals = v.to_numpy(zero_copy_only=False)  # float64, NaN for nulls
+        prev = np.r_[np.nan, vals[:-1]]
+        # new run starts where the value differs from the previous row;
+        # two NaNs are PEERS (SQL: nulls are equal in window ordering)
+        both_nan = np.isnan(vals) & np.isnan(prev)
+        # a float compare against NaN is True under !=, so NaN-NaN pairs
+        # must be cleared explicitly to stay peers
+        new_run = np.r_[True, vals[1:] != vals[:-1]]
+        new_run &= ~both_nan
+        new_run[0] = True
+        starts = np.flatnonzero(new_run)
+        runs = np.diff(np.r_[starts, n])
+        rank = np.repeat(starts + 1, runs)
+        dense = np.repeat(np.arange(1, len(starts) + 1), runs)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "value_rank": pa.array(rank, pa.int64()),
+                "value_dense_rank": pa.array(dense, pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3401,6 +3498,8 @@ QUERIES = {
     "doc_stopword_strip": doc_stopword_strip,
     "orders_customer_join": orders_customer_join,
     "customer_urgent_counts": customer_urgent_counts,
+    "orders_priority_rollup": orders_priority_rollup,
+    "events_value_rank": events_value_rank,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -4633,4 +4732,21 @@ ORACLE_SQL["customer_urgent_counts"] = """
         SELECT o_custkey, count(*) AS n_urgent FROM orders
         WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
     ) u ON c.c_custkey = u.o_custkey
+"""
+
+ORACLE_SQL["orders_priority_rollup"] = """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+ORACLE_SQL["events_value_rank"] = """
+    SELECT event_id, user_id,
+           CAST(RANK() OVER w AS BIGINT) AS value_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS value_dense_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value)
 """

@@ -244,3 +244,61 @@ def test_stopword_strip_boundaries(ray_session, tmp_path):
     assert by_id.loc[2, "clean_md5"] == md5("")
     assert by_id.loc[4, "clean_md5"] == md5("")
     assert by_id.loc[5, "clean_md5"] == md5("x y")
+
+
+def test_rollup_levels(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import ORACLE_SQL, orders_priority_rollup
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 2], pa.int64()),
+            "o_orderpriority": pa.array(
+                ["1-URGENT", "1-URGENT", "1-URGENT", "5-LOW"], pa.string()
+            ),
+            "o_orderstatus": pa.array(["O", "F", "O", "O"], pa.string()),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 5.5], pa.float64()),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = orders_priority_rollup(str(tmp_path)).to_pandas()
+    want = _oracle(
+        str(tmp_path), ORACLE_SQL["orders_priority_rollup"], views=("orders",)
+    )
+    got = _eq(got, want, ["o_orderpriority", "o_orderstatus", "n"])
+    # grand total row: both group columns NULL
+    grand = got[got.o_orderpriority.isna() & got.o_orderstatus.isna()]
+    assert len(grand) == 1 and grand.n.item() == 4
+    assert grand.sum_cents.item() == 6550
+    # per-priority subtotal for 1-URGENT sums its two status rows
+    sub = got[(got.o_orderpriority == "1-URGENT") & got.o_orderstatus.isna()]
+    assert sub.n.item() == 3 and sub.sum_cents.item() == 6000
+
+
+def test_value_rank_ties_and_nulls(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import ORACLE_SQL, events_value_rank
+
+    t0 = datetime.datetime(2026, 1, 1)
+    vals = [5.0, 5.0, 7.0, None, None, 1.0]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(1, 7), pa.int64()),
+            "ts": pa.array([t0] * 6, pa.timestamp("us")),
+            "user_id": pa.array([1] * 6, pa.int64()),
+            "event_type": pa.array(["view"] * 6, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = events_value_rank(str(tmp_path)).to_pandas()
+    want = _oracle(str(tmp_path), ORACLE_SQL["events_value_rank"])
+    got = _eq(got, want, "event_id")
+    by_id = got.set_index("event_id")
+    # ties share a rank, RANK leaves a gap, DENSE_RANK does not
+    assert by_id.loc[1, "value_rank"] == by_id.loc[2, "value_rank"] == 2
+    assert by_id.loc[3, "value_rank"] == 4
+    assert by_id.loc[3, "value_dense_rank"] == 3
+    # NULLs sort last and are peers of each other
+    assert by_id.loc[4, "value_rank"] == by_id.loc[5, "value_rank"] == 5
+    assert by_id.loc[4, "value_dense_rank"] == 4
+    assert by_id.loc[6, "value_rank"] == 1
