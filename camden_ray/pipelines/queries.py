@@ -3016,6 +3016,12 @@ def events_pivot(sf_dir: str):
     return out.filter(expr="n_total > 0")
 
 
+# above this many distinct probe keys the anti-join broadcast would hold a
+# driver/object-store array too big to ship whole — route through the
+# distributed hash_join anti path instead (parity-tested with the cap at 0)
+_ANTI_BROADCAST_MAX_KEYS = 50_000_000
+
+
 def customers_without_orders(sf_dir: str):
     """Distributed ANTI-join: customers that never placed an URGENT-priority
     order (SQL's ``NOT IN`` / anti-semi-join — the join class the registry
@@ -3024,21 +3030,43 @@ def customers_without_orders(sf_dir: str):
     orders side collapses to per-block DISTINCT key partials (≤
     key-domain-sized, fact row count irrelevant), unioned and broadcast
     ONCE via ``ray.put``; the customer scan is then map-only with a
-    vectorized ``searchsorted`` miss test. The broadcast is bounded by the
-    customer-key domain (dim-table-sized); above that bound the kind-tagged
-    co-partition exchange (the house shuffle-join primitive, cf.
-    ``stages.cluster._copartition_lookup``) replaces the broadcast."""
+    vectorized ``searchsorted`` miss test. Above
+    ``_ANTI_BROADCAST_MAX_KEYS`` distinct probe keys the broadcast regime
+    is replaced IN CODE by ``stages.cojoin.hash_join(how="anti")`` — the
+    co-partition exchange whose movement is both-sides-sized but never
+    driver-resident (parity-tested against the broadcast path with the cap
+    forced to 0)."""
+    from camden_ray.stages.cojoin import hash_join
+
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
 
     def urgent_keys(t: pa.Table) -> pa.Table:
         m = pc.fill_null(pc.equal(t["o_orderpriority"], "1-URGENT"), False)
         return pa.table({"k": pc.unique(t.filter(m)["o_custkey"])})
 
+    key_parts = orders.map_batches(urgent_keys, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    # cheap metadata decision: per-block distinct counts, not the keys
+    n_keys = key_parts.count()
+    if n_keys > _ANTI_BROADCAST_MAX_KEYS:
+        from camden_ray.stages.candidates import default_partitions
+
+        probe = key_parts.map_batches(
+            lambda t: pa.table({"c_custkey": t["k"]}), batch_format="pyarrow"
+        )
+        return hash_join(
+            cust,
+            probe,
+            on="c_custkey",
+            how="anti",
+            num_partitions=default_partitions(DedupConfig()),
+            right_schema=pa.schema([("c_custkey", pa.int64())]),
+        )
+
     parts = [
         b["k"].to_numpy(zero_copy_only=False)
-        for b in orders.map_batches(
-            urgent_keys, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow")
+        for b in key_parts.iter_batches(batch_format="pyarrow")
     ]
     keys = (
         np.unique(np.concatenate(parts))
@@ -3057,7 +3085,6 @@ def customers_without_orders(sf_dir: str):
         hit = (pos < len(arr)) & (arr[pos_c] == ks)
         return t.filter(pa.array(~hit))
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
     return cust.map_batches(anti, batch_format="pyarrow")
 
 

@@ -302,3 +302,46 @@ def test_value_rank_ties_and_nulls(ray_session, tmp_path):
     assert by_id.loc[4, "value_rank"] == by_id.loc[5, "value_rank"] == 5
     assert by_id.loc[4, "value_dense_rank"] == 4
     assert by_id.loc[6, "value_rank"] == 1
+
+
+def test_anti_join_distributed_fallback_parity(ray_session, tmp_path, monkeypatch):
+    """Forcing the broadcast cap to 0 routes the anti-join through the
+    distributed hash_join path; the result must be identical (the house
+    cap-fallback contract)."""
+    import camden_ray.pipelines.queries as q
+
+    rng = np.random.default_rng(31)
+    nc = 60
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(range(nc), pa.int64()),
+            "c_name": pa.array([f"c{i}" for i in range(nc)], pa.string()),
+            "c_mktsegment": pa.array(["S"] * nc, pa.string()),
+        }
+    )
+    ck = rng.integers(0, nc, size=200)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(200), pa.int64()),
+            "o_custkey": pa.array(ck, pa.int64()),
+            "o_orderpriority": pa.array(
+                np.where(rng.random(200) < 0.3, "1-URGENT", "5-LOW")
+            ),
+        }
+    )
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+
+    def run():
+        return (
+            q.customers_without_orders(str(tmp_path))
+            .to_pandas()
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+
+    broadcast = run()
+    monkeypatch.setattr(q, "_ANTI_BROADCAST_MAX_KEYS", 0)
+    distributed = run()
+    assert len(broadcast) > 0
+    assert broadcast.equals(distributed)
