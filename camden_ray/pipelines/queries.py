@@ -3437,6 +3437,53 @@ def events_value_rank(sf_dir: str):
     return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
 
 
+def embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION vector aggregates over the embedding column (the
+    array/list aggregate class): n, fixed-point sum, min, max for each of
+    the d dimensions. Scale shape: each block reduces its (n_block × d)
+    zero-copy matrix to ONE d-row partial (vectorized column reductions),
+    so the groupby moves blocks × d rows regardless of corpus size.
+    Fixed-point ×1e6 on the float32→float64-exact values makes the sums
+    order-independent integers — bit-identical to the oracle's
+    generate_series/list_extract twin."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def part(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t["embedding"])  # float32 → float64, exact
+        if m.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_fp": pa.array([], pa.int64()),
+                    "min_fp": pa.array([], pa.int64()),
+                    "max_fp": pa.array([], pa.int64()),
+                }
+            )
+        fp = _fp_round(m.ravel(), 1_000_000).reshape(m.shape)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n": pa.array(np.full(d, m.shape[0], dtype=np.int64)),
+                "sum_fp": pa.array(fp.sum(axis=0, dtype=np.int64)),
+                "min_fp": pa.array(fp.min(axis=0).astype(np.int64)),
+                "max_fp": pa.array(fp.max(axis=0).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_fp", alias_name="sum_fp"),
+            Min("min_fp", alias_name="min_fp"),
+            Max("max_fp", alias_name="max_fp"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3527,6 +3574,7 @@ QUERIES = {
     "customer_urgent_counts": customer_urgent_counts,
     "orders_priority_rollup": orders_priority_rollup,
     "events_value_rank": events_value_rank,
+    "embedding_dim_stats": embedding_dim_stats,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -4776,4 +4824,17 @@ ORACLE_SQL["events_value_rank"] = """
            CAST(DENSE_RANK() OVER w AS BIGINT) AS value_dense_rank
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY value)
+"""
+
+ORACLE_SQL["embedding_dim_stats"] = """
+    WITH vals AS (
+        SELECT CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS fp
+        FROM embeddings
+    )
+    SELECT dim, count(*) AS n,
+           CAST(sum(fp) AS BIGINT) AS sum_fp,
+           min(fp) AS min_fp, max(fp) AS max_fp
+    FROM vals GROUP BY dim
 """

@@ -345,3 +345,31 @@ def test_anti_join_distributed_fallback_parity(ray_session, tmp_path, monkeypatc
     distributed = run()
     assert len(broadcast) > 0
     assert broadcast.equals(distributed)
+
+
+def test_embedding_dim_stats_crafted(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import ORACLE_SQL, embedding_dim_stats
+
+    embs = [
+        [0.5, -1.25, 3.0],
+        [1.5, 2.75, -0.5],
+        [-2.0, 0.0, 1.0],
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(3), pa.int64()),
+            "embedding": pa.array(embs, pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 0], pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = embedding_dim_stats(str(tmp_path)).to_pandas()
+    want = _oracle(
+        str(tmp_path), ORACLE_SQL["embedding_dim_stats"], views=("embeddings",)
+    )
+    got = _eq(got, want, "dim")
+    by_dim = got.set_index("dim")
+    assert by_dim.loc[1, "sum_fp"] == 0  # 0.5 + 1.5 - 2.0
+    assert by_dim.loc[2, "min_fp"] == -1_250_000
+    assert by_dim.loc[2, "max_fp"] == 2_750_000
+    assert (by_dim["n"] == 3).all()
