@@ -24,29 +24,65 @@ sys.path.insert(0, REPO)
 
 TILED_BASE = "/tmp/camden_ray_docs"
 SRC = "/root/testdata/sf0.1/documents.parquet"
+SF_DIR = "/root/testdata/sf0.1"
 DEFAULT_TILES = 200  # sf0.1 documents is 5k rows → 1M docs
+
+# key columns to offset per tile, per table (keeps per-key group sizes and
+# join fan-in CONSTANT as the corpus grows — growth adds keys, the realistic
+# scale axis — instead of inflating every group/bucket). Each entry is
+# (column, owner) — the offset stride comes from the OWNER table's key
+# domain so foreign keys stay aligned across tables tiled independently
+# (orders.o_custkey must stride by the CUSTOMER domain, not its own max).
+_TILE_OFFSETS = {
+    "documents": [("doc_id", ("documents", "doc_id"))],
+    "events": [("event_id", ("events", "event_id")),
+               ("user_id", ("events", "user_id"))],
+    "orders": [("o_orderkey", ("orders", "o_orderkey")),
+               ("o_custkey", ("customer", "c_custkey"))],
+    "customer": [("c_custkey", ("customer", "c_custkey"))],
+}
+
+
+def _domain_stride(owner: tuple) -> int:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tb, col = owner
+    t = pq.read_table(os.path.join(SF_DIR, f"{tb}.parquet"), columns=[col])
+    return int(pc.max(t[col]).as_py()) + 1
 
 
 def ensure_tiled(tiles: int) -> str:
     """Tile sf0.1 documents ``tiles``× with offset doc_ids (5k rows per
     tile), one shard per tile (deterministic; cached per size)."""
-    import pyarrow as pa
+    return ensure_tiled_table("documents", tiles)
+
+
+def ensure_tiled_table(table: str, tiles: int) -> str:
+    """Tile one sf0.1 table ``tiles``× with per-tile offsets on its key
+    columns (deterministic; cached per (table, size))."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tiled_dir = f"{TILED_BASE}_{tiles}"
+    base = TILED_BASE if table == "documents" else f"{TILED_BASE}_{table}"
+    tiled_dir = f"{base}_{tiles}"
     marker = os.path.join(tiled_dir, "_done")
     if os.path.exists(marker):
         return tiled_dir
     os.makedirs(os.path.join(tiled_dir, "shards"), exist_ok=True)
-    t = pq.read_table(SRC)
+    t = pq.read_table(os.path.join(SF_DIR, f"{table}.parquet"))
     n = t.num_rows
+    strides = {
+        col: _domain_stride(owner) for col, owner in _TILE_OFFSETS[table]
+    }
     for i in range(tiles):
-        shifted = t.set_column(
-            t.schema.get_field_index("doc_id"),
-            "doc_id",
-            pc.add(t["doc_id"], i * n),
-        )
+        shifted = t
+        for col, _ in _TILE_OFFSETS[table]:
+            shifted = shifted.set_column(
+                shifted.schema.get_field_index(col),
+                col,
+                pc.add(shifted[col], i * strides[col]),
+            )
         pq.write_table(
             shifted, os.path.join(tiled_dir, "shards", f"tile-{i:03d}.parquet")
         )
@@ -60,16 +96,37 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--op", default="doc_unigram_logprob")
     ap.add_argument("--tiles", type=int, default=DEFAULT_TILES)
+    ap.add_argument(
+        "--tables",
+        default="documents",
+        help="comma list of tables to tile (documents, events, orders, "
+        "customer); the op's sf_dir serves tiled versions of these and "
+        "the plain sf0.1 file for any other table",
+    )
     args = ap.parse_args()
 
-    tiled_dir = ensure_tiled(args.tiles)
-    # the registry reads <sf_dir>/documents.parquet; point a symlink dir at
-    # the sharded tile directory (read_parquet accepts a directory)
-    sf_dir = os.path.join(tiled_dir, "as_sf")
-    os.makedirs(sf_dir, exist_ok=True)
-    link = os.path.join(sf_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(tiled_dir, "shards"), link)
+    tables = args.tables.split(",")
+    sf_dir = None
+    n_docs = 0
+    for tb in tables:
+        tiled_dir = ensure_tiled_table(tb, args.tiles)
+        # the registry reads <sf_dir>/<table>.parquet; point a symlink dir
+        # at the sharded tile directory (read_parquet accepts a directory)
+        if sf_dir is None:
+            sf_dir = os.path.join(tiled_dir, "as_sf_" + "_".join(tables))
+            os.makedirs(sf_dir, exist_ok=True)
+        link = os.path.join(sf_dir, f"{tb}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(tiled_dir, "shards"), link)
+        with open(os.path.join(tiled_dir, "_done")) as f:
+            rows = int(f.read())
+        if tb == tables[0]:
+            n_docs = rows
+    # non-tiled tables fall back to the plain sf0.1 files
+    for fname in os.listdir(SF_DIR):
+        dst = os.path.join(sf_dir, fname)
+        if fname.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join(SF_DIR, fname), dst)
 
     import ray
 
@@ -83,8 +140,6 @@ def main() -> None:
 
     from camden_ray.pipelines.queries import QUERIES
 
-    with open(os.path.join(tiled_dir, "_done")) as f:
-        n_docs = int(f.read())
     import ray.data
 
     fn = QUERIES[args.op]
