@@ -3042,12 +3042,21 @@ def customers_without_orders(sf_dir: str):
 
     def urgent_keys(t: pa.Table) -> pa.Table:
         m = pc.fill_null(pc.equal(t["o_orderpriority"], "1-URGENT"), False)
-        return pa.table({"k": pc.unique(t.filter(m)["o_custkey"])})
+        # NULL keys never match under NOT EXISTS semantics (the oracle's
+        # form) — drop them from the probe side
+        return pa.table(
+            {"k": pc.drop_null(pc.unique(t.filter(m)["o_custkey"]))}
+        )
 
-    key_parts = orders.map_batches(urgent_keys, batch_format="pyarrow")
+    # materialize the distinct-key partials ONCE: the cap decision (count)
+    # and the chosen path both consume them; without this the orders scan
+    # + distinct reduce (the op's dominant cost) would execute twice
+    key_parts = orders.map_batches(
+        urgent_keys, batch_format="pyarrow"
+    ).materialize()
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
 
-    # cheap metadata decision: per-block distinct counts, not the keys
+    # cheap decision on the materialized partials: row count, not the keys
     n_keys = key_parts.count()
     if n_keys > _ANTI_BROADCAST_MAX_KEYS:
         from camden_ray.stages.candidates import default_partitions
@@ -3077,12 +3086,22 @@ def customers_without_orders(sf_dir: str):
 
     def anti(t: pa.Table) -> pa.Table:
         arr = ray.get(ref)  # zero-copy plasma read, once per task
-        ks = t["c_custkey"].to_numpy(zero_copy_only=False)
+        kcol = t["c_custkey"]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        # null customer keys are always unmatched (NOT EXISTS semantics);
+        # fill before to_numpy to dodge the int64→float64 null trap
+        valid = (
+            pc.is_valid(kcol).to_numpy(zero_copy_only=False)
+            if kcol.null_count
+            else np.ones(len(kcol), dtype=bool)
+        )
+        ks = pc.fill_null(kcol, 0).to_numpy(zero_copy_only=False)
         if len(arr) == 0:
             return t
         pos = np.searchsorted(arr, ks)
         pos_c = np.minimum(pos, len(arr) - 1)
-        hit = (pos < len(arr)) & (arr[pos_c] == ks)
+        hit = (pos < len(arr)) & (arr[pos_c] == ks) & valid
         return t.filter(pa.array(~hit))
 
     return cust.map_batches(anti, batch_format="pyarrow")
@@ -3381,8 +3400,9 @@ def orders_priority_rollup(sf_dir: str):
         for r in fine
     ]
     rows += [(k, None, a[0], a[1]) for k, a in pr.items()]
-    if fine:
-        rows.append((None, None, tot_n, tot_c))
+    # the () grouping set exists even over an EMPTY table (SQL ROLLUP emits
+    # one grand-total row with n=0 and a NULL sum)
+    rows.append((None, None, tot_n, tot_c if fine else None))
     return pa.table(
         {
             "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
@@ -3411,14 +3431,24 @@ def events_value_rank(sf_dir: str):
             v = v.combine_chunks()
         n = len(v)
         vals = v.to_numpy(zero_copy_only=False)  # float64, NaN for nulls
-        prev = np.r_[np.nan, vals[:-1]]
-        # new run starts where the value differs from the previous row;
-        # two NaNs are PEERS (SQL: nulls are equal in window ordering)
-        both_nan = np.isnan(vals) & np.isnan(prev)
-        # a float compare against NaN is True under !=, so NaN-NaN pairs
-        # must be cleared explicitly to stay peers
+        # NULL and a stored NaN VALUE are distinct peer groups in SQL
+        # (Arrow's sort also separates them: NaN after numbers, nulls
+        # last) — track validity so only null-null and NaN-NaN pairs
+        # merge, never null-NaN
+        isnull = (
+            pc.is_null(v).to_numpy(zero_copy_only=False)
+            if v.null_count
+            else np.zeros(n, dtype=bool)
+        )
+        real_nan = np.isnan(vals) & ~isnull
+        peers_special = np.r_[
+            False,
+            (real_nan[1:] & real_nan[:-1]) | (isnull[1:] & isnull[:-1]),
+        ]
+        # a float compare against NaN is True under !=, so NaN-NaN (and
+        # null-null) pairs must be cleared explicitly to stay peers
         new_run = np.r_[True, vals[1:] != vals[:-1]]
-        new_run &= ~both_nan
+        new_run &= ~peers_special
         new_run[0] = True
         starts = np.flatnonzero(new_run)
         runs = np.diff(np.r_[starts, n])
@@ -4748,10 +4778,16 @@ ORACLE_SQL["events_pivot"] = """
     FROM events GROUP BY hour
 """
 
+# NOT EXISTS, not NOT IN: the Ray paths implement anti-join semantics
+# (null keys never match, null-key customers survive), which NOT IN would
+# contradict the moment a NULL key appeared on either side
 ORACLE_SQL["customers_without_orders"] = """
-    SELECT c_custkey, c_name, c_mktsegment FROM customer
-    WHERE c_custkey NOT IN
-          (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_orderpriority = '1-URGENT'
+          AND o.o_custkey = c.c_custkey
+    )
 """
 
 # KMV estimate in exact integer math: the Ray sketch and this SQL compute the

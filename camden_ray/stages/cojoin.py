@@ -125,8 +125,23 @@ def hash_join(
         raise ValueError(f"key column {on!r} missing from a side")
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))
+    # fail at plan time, not deep inside the exchange with an opaque
+    # union-schema error (int and string ids hash differently — a mixed
+    # pair could even mis-match silently)
+    l_int = pa.types.is_integer(ltypes[on])
+    if l_int != pa.types.is_integer(rtypes[on]):
+        raise ValueError(
+            f"key column {on!r} type mismatch: left {ltypes[on]} vs "
+            f"right {rtypes[on]}"
+        )
     lpay = [c for c in lnames if c != on]
-    rpay = [c for c in rsch.names if c != on]
+    # semi/anti never emit right payload — don't ship it through the
+    # exchange (null-padded wide right columns would inflate every row)
+    rpay = (
+        [c for c in rsch.names if c != on] if how in ("inner", "left") else []
+    )
+    if right_unique_by is not None and how in ("semi", "anti"):
+        raise ValueError("right_unique_by is meaningless for semi/anti")
     # output names for right payload (suffix on collision with ANY left col)
     rout = {
         c: (c + suffix if c in lnames else c) for c in rpay

@@ -373,3 +373,110 @@ def test_embedding_dim_stats_crafted(ray_session, tmp_path):
     assert by_dim.loc[2, "min_fp"] == -1_250_000
     assert by_dim.loc[2, "max_fp"] == 2_750_000
     assert (by_dim["n"] == 3).all()
+
+
+def test_rollup_empty_input_grand_total(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import ORACLE_SQL, orders_priority_rollup
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_custkey": pa.array([], pa.int64()),
+            "o_orderpriority": pa.array([], pa.string()),
+            "o_orderstatus": pa.array([], pa.string()),
+            "o_totalprice": pa.array([], pa.float64()),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = orders_priority_rollup(str(tmp_path)).to_pandas()
+    want = _oracle(
+        str(tmp_path), ORACLE_SQL["orders_priority_rollup"], views=("orders",)
+    )
+    # SQL ROLLUP emits the () grouping set even over an empty table
+    assert len(got) == len(want) == 1
+    assert got["n"].item() == 0 and pd_isna(got["sum_cents"].item())
+
+
+def pd_isna(x):
+    import pandas as pd
+
+    return pd.isna(x)
+
+
+def test_value_rank_nan_vs_null_distinct_peers(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import ORACLE_SQL, events_value_rank
+
+    t0 = datetime.datetime(2026, 1, 1)
+    vals = [float("nan"), None, float("nan"), 2.0]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(1, 5), pa.int64()),
+            "ts": pa.array([t0] * 4, pa.timestamp("us")),
+            "user_id": pa.array([1] * 4, pa.int64()),
+            "event_type": pa.array(["view"] * 4, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = events_value_rank(str(tmp_path)).to_pandas()
+    want = _oracle(str(tmp_path), ORACLE_SQL["events_value_rank"])
+    got = _eq(got, want, "event_id")
+    by_id = got.set_index("event_id")
+    # number < NaN-peers < NULL: three distinct peer groups
+    assert by_id.loc[4, "value_rank"] == 1
+    assert by_id.loc[1, "value_rank"] == by_id.loc[3, "value_rank"] == 2
+    assert by_id.loc[2, "value_rank"] == 4
+    assert by_id.loc[2, "value_dense_rank"] == 3
+
+
+def test_anti_join_null_keys_not_exists(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import (
+        ORACLE_SQL,
+        customers_without_orders,
+    )
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, None, 3], pa.int64()),
+            "c_name": pa.array(["a", "b", "c"], pa.string()),
+            "c_mktsegment": pa.array(["S"] * 3, pa.string()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11], pa.int64()),
+            "o_custkey": pa.array([1, None], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"], pa.string()),
+        }
+    )
+    pq.write_table(cust, tmp_path / "customer.parquet")
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = customers_without_orders(str(tmp_path)).to_pandas()
+    want = _oracle(
+        str(tmp_path),
+        ORACLE_SQL["customers_without_orders"],
+        views=("customer", "orders"),
+    )
+    # NOT EXISTS: the null-key customer and cust 3 survive; a null-key
+    # urgent order matches nobody
+    got = _eq(got, want, ["c_name"])
+    assert sorted(got["c_name"]) == ["b", "c"]
+
+
+def test_hash_join_plan_time_validation(ray_session):
+    import ray.data
+    from camden_ray.stages.cojoin import hash_join
+
+    li = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1], pa.int64())})
+    )
+    rs = ray.data.from_arrow(
+        pa.table({"k": pa.array(["x"], pa.string()), "w": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="type mismatch"):
+        hash_join(li, rs, on="k")
+    ri = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64()), "w": pa.array([1], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="meaningless"):
+        hash_join(li, ri, on="k", how="anti", right_unique_by="w")

@@ -105,7 +105,13 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    tables = args.tables.split(",")
+    tables = [tb.strip() for tb in args.tables.split(",") if tb.strip()]
+    unknown = [tb for tb in tables if tb not in _TILE_OFFSETS]
+    if unknown:
+        ap.error(
+            f"unsupported table(s) {unknown}; tileable: "
+            f"{sorted(_TILE_OFFSETS)}"
+        )
     sf_dir = None
     n_docs = 0
     for tb in tables:
