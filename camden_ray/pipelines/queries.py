@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -3514,6 +3515,87 @@ def embedding_dim_stats(sf_dir: str):
     )
 
 
+def supplier_nation_revenue(sf_dir: str):
+    """Revenue per nation through its suppliers — a 3-table star pipeline
+    (lineitem fact × supplier × nation dims) completing driver-table
+    coverage: every table the driver ships now has a registry consumer.
+    Scale shape: the fact side pre-reduces per block to (suppkey, cents)
+    partials, ONE supplier-domain-sized groupby, then the two tiny dims
+    (supplier→nation, nation→name) broadcast once via ``ray.put`` for a
+    map-only enrich; the final groupby is nation-sized. n_suppliers =
+    COUNT(DISTINCT suppkey with sales) falls out of the supplier-grain
+    intermediate for free."""
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "price_c": _cents(t["l_extendedprice"]),
+            }
+        )
+        g = tmp.group_by(["l_suppkey"]).aggregate([("price_c", "sum")])
+        return g.rename_columns(["l_suppkey", "sum_price_cents"])
+
+    per_supp = (
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_suppkey")
+        .aggregate(Sum("sum_price_cents", alias_name="sum_price_cents"))
+    )
+
+    supp = pq.read_table(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sk)
+    s_sorted = sk[order]
+    s_nation = supp["s_nationkey"].to_numpy(zero_copy_only=False)[order]
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    norder = np.argsort(nk)
+    n_sorted = nk[norder]
+    n_names = nat["n_name"].combine_chunks().take(pa.array(norder))
+    dims_ref = ray.put((s_sorted, s_nation, n_sorted, n_names))
+
+    def enrich(t: pa.Table) -> pa.Table:
+        s_keys, s_nat, n_keys, names = ray.get(dims_ref)
+        ks = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(s_keys, ks)
+        pos_c = np.minimum(pos, max(len(s_keys) - 1, 0))
+        ok = (
+            (pos < len(s_keys)) & (s_keys[pos_c] == ks)
+            if len(s_keys)
+            else np.zeros(len(ks), dtype=bool)
+        )
+        # inner-join semantics: a fact suppkey missing from the dim drops
+        t = t.filter(pa.array(ok))
+        natk = s_nat[pos_c[ok]]
+        npos = np.searchsorted(n_keys, natk)
+        npos_c = np.minimum(npos, max(len(n_keys) - 1, 0))
+        nok = (
+            (npos < len(n_keys)) & (n_keys[npos_c] == natk)
+            if len(n_keys)
+            else np.zeros(len(natk), dtype=bool)
+        )
+        t = t.filter(pa.array(nok))
+        return pa.table(
+            {
+                "n_name": names.take(pa.array(npos_c[nok])),
+                "sum_price_cents": t["sum_price_cents"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return (
+        per_supp.map_batches(enrich, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("one", alias_name="n_suppliers"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3605,6 +3687,7 @@ QUERIES = {
     "orders_priority_rollup": orders_priority_rollup,
     "events_value_rank": events_value_rank,
     "embedding_dim_stats": embedding_dim_stats,
+    "supplier_nation_revenue": supplier_nation_revenue,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -4873,4 +4956,15 @@ ORACLE_SQL["embedding_dim_stats"] = """
            CAST(sum(fp) AS BIGINT) AS sum_fp,
            min(fp) AS min_fp, max(fp) AS max_fp
     FROM vals GROUP BY dim
+"""
+
+ORACLE_SQL["supplier_nation_revenue"] = """
+    SELECT n.n_name,
+           CAST(count(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_price_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
 """

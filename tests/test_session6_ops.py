@@ -480,3 +480,47 @@ def test_hash_join_plan_time_validation(ray_session):
     )
     with pytest.raises(ValueError, match="meaningless"):
         hash_join(li, ri, on="k", how="anti", right_unique_by="w")
+
+
+def test_supplier_nation_revenue_inner_semantics(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import (
+        ORACLE_SQL,
+        supplier_nation_revenue,
+    )
+
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "l_suppkey": pa.array([10, 10, 11, 99], pa.int64()),  # 99 orphan
+            "l_extendedprice": pa.array([100.0, 50.5, 7.25, 1000.0]),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array([10, 11, 12], pa.int64()),  # 12: no sales
+            "s_name": pa.array(["sa", "sb", "sc"], pa.string()),
+            "s_nationkey": pa.array([1, 2, 1], pa.int64()),
+            "s_acctbal": pa.array([0.0, 0.0, 0.0]),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([1, 2], pa.int64()),
+            "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+            "n_regionkey": pa.array([0, 0], pa.int64()),
+        }
+    )
+    for name, t in [("lineitem", lineitem), ("supplier", supplier), ("nation", nation)]:
+        pq.write_table(t, tmp_path / f"{name}.parquet")
+    got = supplier_nation_revenue(str(tmp_path)).to_pandas()
+    want = _oracle(
+        str(tmp_path),
+        ORACLE_SQL["supplier_nation_revenue"],
+        views=("lineitem", "supplier", "nation"),
+    )
+    got = _eq(got, want, "n_name")
+    by = got.set_index("n_name")
+    # orphan suppkey 99 dropped (inner), supplier 12 has no sales row
+    assert by.loc["ALPHA", "n_suppliers"] == 1
+    assert by.loc["ALPHA", "sum_price_cents"] == 15050
+    assert by.loc["BETA", "sum_price_cents"] == 725
