@@ -3596,6 +3596,57 @@ def supplier_nation_revenue(sf_dir: str):
     )
 
 
+def events_user_setops(sf_dir: str):
+    """Set operations over derived key sets — EXCEPT and INTERSECT in one
+    result: viewers vs purchasers classified as view_only / purchase_only /
+    both (the FULL OUTER of the two DISTINCT sets). The set-ops class the
+    599-line reference has no implementation of (SURVEY §2 'categories with
+    NO reference implementation'). Scale shape: per-block DISTINCT
+    membership-flag partials, ONE key-domain-sized groupby-max — the event
+    fact table is never re-shuffled and no set is driver-resident."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        isv = pc.fill_null(pc.equal(et, "view"), False).to_numpy(
+            zero_copy_only=False
+        )
+        isp = pc.fill_null(pc.equal(et, "purchase"), False).to_numpy(
+            zero_copy_only=False
+        )
+        us = t["user_id"].to_numpy(zero_copy_only=False)
+        keep = isv | isp
+        us, isv, isp = us[keep], isv[keep], isp[keep]
+        uu, inv = np.unique(us, return_inverse=True)
+        v = np.zeros(len(uu), dtype=np.int64)
+        p = np.zeros(len(uu), dtype=np.int64)
+        np.maximum.at(v, inv, isv.astype(np.int64))
+        np.maximum.at(p, inv, isp.astype(np.int64))
+        return pa.table(
+            {
+                "user_id": pa.array(uu, pa.int64()),
+                "v": pa.array(v),
+                "p": pa.array(p),
+            }
+        )
+
+    agg = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("v", alias_name="v"), Max("p", alias_name="p"))
+    )
+
+    def label(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy(zero_copy_only=False).astype(bool)
+        p = t["p"].to_numpy(zero_copy_only=False).astype(bool)
+        lab = np.where(v & p, "both", np.where(v, "view_only", "purchase_only"))
+        return pa.table(
+            {"user_id": t["user_id"], "set_op": pa.array(lab, pa.string())}
+        )
+
+    return agg.map_batches(label, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3688,6 +3739,7 @@ QUERIES = {
     "events_value_rank": events_value_rank,
     "embedding_dim_stats": embedding_dim_stats,
     "supplier_nation_revenue": supplier_nation_revenue,
+    "events_user_setops": events_user_setops,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -4967,4 +5019,14 @@ ORACLE_SQL["supplier_nation_revenue"] = """
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
+"""
+
+ORACLE_SQL["events_user_setops"] = """
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           CASE WHEN p.user_id IS NULL THEN 'view_only'
+                WHEN v.user_id IS NULL THEN 'purchase_only'
+                ELSE 'both' END AS set_op
+    FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
 """

@@ -524,3 +524,31 @@ def test_supplier_nation_revenue_inner_semantics(ray_session, tmp_path):
     assert by.loc["ALPHA", "n_suppliers"] == 1
     assert by.loc["ALPHA", "sum_price_cents"] == 15050
     assert by.loc["BETA", "sum_price_cents"] == 725
+
+
+def test_user_setops_three_way(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import ORACLE_SQL, events_user_setops
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        (1, 1, "view"), (2, 1, "purchase"),       # both
+        (3, 2, "view"), (4, 2, "click"),          # view_only (click ignored)
+        (5, 3, "purchase"),                       # purchase_only
+        (6, 4, "error"),                          # in neither set → absent
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = events_user_setops(str(tmp_path)).to_pandas()
+    want = _oracle(str(tmp_path), ORACLE_SQL["events_user_setops"])
+    got = _eq(got, want, "user_id")
+    assert dict(zip(got.user_id, got.set_op)) == {
+        1: "both", 2: "view_only", 3: "purchase_only"
+    }
