@@ -136,3 +136,70 @@ def test_hash_join_empty_sides(ray_session):
         num_partitions=4,
     ).to_pandas()
     assert len(got_i) == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_int_keys = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-5, max_value=8)),
+    min_size=0, max_size=15,
+)
+_str_keys = st.lists(
+    st.one_of(st.none(), st.text(alphabet="abÁ∂", max_size=3)),
+    min_size=0, max_size=15,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.data(),
+    strkey=st.booleans(),
+    how=st.sampled_from(HOWS),
+)
+def test_hash_join_hypothesis_duckdb(ray_session, data, strkey, how):
+    """Adversarial differential: random key lists (nulls, duplicates,
+    negatives / empty+unicode strings) on both sides, every join type,
+    compared against DuckDB."""
+    ks = _str_keys if strkey else _int_keys
+    kt = pa.string() if strkey else pa.int64()
+    lk = data.draw(ks)
+    rk = data.draw(ks)
+    left = pa.table(
+        {
+            "k": pa.array(lk, kt),
+            "lv": pa.array(range(len(lk)), pa.int64()),
+            "ls": pa.array([f"L{i}" for i in range(len(lk))], pa.string()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(rk, kt),
+            "rv": pa.array(range(len(rk)), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("L", left)
+    con.register("R", right)
+    want = _norm(con.execute(_sql(how)).fetchdf())
+    got = _norm(
+        hash_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(right),
+            on="k",
+            how=how,
+            num_partitions=3,
+        ).to_pandas()
+    )
+    if len(want) == 0:
+        # Ray 2.49 strips the schema from fully-empty datasets (typed
+        # empty blocks a UDF returns come back schema-less — the known
+        # engine-wide trap), so an empty result can only be compared by
+        # row count
+        assert len(got) == 0
+    else:
+        assert got.equals(want), f"{how}/{strkey}\ngot:\n{got}\nwant:\n{want}"
