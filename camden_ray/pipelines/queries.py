@@ -3647,6 +3647,36 @@ def events_user_setops(sf_dir: str):
     return agg.map_batches(label, batch_format="pyarrow")
 
 
+def orders_monthly(sf_dir: str):
+    """Calendar truncation aggregate — monthly order volume and revenue
+    (SQL's ``date_trunc('month', ...)`` time-series rollup; the hourly
+    cousin is ``events_hourly``). Month key = year·100+month as an int64
+    (identical arithmetic on both engines, no timezone/locale surface).
+    Per-block combiner: Arrow year/month kernels + one group_by per batch,
+    then a months-sized groupby-sum."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def part(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"]).cast(pa.int64())
+        m = pc.month(t["o_orderdate"]).cast(pa.int64())
+        tmp = pa.table(
+            {
+                "ym": pc.add(pc.multiply(y, 100), m),
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+        g = tmp.group_by(["ym"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return g.rename_columns(["ym", "sum_cents", "n"])
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3740,6 +3770,7 @@ QUERIES = {
     "embedding_dim_stats": embedding_dim_stats,
     "supplier_nation_revenue": supplier_nation_revenue,
     "events_user_setops": events_user_setops,
+    "orders_monthly": orders_monthly,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -5029,4 +5060,13 @@ ORACLE_SQL["events_user_setops"] = """
                 WHEN v.user_id IS NULL THEN 'purchase_only'
                 ELSE 'both' END AS set_op
     FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+"""
+
+ORACLE_SQL["orders_monthly"] = """
+    SELECT CAST(date_part('year', o_orderdate) * 100
+                + date_part('month', o_orderdate) AS BIGINT) AS ym,
+           count(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders GROUP BY ym
 """

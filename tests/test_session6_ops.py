@@ -552,3 +552,29 @@ def test_user_setops_three_way(ray_session, tmp_path):
     assert dict(zip(got.user_id, got.set_op)) == {
         1: "both", 2: "view_only", 3: "purchase_only"
     }
+
+
+def test_orders_monthly_boundaries(ray_session, tmp_path):
+    from camden_ray.pipelines.queries import ORACLE_SQL, orders_monthly
+
+    ts = [
+        datetime.datetime(2025, 12, 31, 23, 59, 59),
+        datetime.datetime(2026, 1, 1, 0, 0, 0),
+        datetime.datetime(2026, 1, 31, 12, 0, 0),
+    ]
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(3), pa.int64()),
+            "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            "o_orderdate": pa.array(ts, pa.timestamp("us")),
+            "o_totalprice": pa.array([10.005, 20.0, 30.0], pa.float64()),
+        }
+    )
+    pq.write_table(orders, tmp_path / "orders.parquet")
+    got = orders_monthly(str(tmp_path)).to_pandas()
+    want = _oracle(str(tmp_path), ORACLE_SQL["orders_monthly"], views=("orders",))
+    got = _eq(got, want, "ym")
+    by = got.set_index("ym")
+    # year boundary: Dec 31 23:59:59 is its own month bucket
+    assert by.loc[202512, "n"] == 1 and by.loc[202601, "n"] == 2
+    assert by.loc[202601, "sum_cents"] == 5000
