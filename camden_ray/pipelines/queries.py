@@ -3677,6 +3677,45 @@ def orders_monthly(sf_dir: str):
     )
 
 
+def corpus_chars_quantile_cont(sf_dir: str):
+    """INTERPOLATED percentiles (the ``quantile_cont`` class; the disc
+    cousin is :func:`corpus_token_quantiles`) of document length, in EXACT
+    integer fixed-point: position p = q·(n−1) splits into lo = ⌊p⌋ and a
+    rational remainder r/100, and the interpolated value ×100 is
+    v_lo·(100−r) + v_hi·r — a closed form with NO float arithmetic
+    anywhere, so the SQL twin (row_number + the same integer form) matches
+    hash-exactly with no last-ulp exposure (the reason
+    corpus_token_quantiles chose disc semantics; this closes the cont
+    half). Same scale shape: one value-histogram groupby, driver reads the
+    two neighboring order statistics off the cumulative."""
+    hist = (
+        _read(sf_dir, "documents", columns=["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+    hist = hist.dropna(subset=["n_chars"]).sort_values("n_chars")
+    vals = hist["n_chars"].to_numpy(dtype=np.int64)
+    cum = hist["cnt"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pd.DataFrame(
+            {"n_docs": [], "p50_x100": [], "p90_x100": []}
+        ).astype("int64")
+
+    def at_rank(k: int) -> int:  # k is 0-based
+        return int(vals[np.searchsorted(cum, k + 1, side="left")])
+
+    row = {"n_docs": n}
+    for q_pct in (50, 90):
+        h = q_pct * (n - 1)
+        lo, r = divmod(h, 100)
+        v_lo = at_rank(lo)
+        v_hi = v_lo if r == 0 else at_rank(lo + 1)
+        row[f"p{q_pct}_x100"] = v_lo * (100 - r) + v_hi * r
+    return pd.DataFrame([row]).astype("int64")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3771,6 +3810,7 @@ QUERIES = {
     "supplier_nation_revenue": supplier_nation_revenue,
     "events_user_setops": events_user_setops,
     "orders_monthly": orders_monthly,
+    "corpus_chars_quantile_cont": corpus_chars_quantile_cont,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -5069,4 +5109,25 @@ ORACLE_SQL["orders_monthly"] = """
            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS sum_cents
     FROM orders GROUP BY ym
+"""
+
+ORACLE_SQL["corpus_chars_quantile_cont"] = """
+    WITH v AS (
+        SELECT n_chars AS x,
+               row_number() OVER (ORDER BY n_chars) - 1 AS rn
+        FROM documents WHERE n_chars IS NOT NULL
+    ),
+    c AS (SELECT count(*) AS n FROM v),
+    p AS (SELECT n,
+                 (50 * (n - 1)) // 100 AS lo50, (50 * (n - 1)) % 100 AS r50,
+                 (90 * (n - 1)) // 100 AS lo90, (90 * (n - 1)) % 100 AS r90
+          FROM c)
+    SELECT p.n AS n_docs,
+           CAST(SUM(CASE WHEN v.rn = p.lo50 THEN v.x * (100 - p.r50)
+                         WHEN p.r50 > 0 AND v.rn = p.lo50 + 1 THEN v.x * p.r50
+                         ELSE 0 END) AS BIGINT) AS p50_x100,
+           CAST(SUM(CASE WHEN v.rn = p.lo90 THEN v.x * (100 - p.r90)
+                         WHEN p.r90 > 0 AND v.rn = p.lo90 + 1 THEN v.x * p.r90
+                         ELSE 0 END) AS BIGINT) AS p90_x100
+    FROM v, p GROUP BY p.n
 """

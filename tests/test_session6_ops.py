@@ -578,3 +578,42 @@ def test_orders_monthly_boundaries(ray_session, tmp_path):
     # year boundary: Dec 31 23:59:59 is its own month bucket
     assert by.loc[202512, "n"] == 1 and by.loc[202601, "n"] == 2
     assert by.loc[202601, "sum_cents"] == 5000
+
+
+def test_quantile_cont_matches_native(ray_session, tmp_path):
+    """The integer closed form ×100 equals DuckDB's native float
+    quantile_cont ×100 on a fractional-position fixture, and handles
+    n=1 and NULL lengths."""
+    from camden_ray.pipelines.queries import (
+        ORACLE_SQL,
+        corpus_chars_quantile_cont,
+    )
+
+    lens = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 7, None]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(lens)), pa.int64()),
+            "text": pa.array(["x"] * len(lens), pa.string()),
+            "n_chars": pa.array(lens, pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = corpus_chars_quantile_cont(str(tmp_path))
+    want = _oracle(
+        str(tmp_path),
+        ORACLE_SQL["corpus_chars_quantile_cont"],
+        views=("documents",),
+    )
+    _eq(got.copy(), want, "n_docs")
+    con = duckdb.connect()
+    native50, native90 = con.execute(
+        "SELECT quantile_cont(x, 0.5), quantile_cont(x, 0.9) FROM "
+        "(SELECT unnest(?) AS x)",
+        [[v for v in lens if v is not None]],
+    ).fetchone()
+    assert got["p50_x100"].item() == round(native50 * 100)
+    assert got["p90_x100"].item() == round(native90 * 100)
+
+    pq.write_table(t.slice(0, 1), tmp_path / "documents.parquet")
+    one = corpus_chars_quantile_cont(str(tmp_path))
+    assert one["n_docs"].item() == 1 and one["p50_x100"].item() == 300
