@@ -3582,7 +3582,6 @@ def supplier_nation_revenue(sf_dir: str):
             {
                 "n_name": names.take(pa.array(npos_c[nok])),
                 "sum_price_cents": t["sum_price_cents"],
-                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
             }
         )
 
@@ -3590,7 +3589,7 @@ def supplier_nation_revenue(sf_dir: str):
         per_supp.map_batches(enrich, batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(
-            Sum("one", alias_name="n_suppliers"),
+            Count(alias_name="n_suppliers"),
             Sum("sum_price_cents", alias_name="sum_price_cents"),
         )
     )
@@ -3614,8 +3613,19 @@ def events_user_setops(sf_dir: str):
         isp = pc.fill_null(pc.equal(et, "purchase"), False).to_numpy(
             zero_copy_only=False
         )
-        us = t["user_id"].to_numpy(zero_copy_only=False)
-        keep = isv | isp
+        ucol = t["user_id"]
+        if isinstance(ucol, pa.ChunkedArray):
+            ucol = ucol.combine_chunks()
+        # NULL user ids belong to no set (SQL NULL never equals NULL in the
+        # oracle's FULL OUTER join key, and the int64→float64 null trap
+        # would corrupt the ids) — excluded on both sides
+        uvalid = (
+            pc.is_valid(ucol).to_numpy(zero_copy_only=False)
+            if ucol.null_count
+            else np.ones(len(ucol), dtype=bool)
+        )
+        us = pc.fill_null(ucol, 0).to_numpy(zero_copy_only=False)
+        keep = (isv | isp) & uvalid
         us, isv, isp = us[keep], isv[keep], isp[keep]
         uu, inv = np.unique(us, return_inverse=True)
         v = np.zeros(len(uu), dtype=np.int64)
@@ -5093,8 +5103,10 @@ ORACLE_SQL["supplier_nation_revenue"] = """
 """
 
 ORACLE_SQL["events_user_setops"] = """
-    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
-         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    WITH v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view' AND user_id IS NOT NULL),
+         p AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND user_id IS NOT NULL)
     SELECT COALESCE(v.user_id, p.user_id) AS user_id,
            CASE WHEN p.user_id IS NULL THEN 'view_only'
                 WHEN v.user_id IS NULL THEN 'purchase_only'

@@ -535,6 +535,7 @@ def test_user_setops_three_way(ray_session, tmp_path):
         (3, 2, "view"), (4, 2, "click"),          # view_only (click ignored)
         (5, 3, "purchase"),                       # purchase_only
         (6, 4, "error"),                          # in neither set → absent
+        (7, None, "view"),                        # NULL user → excluded
     ]
     t = pa.table(
         {
@@ -589,7 +590,9 @@ def test_quantile_cont_matches_native(ray_session, tmp_path):
         corpus_chars_quantile_cont,
     )
 
-    lens = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 7, None]
+    # 10 non-null values → p = q·9 has remainder r=50/r=10, so the
+    # INTERPOLATION branch is exercised against native quantile_cont
+    lens = [3, 1, 4, 1, 5, 9, 2, 6, 5, 7, None]
     t = pa.table(
         {
             "doc_id": pa.array(range(len(lens)), pa.int64()),
