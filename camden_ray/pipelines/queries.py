@@ -3726,6 +3726,39 @@ def corpus_chars_quantile_cont(sf_dir: str):
     return pd.DataFrame([row]).astype("int64")
 
 
+def events_user_first_last(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE window reduction — per user: the first and
+    last event type and timestamp in (ts, event_id) order plus the event
+    count (the arg-min/arg-max-by-time aggregate class; deterministic
+    under ties via the event_id tiebreak). One key-partitioned
+    ``map_groups``: sort once, take the two boundary rows — per-user
+    state stays group-sized, never corpus-sized."""
+
+    def win(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        t = t.take(order)
+        ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        n = t.num_rows
+        return pa.table(
+            {
+                "user_id": t["user_id"].slice(0, 1),
+                "first_type": et.slice(0, 1),
+                "last_type": et.slice(n - 1, 1),
+                "first_ts_us": ts.slice(0, 1),
+                "last_ts_us": ts.slice(n - 1, 1),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3821,6 +3854,7 @@ QUERIES = {
     "events_user_setops": events_user_setops,
     "orders_monthly": orders_monthly,
     "corpus_chars_quantile_cont": corpus_chars_quantile_cont,
+    "events_user_first_last": events_user_first_last,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -5142,4 +5176,23 @@ ORACLE_SQL["corpus_chars_quantile_cont"] = """
                          WHEN p.r90 > 0 AND v.rn = p.lo90 + 1 THEN v.x * p.r90
                          ELSE 0 END) AS BIGINT) AS p90_x100
     FROM v, p GROUP BY p.n
+"""
+
+ORACLE_SQL["events_user_first_last"] = """
+    WITH w AS (
+        SELECT user_id,
+               first_value(event_type) OVER win AS first_type,
+               last_value(event_type) OVER winf AS last_type,
+               first_value(epoch_us(ts)) OVER win AS first_ts_us,
+               last_value(epoch_us(ts)) OVER winf AS last_ts_us,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+               winf AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)
+    )
+    SELECT DISTINCT user_id, first_type, last_type, first_ts_us, last_ts_us,
+                    CAST(n AS BIGINT) AS n
+    FROM w
 """

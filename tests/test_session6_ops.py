@@ -620,3 +620,28 @@ def test_quantile_cont_matches_native(ray_session, tmp_path):
     pq.write_table(t.slice(0, 1), tmp_path / "documents.parquet")
     one = corpus_chars_quantile_cont(str(tmp_path))
     assert one["n_docs"].item() == 1 and one["p50_x100"].item() == 300
+
+
+def test_user_first_last_tiebreak(ray_session, lag_events_dir):
+    """Simultaneous first events resolve by event_id (deterministic
+    FIRST_VALUE), single-event users are their own first AND last."""
+    from camden_ray.pipelines.queries import (
+        ORACLE_SQL,
+        events_user_first_last,
+    )
+    import pyarrow.parquet as pqq
+
+    # reuse the lag fixture but give the tie pair distinct types
+    t = pqq.read_table(f"{lag_events_dir}/events.parquet")
+    types = ["view", "click", "purchase", "view", "error", "signup"]
+    t = t.append_column("event_type", pa.array(types, pa.string()))
+    pqq.write_table(t, f"{lag_events_dir}/events.parquet")
+    got = events_user_first_last(lag_events_dir).to_pandas()
+    want = _oracle(lag_events_dir, ORACLE_SQL["events_user_first_last"])
+    got = _eq(got, want, "user_id")
+    by = got.set_index("user_id")
+    # tie at t0: event_id 1 ("view") wins first place over event_id 2
+    assert by.loc[1, "first_type"] == "view"
+    assert by.loc[1, "last_type"] == "purchase" and by.loc[1, "n"] == 3
+    assert by.loc[3, "first_type"] == by.loc[3, "last_type"] == "signup"
+    assert by.loc[3, "first_ts_us"] == by.loc[3, "last_ts_us"]
