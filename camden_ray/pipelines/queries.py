@@ -3759,6 +3759,38 @@ def events_user_first_last(sf_dir: str):
     return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
 
 
+def events_user_path(sf_dir: str):
+    """Ordered string aggregation — SQL's ``string_agg(x, sep ORDER BY
+    ...)``: each user's full event-type sequence in (ts, event_id) order
+    joined with '>' (the path/journey string funnel miners consume). The
+    aggregate is order-SENSITIVE, so the key-partitioned sort-then-join
+    shape is the semantics; the per-user string is group-bounded, never
+    corpus-sized."""
+
+    def win(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        t = t.take(order)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        # SQL string_agg SKIPS null elements (no separator emitted for
+        # them) and is NULL when every element is null — mirror both
+        vals = [v for v in et.to_pylist() if v is not None]
+        path = ">".join(vals) if vals else None
+        return pa.table(
+            {
+                "user_id": t["user_id"].slice(0, 1),
+                "path": pa.array([path], pa.string()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+    return ds.groupby("user_id").map_groups(win, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -3855,6 +3887,7 @@ QUERIES = {
     "orders_monthly": orders_monthly,
     "corpus_chars_quantile_cont": corpus_chars_quantile_cont,
     "events_user_first_last": events_user_first_last,
+    "events_user_path": events_user_path,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -5195,4 +5228,11 @@ ORACLE_SQL["events_user_first_last"] = """
     SELECT DISTINCT user_id, first_type, last_type, first_ts_us, last_ts_us,
                     CAST(n AS BIGINT) AS n
     FROM w
+"""
+
+ORACLE_SQL["events_user_path"] = """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           count(*) AS n
+    FROM events GROUP BY user_id
 """

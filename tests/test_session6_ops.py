@@ -645,3 +645,37 @@ def test_user_first_last_tiebreak(ray_session, lag_events_dir):
     assert by.loc[1, "last_type"] == "purchase" and by.loc[1, "n"] == 3
     assert by.loc[3, "first_type"] == by.loc[3, "last_type"] == "signup"
     assert by.loc[3, "first_ts_us"] == by.loc[3, "last_ts_us"]
+
+
+def test_user_path_null_skip(ray_session, tmp_path):
+    """string_agg semantics: null elements skipped without separator,
+    all-null group → NULL path, count still counts every row."""
+    from camden_ray.pipelines.queries import ORACLE_SQL, events_user_path
+
+    t0 = datetime.datetime(2026, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        (1, ts(0), 1, "view"), (2, ts(1), 1, None), (3, ts(2), 1, "click"),
+        (4, ts(0), 2, None),                       # all-null user
+        (5, ts(0), 3, "b"), (6, ts(0), 3, "a"),    # tie → event_id order
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = events_user_path(str(tmp_path)).to_pandas()
+    want = _oracle(str(tmp_path), ORACLE_SQL["events_user_path"])
+    got = _eq(got, want, "user_id")
+    by = got.set_index("user_id")
+    assert by.loc[1, "path"] == "view>click" and by.loc[1, "n"] == 3
+    assert by.loc[2, "path"] is None or pd_isna(by.loc[2, "path"])
+    assert by.loc[3, "path"] == "b>a"
