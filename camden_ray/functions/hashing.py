@@ -766,6 +766,45 @@ def md5_affine_minhash(
     return has, sig
 
 
+def md5_twin_signatures(
+    texts: "list[str | None]", k: int, ab: "list[tuple[int, int]]"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fused md5-parity twin signatures: ONE distinct-shingle md5 pass per
+    text feeds BOTH the affine MinHash signature (``md5_affine_minhash``
+    semantics) and the majority-vote SimHash (``md5_shingle_simhash``
+    semantics). The flagship oracle twin runs every method over one corpus
+    scan, so the dominant per-doc cost — md5 over the distinct word-k-gram
+    set — is paid once, not once per method.
+
+    Returns ``(has_sig: bool[n], minsig: uint64[n, len(ab)],
+    simhash: uint64[n])``; texts with fewer than ``k`` tokens have
+    ``has_sig`` False and simhash 0 (empty vote set — such docs still pair
+    with each other at Hamming 0, matching the SQL's COALESCE(…, 0))."""
+    n = len(texts)
+    P = len(ab)
+    M = np.uint64(MD5_MINHASH_M)
+    A = np.array([a for a, _ in ab], dtype=np.uint64)[:, None]
+    B = np.array([b for _, b in ab], dtype=np.uint64)[:, None]
+    minsig = np.zeros((n, P), dtype=U64)
+    has = np.zeros(n, dtype=bool)
+    sim = np.zeros(n, dtype=U64)
+    bit_idx = np.arange(64, dtype=U64)
+    bit_vals = U64(1) << bit_idx
+    cache: dict = {}
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if len(toks) < k:
+            continue
+        sh = list({" ".join(toks[j : j + k]) for j in range(len(toks) - k + 1)})
+        hs = md5_lower64(sh, cache)
+        hm = hs % M
+        minsig[i] = ((A * hm[None, :] + B) % M).min(axis=1)
+        has[i] = True
+        ones = ((hs[:, None] >> bit_idx) & U64(1)).sum(axis=0)
+        sim[i] = bit_vals[2 * ones > len(hs)].sum()
+    return has, minsig, sim
+
+
 def md5_shingle_simhash(texts: list[str | None], k: int) -> np.ndarray:
     """Per-text 64-bit SimHash over the DISTINCT word-``k``-gram set, shingle
     hash = md5_lower64 of the space-joined shingle (DuckDB-replicable). Bit b

@@ -203,9 +203,21 @@ def attach_dense_ranks(
     return joined
 
 
-def make_gram_rows(L: int, P: int, key: str = "key", text: str = "text"):
+def make_gram_rows(
+    L: int,
+    P: int,
+    key: str = "key",
+    text: str = "text",
+    shard: "tuple[int, int] | None" = None,
+):
     """map_batches fn: (key, text) rows → (g, key, pos, pkey) gram rows —
-    one row per L-gram start, hash-partitioned on the gram hash."""
+    one row per L-gram start, hash-partitioned on the gram hash.
+
+    ``shard=(i, S)``: emit only grams whose remixed hash lands in shard
+    ``i`` of ``S`` — the gram-hash-space sharding behind
+    ``span_trim(gram_shards=S)``. Remixed (``mix64(g)``) so shard
+    membership is independent of ``pkey = g % P``; winner election is
+    per-gram, so each shard's cover pass is exact on its own slice."""
 
     def f(t: pa.Table) -> pa.Table:
         keys = t[key]
@@ -236,6 +248,12 @@ def make_gram_rows(L: int, P: int, key: str = "key", text: str = "text"):
         pos = np.arange(len(src), dtype=np.int64) - np.repeat(
             np.r_[0, np.cumsum(m[has])[:-1]], m[has]
         )
+        if shard is not None:
+            s_i, s_n = shard
+            smask = (mix64(g) % np.uint64(s_n)) == np.uint64(s_i)
+            g = g[smask]
+            doc_idx = doc_idx[smask]
+            pos = pos[smask]
         return pa.table(
             {
                 "g": pa.array(g.view(np.int64), type=pa.int64()),
@@ -442,6 +460,7 @@ def span_trim(
     key: str = "key",
     text: str = "text",
     rank_keys: bool = False,
+    gram_shards: int = 1,
 ) -> "ray.data.Dataset":
     """Distributed span-level dedup over (key, text) rows — see module
     docstring. Winner order = the key column's natural order (int64 doc ids
@@ -459,7 +478,19 @@ def span_trim(
     ranked — zero-copy plasma makes exchange BYTES nearly free on one node,
     so the extra sort + rank join only pays for itself when the gram
     exchange crosses a network. Output equality with the direct mode is
-    pytest-pinned; default stays False."""
+    pytest-pinned; default stays False.
+
+    ``gram_shards=S>1``: exchange 1 (the corpus-TOKEN-sized gram exchange —
+    the operator's dominant data volume, ~1.1 B rows at 6 M webtext docs)
+    runs as S SEQUENTIAL passes over the gram-hash space, each materializing
+    only its shard's covered-position output (dup-span-sized, ≪ grams)
+    before the next pass starts, so peak object-store + spill footprint is
+    ~1/S of the unsharded exchange. EXACT by construction: winner election
+    is per-gram-independent and trim-reduce coverage is a union over gram
+    contributions, so shard outputs merge additively (P/S parity is
+    pytest-pinned). The trade is re-reading + re-tokenizing the corpus S
+    times — multi-pass CPU for bounded disk, the knob that lets one node's
+    spill disk stop bounding corpus size."""
     P = num_partitions
     Pu = np.uint64(P)
 
@@ -479,14 +510,38 @@ def span_trim(
         docs = attach_dense_ranks(docs, key, text, P).materialize()
         out_key, key = key, "__rank"
 
-    covered = partition_map(
-        docs.map_batches(
-            make_gram_rows(L, P, key=key, text=text), batch_format="pyarrow"
-        ),
-        P,
-        _winner_cover(key),
-        key="pkey",
-    )
+    if gram_shards <= 1:
+        covered = partition_map(
+            docs.map_batches(
+                make_gram_rows(L, P, key=key, text=text),
+                batch_format="pyarrow",
+            ),
+            P,
+            _winner_cover(key),
+            key="pkey",
+        )
+    else:
+        # hold the (key, text) projection once so the S passes re-tokenize
+        # but don't re-run the upstream pipeline; sequential materialize per
+        # shard releases each shard's exchange spill before the next starts
+        docs = docs.materialize()
+        parts = []
+        for s_i in range(gram_shards):
+            parts.append(
+                partition_map(
+                    docs.map_batches(
+                        make_gram_rows(
+                            L, P, key=key, text=text,
+                            shard=(s_i, gram_shards),
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    P,
+                    _winner_cover(key),
+                    key="pkey",
+                ).materialize()
+            )
+        covered = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 
     def tag_doc(t: pa.Table) -> pa.Table:
         ids = _key_ids(t[key])

@@ -120,6 +120,40 @@ def test_partition_parity(ray_session):
     assert (a.n_removed > 0).any()  # fixture actually exercises trimming
 
 
+def test_gram_shard_parity(ray_session):
+    """gram_shards=S produces output identical to the unsharded exchange
+    (winner election is per-gram independent; shard covers merge
+    additively)."""
+    rng = np.random.default_rng(13)
+    docs = []
+    base = [f"t{i}" for i in range(200)]
+    for i in range(30):
+        s = int(rng.integers(0, 150))
+        ln = int(rng.integers(5, 40))
+        noise = [f"n{i}_{j}" for j in range(int(rng.integers(0, 20)))]
+        docs.append((i, " ".join(noise + base[s : s + ln])))
+    t = pa.table(
+        {
+            "key": pa.array([k for k, _ in docs], type=pa.int64()),
+            "text": pa.array([s for _, s in docs], type=pa.string()),
+        }
+    )
+    a = (
+        span_trim(ray.data.from_arrow(t), L=12, num_partitions=4)
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    )
+    for S in (2, 5):
+        b = (
+            span_trim(
+                ray.data.from_arrow(t), L=12, num_partitions=4,
+                gram_shards=S,
+            )
+            .to_pandas().sort_values("key").reset_index(drop=True)
+        )
+        assert a.equals(b), f"gram_shards={S} diverged"
+    assert (a.n_removed > 0).any()
+
+
 def test_string_keys_lexicographic_winner(ray_session):
     """String keys: winner order is lexicographic (url semantics)."""
     shared = W[0:15]
