@@ -71,6 +71,15 @@ def _init_ray(num_cpus: int) -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # Ray 2.49's Aggregate operator emits a schema-less RefBundle for empty
+    # partitions and the streaming executor logs a spurious "different
+    # schema" warning for it (downstream map fns already normalize those
+    # blocks to typed-empty tables); keep the bench output clean.
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
 
 def _consume(res) -> int:
