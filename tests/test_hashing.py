@@ -209,3 +209,34 @@ def test_flat_rolling_grams_equals_per_doc():
         [rolling_lgram_hashes(d, L) for d in docs if len(d) >= L]
     )
     assert np.array_equal(got, want)
+
+
+def test_md5_twin_signatures_equals_separate_kernels():
+    """The fused flagship kernel must be bit-identical to the two
+    single-method twins it replaces (same shingle set, same md5 base
+    hash, same affine map / majority vote)."""
+    from camden_ray.functions.hashing import (
+        md5_affine_minhash,
+        md5_shingle_simhash,
+        md5_twin_signatures,
+    )
+
+    ab = [(1852099020, 2037822335), (892695477, 282947329),
+          (61098809, 1324107815), (838085128, 813788856)]
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "",
+        None,
+        "one two three four",          # exactly k-1 tokens at k=5
+        "one two three four five",     # exactly k tokens
+        "Ünïcode tökens für äll däs texte here now ok",
+        " ".join(["rep"] * 40),        # degenerate single-shingle text
+    ]
+    k = 5
+    has_a, minsig_a = md5_affine_minhash(texts, k, ab)
+    sim_a = md5_shingle_simhash(texts, k)
+    has_f, minsig_f, sim_f = md5_twin_signatures(texts, k, ab)
+    assert np.array_equal(has_a, has_f)
+    assert np.array_equal(minsig_a, minsig_f)
+    assert np.array_equal(sim_a, sim_f)
