@@ -301,6 +301,40 @@ def doc_token_counts(sf_dir: str):
     )
 
 
+# BPE-ish pretokenizer (GPT-2 family, made lookahead-free so it runs on
+# RE2 — the engine BOTH Arrow and DuckDB use, which is what makes the
+# oracle hash-exact; RE2 has no (?!...) so the trailing-space lookahead of
+# the original pattern is dropped): contraction suffixes, space-prefixed
+# letter runs, space-prefixed digit runs, space-prefixed punctuation runs,
+# whitespace runs.
+_BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def doc_bpe_token_counts(sf_dir: str):
+    """Subword-budget token counts — the BPE-ish pretokenizer cardinality
+    (GPT-2-family pretokenization, lookahead-free RE2 variant) next to the
+    whitespace count: the number every training-data budget is denominated
+    in is TOKENIZER tokens, not whitespace words, and the pretokenizer
+    match count is the standard cheap proxy (each pretoken maps to >= 1 BPE
+    token). Map-only, one RE2 kernel pass per batch
+    (``count_substring_regex``); hash-exact DuckDB oracle via the SAME
+    regex on the SAME engine (both Arrow and DuckDB embed RE2, default
+    leftmost-first alternation)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], pattern=_BPE_PRETOKEN_RE)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_pretokens": pc.fill_null(n, 0).cast(pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
 _TOP_BIGRAMS_K = 20
 
 
@@ -4213,6 +4247,8 @@ QUERIES = {
     "media_byte_features": media_byte_features,
     "doc_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "source_neardup_matrix": source_neardup_matrix,
+    # -- round-5 additions (below the driver window; local gate covers) --
+    "doc_bpe_token_counts": doc_bpe_token_counts,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -4459,6 +4495,13 @@ ORACLE_SQL = {
                CASE WHEN trim(text) = '' THEN 0
                     ELSE length(string_split_regex(trim(text), '\\s+')) END::BIGINT
                    AS n_ws_tokens
+        FROM documents
+    """,
+    "doc_bpe_token_counts": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(COALESCE(text, ''),
+                   '{_BPE_PRETOKEN_RE.replace("'", "''")}'))::BIGINT
+                   AS n_pretokens
         FROM documents
     """,
     "top_docs_by_chars": """
