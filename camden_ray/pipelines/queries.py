@@ -3861,6 +3861,51 @@ def embedding_dim_stats(sf_dir: str):
     )
 
 
+def embedding_gram(sf_dir: str):
+    """Distributed Gram-matrix accumulator ``G = XᵀX`` over the quantized
+    embedding column — the second-moment sufficient statistic behind PCA /
+    covariance whitening of an embedding corpus (cov = (G − n·μμᵀ)/n with
+    μ from ``embedding_dim_stats``; kept as exact integer raw moments
+    because the centering division is the only non-integer step).
+
+    Scale shape: each block reduces its (n_block × d) zero-copy matrix to
+    ONE d×d int64 partial via an integer matmul, so the groupby moves
+    blocks × d(d+1)/2 rows no matter the corpus size — the canonical
+    mergeable-moment pattern. Exact: quantized |iv| ≤ ~5.3e5 at d=64 keeps
+    even a 10^10-row global sum below 2^63. Upper triangle emitted (G is
+    symmetric); hash-exact DuckDB oracle via a positional-unnest self-join
+    twin."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def part(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t["embedding"])
+        if m.size == 0:
+            return pa.table(
+                {
+                    "dim_i": pa.array([], pa.int64()),
+                    "dim_j": pa.array([], pa.int64()),
+                    "sxy_fp": pa.array([], pa.int64()),
+                }
+            )
+        fp = _fp_round(m.ravel(), 1_000_000).reshape(m.shape).astype(np.int64)
+        G = fp.T @ fp  # exact int64 block partial
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "dim_i": pa.array((iu + 1).astype(np.int64)),
+                "dim_j": pa.array((ju + 1).astype(np.int64)),
+                "sxy_fp": pa.array(G[iu, ju]),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby(["dim_i", "dim_j"])
+        .aggregate(Sum("sxy_fp", alias_name="sxy_fp"))
+    )
+
+
 def supplier_nation_revenue(sf_dir: str):
     """Revenue per nation through its suppliers — a 3-table star pipeline
     (lineitem fact × supplier × nation dims) completing driver-table
@@ -4249,6 +4294,7 @@ QUERIES = {
     "source_neardup_matrix": source_neardup_matrix,
     # -- round-5 additions (below the driver window; local gate covers) --
     "doc_bpe_token_counts": doc_bpe_token_counts,
+    "embedding_gram": embedding_gram,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -5613,6 +5659,20 @@ ORACLE_SQL["events_value_rank"] = """
            CAST(DENSE_RANK() OVER w AS BIGINT) AS value_dense_rank
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY value)
+"""
+
+ORACLE_SQL["embedding_gram"] = """
+    WITH vals AS (
+        SELECT vec_id,
+               CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS fp
+        FROM embeddings
+    )
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           CAST(SUM(a.fp * b.fp) AS BIGINT) AS sxy_fp
+    FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY 1, 2
 """
 
 ORACLE_SQL["embedding_dim_stats"] = """
