@@ -3888,8 +3888,16 @@ def embedding_gram(sf_dir: str):
                 }
             )
         fp = _fp_round(m.ravel(), 1_000_000).reshape(m.shape).astype(np.int64)
-        G = fp.T @ fp  # exact int64 block partial
-        d = G.shape[0]
+        # int64 matmul has no BLAS path in numpy (naive loops, ~5x slower);
+        # run BLAS float64 matmuls over row chunks sized so every partial
+        # sum stays an exact float64 integer (< 2^53), accumulating int64
+        vmax = float(np.abs(fp).max() or 1)
+        chunk = max(1, int((1 << 53) / (vmax * vmax)))
+        d = fp.shape[1]
+        G = np.zeros((d, d), dtype=np.int64)
+        for s in range(0, fp.shape[0], chunk):
+            blk = fp[s : s + chunk].astype(np.float64)
+            G += (blk.T @ blk).astype(np.int64)
         iu, ju = np.triu_indices(d)
         return pa.table(
             {
