@@ -1556,6 +1556,53 @@ def events_hourly(sf_dir: str):
     )
 
 
+# Hopping-window geometry: 10-minute hop, 30-minute width — every event
+# belongs to exactly width/hop = 3 overlapping windows (win_start =
+# (floor(t/hop) - k)·hop for k = 0..2; (t mod hop) + k·hop < width holds
+# for all k < width/hop, so membership needs no per-row filter).
+_HOP_US = 600_000_000
+_HOP_K = 3
+
+
+def events_hopping_windows(sf_dir: str):
+    """HOPPING (sliding) window aggregate — the overlapping-window class a
+    streaming analytics engine exposes and batch SQL lacks natively: 30-min
+    windows advancing every 10 min, each event contributing to exactly 3.
+    Scale shape: membership is a closed form (no range join) — a map-only
+    ×3 replication with computed ``win_start_us``, then ONE window-keyed
+    groupby; the replication factor is width/hop, constant in corpus size.
+    Null-ts rows are dropped (the ``events_pivot`` NOT-NULL contract).
+    Hash-exact DuckDB oracle via the same unnest-offsets construction."""
+
+    def rows(t: pa.Table) -> pa.Table:
+        if t["ts"].null_count:
+            t = t.filter(pc.is_valid(t["ts"]))
+        us = (
+            pc.cast(t["ts"], pa.int64())  # timestamp[us] → epoch micros
+            .to_numpy(zero_copy_only=False)
+        )
+        cents = _cents(t["value"])
+        base = (us // _HOP_US) * _HOP_US  # exact integer bucket floor
+        parts = [
+            pa.table(
+                {
+                    "win_start_us": pa.array(base - k * _HOP_US,
+                                             type=pa.int64()),
+                    "value_cents": cents,
+                }
+            )
+            for k in range(_HOP_K)
+        ]
+        return pa.concat_tables(parts)
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"]).map_batches(
+        rows, batch_format="pyarrow"
+    )
+    return ds.groupby("win_start_us").aggregate(
+        Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_cents")
+    )
+
+
 def events_user_cumsum(sf_dir: str):
     """Distributed window function: per-user running value sum + row number
     in (ts, event_id) order — SQL's ``SUM(...) OVER (PARTITION BY user_id
@@ -4303,6 +4350,7 @@ QUERIES = {
     # -- round-5 additions (below the driver window; local gate covers) --
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "embedding_gram": embedding_gram,
+    "events_hopping_windows": events_hopping_windows,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -5667,6 +5715,21 @@ ORACLE_SQL["events_value_rank"] = """
            CAST(DENSE_RANK() OVER w AS BIGINT) AS value_dense_rank
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY value)
+"""
+
+ORACLE_SQL["events_hopping_windows"] = f"""
+    WITH e AS (
+        SELECT epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts IS NOT NULL
+    ), h AS (
+        SELECT us, cents, unnest([{", ".join(str(k) for k in range(_HOP_K))}]) AS k
+        FROM e
+    )
+    SELECT ((us // {_HOP_US}) - k) * {_HOP_US} AS win_start_us,
+           count(*) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM h GROUP BY 1
 """
 
 ORACLE_SQL["embedding_gram"] = """
