@@ -2812,6 +2812,25 @@ def doc_dedup_clusters(sf_dir: str):
     )
 
 
+def dup_group_size_histogram(sf_dir: str):
+    """Cluster-size histogram over the flagship's all-method clusters — the
+    corpus owner's duplication report (the reference's stdout report
+    aggregates digest groups by size, ``src/reporting.rs:33``; this is that
+    W1 semantics over the full four-method near-dup clustering, under the
+    flagship's own oracle chain). Two tiny groupbys over the
+    already-computed cluster assignment: (cluster_id → size) then
+    (size → n_clusters); singletons are size-1 clusters, so the histogram
+    sums to the corpus row count by construction."""
+    clusters = doc_dedup_clusters(sf_dir)
+    sizes = clusters.groupby("cluster_id").aggregate(
+        Count(alias_name="cluster_size")
+    )
+    return (
+        sizes.groupby("cluster_size")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
+
+
 # Fixed affine-permutation constants for the md5-parity MinHash twin
 # (random.Random(4242) draw, frozen as literals so the SQL oracle embeds the
 # identical values). 8 permutations = 4 bands x 2 rows.
@@ -4351,6 +4370,7 @@ QUERIES = {
     "doc_bpe_token_counts": doc_bpe_token_counts,
     "embedding_gram": embedding_gram,
     "events_hopping_windows": events_hopping_windows,
+    "dup_group_size_histogram": dup_group_size_histogram,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -5541,6 +5561,17 @@ def _dedup_clusters_sql() -> str:
 
 
 ORACLE_SQL["doc_dedup_clusters"] = _dedup_clusters_sql()
+
+# Reference-report semantics (reporting.rs:33 group-size aggregation) over
+# the flagship chain: the flagship SQL as a subquery, two GROUP BYs on top.
+ORACLE_SQL["dup_group_size_histogram"] = f"""
+    WITH flag AS ({_dedup_clusters_sql()}),
+    sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM flag GROUP BY 1
+    )
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM sizes GROUP BY 1
+"""
 
 ORACLE_SQL["doc_simhash_pairs"] = """
     WITH d AS (
