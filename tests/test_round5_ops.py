@@ -53,3 +53,14 @@ def test_bpe_pretokens_at_least_ws_tokens(ray_session):
     ws = doc_token_counts(SF).to_pandas().set_index("doc_id")
     j = bpe.join(ws)
     assert (j.n_pretokens >= j.n_ws_tokens).all()
+
+
+def test_dup_histogram_partitions_the_corpus(ray_session):
+    """Cluster sizes weighted by multiplicity must sum to the doc count
+    (clusters partition the corpus; singletons included)."""
+    from camden_ray.pipelines.queries import dup_group_size_histogram
+
+    df = dup_group_size_histogram(SF).to_pandas()
+    n_docs = pq.read_metadata(SF + "/documents.parquet").num_rows
+    assert int((df.cluster_size * df.n_clusters).sum()) == n_docs
+    assert (df.cluster_size >= 1).all() and (df.n_clusters >= 1).all()
