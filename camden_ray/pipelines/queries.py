@@ -2780,10 +2780,76 @@ def doc_dedup_clusters(sf_dir: str):
     tab = unionfind_table(
         edges_exact.union(edges_min, edges_sim, edges_sub)
     )
+    return _attach_cluster_ids(docs.select_columns(["url"]), tab)
 
-    if tab is None:
-        lookup_ref = None
-    else:
+
+# above this many clustered urls the assignment table stops being a
+# broadcastable small side (at high dup rates it approaches corpus size) —
+# route the singleton attach through the distributed left hash_join instead
+# (parity-tested with the cap forced to 0 in tests/test_flagship_twin.py)
+_ATTACH_BROADCAST_MAX_ROWS = 50_000_000
+
+
+def _attach_cluster_ids(
+    urls_ds: "ray.data.Dataset",
+    tab: "pa.Table | None",
+    broadcast_max_rows: int | None = None,
+):
+    """(url) rows + a driver-side (url, cluster_id) assignment table →
+    (url, cluster_id, is_representative) for EVERY url, singletons mapping
+    to themselves. Below the cap the assignment is ``ray.put`` once and
+    probed with a vectorized ``index_in`` per batch (map-only); above it,
+    the broadcast regime is replaced by ``stages.cojoin.hash_join``'s left
+    join — both-sides-sized movement, never driver-broadcast."""
+    cap = (
+        _ATTACH_BROADCAST_MAX_ROWS
+        if broadcast_max_rows is None
+        else broadcast_max_rows
+    )
+
+    def finalize(urls: pa.Array, cid: pa.Array) -> pa.Table:
+        return pa.table(
+            {
+                "url": urls,
+                "cluster_id": cid,
+                "is_representative": pc.equal(urls, cid),
+            }
+        )
+
+    if tab is not None and tab.num_rows > cap:
+        from camden_ray.stages.cojoin import hash_join
+
+        assign = ray.data.from_arrow(
+            pa.table(
+                {"url": tab["url"].cast(pa.string()),
+                 "cluster_id": tab["cluster_id"].cast(pa.string())}
+            )
+        )
+        joined = hash_join(
+            urls_ds,
+            assign,
+            on="url",
+            how="left",
+            num_partitions=64,
+            left_schema=pa.schema([("url", pa.string())]),
+            right_schema=pa.schema(
+                [("url", pa.string()), ("cluster_id", pa.string())]
+            ),
+        )
+
+        def fin(t: pa.Table) -> pa.Table:
+            urls = t["url"]
+            if isinstance(urls, pa.ChunkedArray):
+                urls = urls.combine_chunks()
+            cid = pc.coalesce(t["cluster_id"], urls)
+            if isinstance(cid, pa.ChunkedArray):
+                cid = cid.combine_chunks()
+            return finalize(urls, cid)
+
+        return joined.map_batches(fin, batch_format="pyarrow")
+
+    lookup_ref = None
+    if tab is not None:
         lookup_ref = ray.put(
             (tab["url"].cast(pa.string()).combine_chunks(),
              tab["cluster_id"].cast(pa.string()).combine_chunks())
@@ -2799,17 +2865,9 @@ def doc_dedup_clusters(sf_dir: str):
             tu, tc = ray.get(lookup_ref)
             idx = pc.index_in(urls, value_set=tu)
             cid = pc.if_else(pc.is_valid(idx), pc.take(tc, idx), urls)
-        return pa.table(
-            {
-                "url": urls,
-                "cluster_id": cid,
-                "is_representative": pc.equal(urls, cid),
-            }
-        )
+        return finalize(urls, cid)
 
-    return docs.select_columns(["url"]).map_batches(
-        attach, batch_format="pyarrow"
-    )
+    return urls_ds.map_batches(attach, batch_format="pyarrow")
 
 
 def dup_group_size_histogram(sf_dir: str):

@@ -59,3 +59,35 @@ def test_flagship_refines_per_method_chains(ray_session):
             assert len({flag[u] for u in urls}) == 1, (
                 f"method cluster {cid} split by flagship"
             )
+
+
+def test_attach_coshuffle_parity_with_broadcast(ray_session):
+    """The above-cap hash_join attach regime must produce exactly the
+    broadcast regime's output (cap forced to 0 routes everything through
+    the distributed left join)."""
+    import pyarrow as pa
+    import ray
+
+    from camden_ray.pipelines.queries import _attach_cluster_ids
+
+    urls = [f"doc://{i}" for i in range(50)]
+    tab = pa.table(
+        {
+            "url": pa.array(urls[10:30], type=pa.large_string()),
+            "cluster_id": pa.array(
+                [urls[10]] * 10 + [urls[20]] * 10, type=pa.large_string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(pa.table({"url": pa.array(urls)}))
+    a = (
+        _attach_cluster_ids(ds, tab)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    b = (
+        _attach_cluster_ids(ds, tab, broadcast_max_rows=0)
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert (a[~a.url.isin(urls[10:30])].cluster_id
+            == a[~a.url.isin(urls[10:30])].url).all()
