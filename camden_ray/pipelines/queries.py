@@ -2607,7 +2607,13 @@ def doc_dedup_clusters(sf_dir: str):
     The production blake2b/xxhash path (``run_dedup``) remains the bench
     headline and fixture-recall surface; this registry entry is the same
     pipeline SHAPE with oracle-replicable hashes, closing the last
-    ``no_oracle`` row."""
+    ``no_oracle`` row. Scale bounds: components run through the driver
+    union-find here (edge-list-sized pull — the twin's oracle comparison
+    is inherently small-scale); the production pipeline this mirrors
+    switches to the distributed hash-to-min path above
+    ``driver_unionfind_max_edges`` (``stages/cluster.py``,
+    parity-tested), and the singleton attach switches from broadcast to a
+    distributed left join above ``_ATTACH_BROADCAST_MAX_ROWS``."""
     from camden_ray.functions.hashing import (
         hash_string_column,
         md5_twin_signatures,
