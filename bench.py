@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "doc_dedup_clusters",
     "doc_gopher_filter",
     "doc_unigram_logprob",
+    # round-5 additions
+    "doc_bpe_token_counts",
+    "events_hopping_windows",
 ]
 
 
