@@ -100,6 +100,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="minimum duplicated span length in tokens for --span-trim",
     )
     p.add_argument(
+        "--span-gram-shards",
+        type=int,
+        default=1,
+        metavar="S",
+        help="run the span-trim gram exchange as S sequential hash-space "
+        "passes (peak spill ~1/S; exact — use when the corpus-token-sized "
+        "exchange overflows a node's spill disk)",
+    )
+    p.add_argument(
         "--input-format",
         choices=["parquet", "jsonl"],
         default="parquet",
@@ -159,7 +168,7 @@ def _read_input(inp, input_format, columns, cfg, extract):
 
 def run_span_trim(
     inp: str, out_dir: str, cfg: DedupConfig, L: int, extract: bool,
-    input_format: str = "parquet",
+    input_format: str = "parquet", gram_shards: int = 1,
 ) -> dict:
     """--span-trim: emit the span-deduplicated corpus (url, text_clean,
     n_tokens, n_removed) as partitioned Parquet; winner order =
@@ -187,7 +196,8 @@ def run_span_trim(
     except Exception:
         n = 0
     P = partitions_for(cfg, n)
-    out = span_trim(ds, L=L, num_partitions=P, key="url", text="text")
+    out = span_trim(ds, L=L, num_partitions=P, key="url", text="text",
+                    gram_shards=gram_shards)
     out = out.select_columns(["url", "n_tokens", "n_removed", "text_clean"])
     out = out.materialize()
     out.write_parquet(out_dir)
@@ -249,6 +259,7 @@ def main(argv: list[str] | None = None) -> int:
             inp, args.span_trim, cfg,
             L=args.span_trim_l, extract=not args.no_extract,
             input_format=args.input_format,
+            gram_shards=args.span_gram_shards,
         )
     print(json.dumps({"stats": stats, "config": dataclasses.asdict(cfg)}))
     ray.shutdown()
