@@ -335,6 +335,36 @@ def doc_bpe_token_counts(sf_dir: str):
     )
 
 
+def source_token_budget(sf_dir: str):
+    """Per-source token budget — the table a corpus owner reads before
+    setting mixture weights: document count, whitespace-token total and
+    BPE-pretoken total per source. One map-only pass (two RE2 kernel
+    counts per batch) reduced to a source-sized groupby; the per-block
+    partial is (sources × 3) no matter the corpus size."""
+
+    def part(t: pa.Table) -> pa.Table:
+        ws = pc.fill_null(
+            pc.count_substring_regex(t["text"], pattern=r"\S+"), 0
+        ).cast(pa.int64())
+        bpe = pc.fill_null(
+            pc.count_substring_regex(t["text"], pattern=_BPE_PRETOKEN_RE), 0
+        ).cast(pa.int64())
+        return pa.table(
+            {"source": t["source"], "ws": ws, "bpe": bpe}
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["source", "text"])
+        .map_batches(part, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("ws", alias_name="ws_tokens"),
+            Sum("bpe", alias_name="bpe_pretokens"),
+        )
+    )
+
+
 _TOP_BIGRAMS_K = 20
 
 
@@ -4435,6 +4465,7 @@ QUERIES = {
     "embedding_gram": embedding_gram,
     "events_hopping_windows": events_hopping_windows,
     "dup_group_size_histogram": dup_group_size_histogram,
+    "source_token_budget": source_token_budget,
 }
 
 # Shared unigram-LM score CTE chain (used by doc_unigram_logprob and
@@ -4689,6 +4720,17 @@ ORACLE_SQL = {
                    '{_BPE_PRETOKEN_RE.replace("'", "''")}'))::BIGINT
                    AS n_pretokens
         FROM documents
+    """,
+    "source_token_budget": f"""
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                    ELSE length(string_split_regex(
+                        trim(COALESCE(text, '')), '\\s+'))
+                    END) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(COALESCE(text, ''),
+                   '{_BPE_PRETOKEN_RE.replace("'", "''")}'))) AS BIGINT)
+                   AS bpe_pretokens
+        FROM documents GROUP BY source
     """,
     "top_docs_by_chars": """
         SELECT doc_id, n_chars FROM documents
